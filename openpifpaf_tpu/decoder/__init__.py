@@ -1,0 +1,14 @@
+"""Decoders: fields -> annotations.
+
+The heavy lifting happens on device (:mod:`openpifpaf_tpu.ops`); this layer
+pairs head metas into decode pipelines, runs the jitted device decoders and
+converts fixed-size pose tensors into :class:`~openpifpaf_tpu.annotation.Annotation`
+objects.
+"""
+
+from .base import Decoder
+from .cifcaf import CifCaf
+from .cifdet import CifDet
+from .multi import Multi
+from . import factory
+from .factory import DECODERS

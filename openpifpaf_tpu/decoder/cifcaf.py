@@ -1,0 +1,159 @@
+"""CifCaf decoder: wraps the jitted device pipeline.
+
+Reference: ``decoder/cifcaf.py:81-277`` (python orchestration) +
+``csrc/src/cifcaf.cpp`` (C++ pipeline). Here the entire pipeline is the
+device function from :func:`openpifpaf_tpu.ops.build_cifcaf_decoder`; this
+class holds CLI-configurable thresholds and does tensor -> Annotation
+conversion.
+"""
+
+import argparse
+import logging
+import time
+from typing import List
+
+import numpy as np
+
+from .base import Decoder
+from .. import headmeta
+from ..annotation import Annotation
+from ..ops import CifCafDecoderConfig, build_cifcaf_decoder
+
+LOG = logging.getLogger(__name__)
+
+
+class CifCaf(Decoder):
+    # CLI-configurable statics (mirroring cifcaf.py:127-211 flags)
+    force_complete = False
+    keypoint_threshold = 0.15
+    keypoint_threshold_rel = 0.5
+    greedy = False
+    reverse_match = True
+    dense_connections = 0.0
+    nms_before_force_complete = False
+    instance_threshold = 0.15
+    seed_threshold = 0.2
+    cifhr_threshold = 0.3
+    n_seeds = 256
+    n_poses = 96
+    n_hr_cells = 256
+
+    def __init__(self, cif_meta: headmeta.Cif, caf_meta: headmeta.Caf):
+        super().__init__()
+        self.cif_meta = cif_meta
+        self.caf_meta = caf_meta
+        self.skeleton = np.asarray(caf_meta.skeleton, dtype=np.int32)
+        self.n_keypoints = len(cif_meta.keypoints)
+        self.score_weights = cif_meta.score_weights
+
+        self.config = CifCafDecoderConfig(
+            cifhr_threshold=self.cifhr_threshold,
+            seed_threshold=self.seed_threshold,
+            keypoint_threshold=self.keypoint_threshold,
+            keypoint_threshold_rel=self.keypoint_threshold_rel,
+            reverse_match=self.reverse_match,
+            nms_instance_threshold=self.instance_threshold,
+            nms_keypoint_threshold=self.keypoint_threshold,
+            n_seeds=self.n_seeds,
+            n_poses=self.n_poses,
+            n_hr_cells=self.n_hr_cells,
+        )
+        self._decoders = {}  # stride -> jitted batched decoder
+
+    @classmethod
+    def cli(cls, parser: argparse.ArgumentParser):
+        group = parser.add_argument_group('CifCaf decoder')
+        group.add_argument('--force-complete-pose', dest='force_complete',
+                           default=cls.force_complete, action='store_true')
+        group.add_argument('--keypoint-threshold', type=float,
+                           default=cls.keypoint_threshold,
+                           help='filter keypoints by score')
+        group.add_argument('--keypoint-threshold-rel', type=float,
+                           default=cls.keypoint_threshold_rel,
+                           help='filter keypoints by relative score')
+        group.add_argument('--instance-threshold', type=float,
+                           default=cls.instance_threshold,
+                           help='filter instances by score')
+        group.add_argument('--seed-threshold', type=float,
+                           default=cls.seed_threshold)
+        group.add_argument('--greedy', default=cls.greedy, action='store_true')
+        assert cls.reverse_match
+        group.add_argument('--no-reverse-match', dest='reverse_match',
+                           default=True, action='store_false')
+        group.add_argument('--decoder-seeds', type=int, default=cls.n_seeds,
+                           help='static seed budget of the device decoder')
+        group.add_argument('--decoder-poses', type=int, default=cls.n_poses,
+                           help='static pose budget of the device decoder')
+
+    @classmethod
+    def configure(cls, args: argparse.Namespace):
+        cls.force_complete = args.force_complete
+        cls.keypoint_threshold = args.keypoint_threshold
+        cls.keypoint_threshold_rel = args.keypoint_threshold_rel
+        cls.instance_threshold = args.instance_threshold
+        cls.seed_threshold = args.seed_threshold
+        cls.greedy = args.greedy
+        cls.reverse_match = args.reverse_match
+        cls.n_seeds = args.decoder_seeds
+        cls.n_poses = args.decoder_poses
+
+    @classmethod
+    def factory(cls, head_metas) -> List['CifCaf']:
+        """Pair adjacent (Cif, Caf) metas (reference cifcaf.py:213-222)."""
+        return [
+            cls(cif_meta, caf_meta)
+            for cif_meta, caf_meta in zip(head_metas, head_metas[1:])
+            if (isinstance(cif_meta, headmeta.Cif)
+                and isinstance(caf_meta, headmeta.Caf))
+        ]
+
+    def _decoder(self, stride):
+        if stride not in self._decoders:
+            self._decoders[stride] = build_cifcaf_decoder(
+                stride=stride,
+                skeleton=self.skeleton,
+                config=self.config,
+                n_keypoints=self.n_keypoints)
+        return self._decoders[stride]
+
+    def batch_decode(self, fields_batch):
+        """fields_batch: list over head indices of (B, F, C, H, W) arrays."""
+        cif = np.asarray(fields_batch[self.cif_meta.head_index],
+                         dtype=np.float32)
+        caf = np.asarray(fields_batch[self.caf_meta.head_index],
+                         dtype=np.float32)
+        stride = self.cif_meta.stride
+        assert stride == self.caf_meta.stride
+
+        start = time.perf_counter()
+        poses, keep, order = self._decoder(stride)(cif, caf)
+        poses = np.asarray(poses)
+        keep = np.asarray(keep)
+        order = np.asarray(order)
+        self.last_decoder_time = time.perf_counter() - start
+
+        return [
+            self.annotations_from_tensor(poses[i], keep[i], order[i])
+            for i in range(poses.shape[0])
+        ]
+
+    def __call__(self, fields):
+        return self.batch_decode([f[None] for f in fields])[0]
+
+    def annotations_from_tensor(self, poses, keep, order):
+        annotations = []
+        for idx in order:
+            if not keep[idx]:
+                continue
+            ann = Annotation(
+                self.cif_meta.keypoints,
+                self.caf_meta.skeleton,
+                score_weights=self.score_weights)
+            pose = poses[idx]
+            ann.data[:, 0] = pose[:, 1]
+            ann.data[:, 1] = pose[:, 2]
+            ann.data[:, 2] = pose[:, 0]
+            ann.joint_scales = pose[:, 3].copy()
+            annotations.append(ann)
+        LOG.debug('annotations %d', len(annotations))
+        return annotations

@@ -1,0 +1,4 @@
+"""Evaluation metrics."""
+
+from .base import Base
+from .coco import Coco

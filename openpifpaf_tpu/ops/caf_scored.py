@@ -1,0 +1,72 @@
+"""CafScored: association candidates rescored by CifHr at their target joint.
+
+Reference: ``csrc/src/caf_scored.cpp:29-104``. Every CAF cell above the score
+threshold yields a forward candidate (source = joint1 end, target = joint2
+end) and a backward candidate (swapped), each rescored by the CifHr value of
+its *target* joint: ``c' = c * (cif_floor + (1 - cif_floor) * hr)``.
+
+The reference compacts candidates into per-edge lists; on TPU we keep them
+dense as (2E, H*W) directed-edge planes (first E forward, last E backward)
+with confidence 0 for suppressed cells — the blend step then runs as masked
+vectorized reductions over the full plane.
+"""
+
+import jax.numpy as jnp
+
+from .cifhr import cifhr_lookup
+
+
+def caf_scored(caf, hr, stride, skeleton, *, score_th=0.3, cif_floor=0.1,
+               rescore=True):
+    """Build dense directed association candidates.
+
+    caf: (E, 8, H, W) decoded field [logb, c, x1, y1, x2, y2, s1, s2].
+    hr: (F, HS, WS) CifHr map.
+    skeleton: (E, 2) int array of 1-based joint indices.
+
+    Returns dict with arrays of shape (2E, H*W):
+      c   — rescored confidence (0 = invalid)
+      sx, sy      — source-end position (hi-res px)
+      tx, ty, ts  — target-end position and scale (hi-res px)
+    Directed edge d in [0, E) is forward on skeleton edge d; d in [E, 2E) is
+    backward on skeleton edge d - E.
+    """
+    n_edges, _, h, w = caf.shape
+    hw = h * w
+
+    c = caf[:, 1].reshape(n_edges, hw)
+    x1 = caf[:, 2].reshape(n_edges, hw) * stride
+    y1 = caf[:, 3].reshape(n_edges, hw) * stride
+    x2 = caf[:, 4].reshape(n_edges, hw) * stride
+    y2 = caf[:, 5].reshape(n_edges, hw) * stride
+    s1 = caf[:, 6].reshape(n_edges, hw) * stride
+    s2 = caf[:, 7].reshape(n_edges, hw) * stride
+
+    base_mask = c >= score_th
+
+    skeleton = jnp.asarray(skeleton, dtype=jnp.int32)
+    j1 = (skeleton[:, 0] - 1)[:, None]  # (E, 1)
+    j2 = (skeleton[:, 1] - 1)[:, None]
+
+    if rescore:
+        fwd_hr = cifhr_lookup(hr, jnp.broadcast_to(j2, (n_edges, hw)), x2, y2,
+                              default=0.0)
+        bwd_hr = cifhr_lookup(hr, jnp.broadcast_to(j1, (n_edges, hw)), x1, y1,
+                              default=0.0)
+        c_fwd = c * (cif_floor + (1.0 - cif_floor) * fwd_hr)
+        c_bwd = c * (cif_floor + (1.0 - cif_floor) * bwd_hr)
+    else:
+        c_fwd = c
+        c_bwd = c
+
+    c_fwd = jnp.where(base_mask & (c_fwd > score_th), c_fwd, 0.0)
+    c_bwd = jnp.where(base_mask & (c_bwd > score_th), c_bwd, 0.0)
+
+    return {
+        'c': jnp.concatenate([c_fwd, c_bwd], axis=0),
+        'sx': jnp.concatenate([x1, x2], axis=0),
+        'sy': jnp.concatenate([y1, y2], axis=0),
+        'tx': jnp.concatenate([x2, x1], axis=0),
+        'ty': jnp.concatenate([y2, y1], axis=0),
+        'ts': jnp.concatenate([s2, s1], axis=0),
+    }

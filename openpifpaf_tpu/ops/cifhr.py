@@ -1,0 +1,116 @@
+"""CifHr: high-resolution accumulation of CIF fields.
+
+Reference semantics (``csrc/src/cif_hr.cpp:28-121``): every CIF cell with
+confidence >= threshold splats a truncated Gaussian (custom ``approx_exp``,
+8-term approximation, ``cif_hr.cpp:18-25``) of amplitude ``v / neighbors``
+centered at the stride-upscaled regressed position ``(x, y)`` with
+``sigma = max(1, 0.5 * scale * stride)``, truncated at 1 sigma. The
+sequential per-pixel update ``entry = min(max(entry, rev) + vv, rev + 1)``
+is order-independent for non-negative contributions, so the whole map is
+
+    hr[f, Y, X] = min(1, sum_k w_k * g_k(X, Y))
+
+which is embarrassingly parallel — ideal for TPU. We bound work with a
+static top-K selection of contributing cells per field (typical images have
+far fewer cells above threshold than K; masked-out cells contribute 0).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def approx_exp(x):
+    """8-term exp approximation, bit-matching ``cif_hr.cpp:18-25``."""
+    y = 1.0 + x / 8.0
+    y = y * y
+    y = y * y
+    y = y * y
+    return jnp.where((x > 2.0) | (x < -2.0), 0.0, y)
+
+
+def select_cells(cif, stride, *, threshold, min_scale, n_cells):
+    """Top-``n_cells`` contributing cells per field.
+
+    cif: (F, 5, H, W) decoded CIF field [logb, conf, x, y, scale].
+    Returns (x, y, sigma, w), each (F, n_cells), positions in hi-res pixels.
+    Invalid cells have w == 0.
+    """
+    n_fields, _, h, w = cif.shape
+    v = cif[:, 1].reshape(n_fields, h * w)
+    scale = cif[:, 4].reshape(n_fields, h * w)
+    valid = (v >= threshold) & (scale >= min_scale / stride)
+
+    scored = jnp.where(valid, v, -jnp.inf)
+    k = min(n_cells, h * w)
+    top_v, top_i = jax.lax.top_k(scored, k)
+
+    gather = lambda c: jnp.take_along_axis(c.reshape(n_fields, h * w), top_i, axis=1)
+    x = gather(cif[:, 2]) * stride
+    y = gather(cif[:, 3]) * stride
+    cell_scale = gather(cif[:, 4])
+    sigma = jnp.maximum(1.0, 0.5 * cell_scale * stride)
+    weight = jnp.where(jnp.isfinite(top_v), top_v, 0.0)
+    return x, y, sigma, weight
+
+
+def accumulate_dense(x, y, sigma, w, *, hr_h, hr_w, neighbors=16, factor=1.0):
+    """Reference jnp implementation: loop over cells, full-map accumulate.
+
+    Exact but bandwidth-bound; used for tests and as CPU fallback. The
+    production path is the Pallas tiled kernel in :mod:`cifhr_pallas`.
+    """
+    n_fields, n_cells = x.shape
+    xs = jnp.arange(hr_w, dtype=jnp.float32)[None, None, :]
+    ys = jnp.arange(hr_h, dtype=jnp.float32)[None, :, None]
+
+    def body(k, acc):
+        cx = x[:, k][:, None, None]
+        cy = y[:, k][:, None, None]
+        cs = sigma[:, k][:, None, None]
+        cw = (w[:, k] / neighbors * factor)[:, None, None]
+
+        dx2 = (xs - cx) ** 2
+        dy2 = (ys - cy) ** 2
+        d2 = dx2 + dy2
+        inside = d2 <= cs * cs
+        closest = (dx2 < 0.25) & (dy2 < 0.25)
+        g = jnp.where(closest, 1.0, approx_exp(-0.5 * d2 / (cs * cs)))
+        return acc + jnp.where(inside, cw * g, 0.0)
+
+    acc = jax.lax.fori_loop(
+        0, n_cells, body,
+        jnp.zeros((n_fields, hr_h, hr_w), dtype=jnp.float32))
+    return jnp.minimum(acc, 1.0)
+
+
+def cif_hr(cif, stride, *, threshold=0.3, min_scale=0.0, neighbors=16,
+           factor=1.0, n_cells=256, accumulate_fn=None):
+    """Full CifHr from a decoded CIF field. Returns (F, HS, WS)."""
+    _, _, h, w = cif.shape
+    hr_h = (h - 1) * stride + 1
+    hr_w = (w - 1) * stride + 1
+    x, y, sigma, wgt = select_cells(
+        cif, stride, threshold=threshold, min_scale=min_scale, n_cells=n_cells)
+    if accumulate_fn is None:
+        accumulate_fn = functools.partial(accumulate_dense,
+                                          neighbors=neighbors, factor=factor)
+        return accumulate_fn(x, y, sigma, wgt, hr_h=hr_h, hr_w=hr_w)
+    return accumulate_fn(x, y, sigma, wgt, hr_h=hr_h, hr_w=hr_w,
+                         neighbors=neighbors, factor=factor)
+
+
+def cifhr_lookup(hr, f, x, y, default=-1.0):
+    """Point lookup with reference rounding/bounds (``cif_seeds.cpp:17-30``).
+
+    hr: (F, HS, WS); f, x, y broadcastable int/float arrays.
+    """
+    hs, ws = hr.shape[-2], hr.shape[-1]
+    max_x = ws - 0.51
+    max_y = hs - 0.51
+    inb = (x >= -0.49) & (y >= -0.49) & (x <= max_x) & (y <= max_y)
+    xi = jnp.clip(jnp.floor(x + 0.5).astype(jnp.int32), 0, ws - 1)
+    yi = jnp.clip(jnp.floor(y + 0.5).astype(jnp.int32), 0, hs - 1)
+    value = hr[f, yi, xi]
+    return jnp.where(inb, value, default)

@@ -1,0 +1,142 @@
+"""The full CifCaf decode pipeline as one jit-compatible device function.
+
+Reference orchestration: ``csrc/src/cifcaf.cpp:116-262``. Stages:
+CifHr accumulation -> seed extraction -> CAF candidate rescoring ->
+(parallel) greedy growth -> keypoint NMS. Everything here runs with static
+shapes on device; the only host work afterwards is converting the fixed-size
+pose tensor into Annotation objects.
+"""
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import cifhr as cifhr_mod
+from . import seeds as seeds_mod
+from . import caf_scored as caf_scored_mod
+from . import grow as grow_mod
+from . import nms as nms_mod
+
+
+@dataclasses.dataclass(frozen=True)
+class CifCafDecoderConfig:
+    """Static decoder configuration (hashable: safe as a jit static arg).
+
+    Defaults mirror the reference C++ statics
+    (``cif_hr.cpp:13-15``, ``cif_seeds.cpp:11``, ``caf_scored.cpp:11``,
+    ``cifcaf.cpp:18-24``, ``nms_keypoints.cpp:12-14``).
+    """
+    cifhr_threshold: float = 0.3
+    cifhr_neighbors: int = 16
+    cifhr_min_scale: float = 0.0
+
+    seed_threshold: float = 0.2
+    seed_rescore: bool = True
+
+    caf_score_th: float = 0.3
+    caf_cif_floor: float = 0.1
+    caf_rescore: bool = True
+
+    keypoint_threshold: float = 0.15
+    keypoint_threshold_rel: float = 0.5
+    reverse_match: bool = True
+    filter_sigmas: float = 1.0
+
+    nms_suppression: float = 1e-5
+    nms_instance_threshold: float = 0.15
+    nms_keypoint_threshold: float = 0.15
+    occupancy_reduction: float = 2.0
+    occupancy_min_scale: float = 4.0
+
+    # static work budgets (TPU shapes must be fixed)
+    n_hr_cells: int = 256
+    n_seeds: int = 256
+    n_poses: int = 96
+    seed_nms: bool = True
+
+
+def decode_cifcaf_single(cif, caf, *, stride, skeleton, config,
+                         graph: grow_mod.SkeletonGraph):
+    """Decode one image. cif: (F, 5, H, W), caf: (E, 8, H, W) float32.
+
+    Returns (poses, keep, order): poses (n_poses, n_kp, 4) [v, x, y, s] in
+    hi-res pixel coordinates, keep mask, and score-descending ordering.
+    """
+    cfg = config
+    _, _, h, w = cif.shape
+    hr_shape = ((h - 1) * stride + 1, (w - 1) * stride + 1)
+
+    hr = cifhr_mod.cif_hr(
+        cif, stride,
+        threshold=cfg.cifhr_threshold,
+        min_scale=cfg.cifhr_min_scale,
+        neighbors=cfg.cifhr_neighbors,
+        n_cells=cfg.n_hr_cells)
+
+    seeds = seeds_mod.cif_seeds(
+        cif, hr, stride,
+        threshold=cfg.seed_threshold,
+        n_seeds=cfg.n_seeds,
+        rescore=cfg.seed_rescore)
+
+    if cfg.seed_nms:
+        keep_idx, keep_valid = seeds_mod.seed_nms(
+            seeds, graph.n_keypoints, hr_shape,
+            n_keep=cfg.n_poses,
+            reduction=cfg.occupancy_reduction,
+            min_scale=cfg.occupancy_min_scale)
+        seeds = {k: v[keep_idx] for k, v in seeds.items()}
+        seeds['v'] = jnp.where(keep_valid, seeds['v'], 0.0)
+    else:
+        seeds = {k: v[:cfg.n_poses] for k, v in seeds.items()}
+
+    caf_cands = caf_scored_mod.caf_scored(
+        caf, hr, stride, skeleton,
+        score_th=cfg.caf_score_th,
+        cif_floor=cfg.caf_cif_floor,
+        rescore=cfg.caf_rescore)
+
+    poses = grow_mod.grow_poses(
+        caf_cands, graph, seeds,
+        keypoint_threshold=cfg.keypoint_threshold,
+        keypoint_threshold_rel=cfg.keypoint_threshold_rel,
+        reverse_match=cfg.reverse_match,
+        filter_sigmas=cfg.filter_sigmas)
+
+    poses, keep, order = nms_mod.nms_keypoints(
+        poses, hr_shape,
+        suppression=cfg.nms_suppression,
+        instance_threshold=cfg.nms_instance_threshold,
+        keypoint_threshold=cfg.nms_keypoint_threshold,
+        occupancy_reduction=cfg.occupancy_reduction,
+        occupancy_min_scale=cfg.occupancy_min_scale)
+    return poses, keep, order
+
+
+def build_cifcaf_decoder(*, stride: int, skeleton,
+                         config: Optional[CifCafDecoderConfig] = None,
+                         n_keypoints: Optional[int] = None):
+    """Build a jitted, batched CifCaf decoder.
+
+    Returns fn(cif, caf) with cif (B, F, 5, H, W), caf (B, E, 8, H, W)
+    -> (poses (B, n_poses, n_kp, 4), keep (B, n_poses), order (B, n_poses)).
+    """
+    config = config or CifCafDecoderConfig()
+    skeleton = np.asarray(skeleton, dtype=np.int32)
+    if n_keypoints is None:
+        n_keypoints = int(skeleton.max())
+    graph = grow_mod.make_skeleton_graph(n_keypoints, skeleton)
+
+    single = functools.partial(
+        decode_cifcaf_single,
+        stride=stride, skeleton=skeleton, config=config, graph=graph)
+
+    @jax.jit
+    def decode(cif, caf):
+        return jax.vmap(single)(cif, caf)
+
+    return decode

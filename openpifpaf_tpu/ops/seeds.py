@@ -1,0 +1,109 @@
+"""CifSeeds: seed extraction from CIF fields, rescored by CifHr.
+
+Reference: ``csrc/src/cif_seeds.cpp:33-114``. Cells with confidence >=
+threshold are rescored ``c' = 0.9 * cifhr(x, y) + 0.1 * c`` and sorted
+descending. Here the scan + sort becomes a masked global top-k with a
+static seed budget.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from .cifhr import cifhr_lookup
+
+
+def cif_seeds(cif, hr, stride, *, threshold=0.2, n_seeds=256,
+              rescore=True, seed_mask=None):
+    """Extract top-``n_seeds`` seeds.
+
+    cif: (F, 5, H, W); hr: (F, HS, WS).
+    Returns dict of arrays, all length ``n_seeds``, sorted by v descending:
+      f (int32), v, x, y, s (hi-res pixels). Invalid seeds have v == 0.
+    """
+    n_fields, _, h, w = cif.shape
+    hw = h * w
+
+    c = cif[:, 1].reshape(n_fields, hw)
+    x = cif[:, 2].reshape(n_fields, hw) * stride
+    y = cif[:, 3].reshape(n_fields, hw) * stride
+    s = cif[:, 4].reshape(n_fields, hw) * stride
+
+    mask = c >= threshold
+    if seed_mask is not None:
+        mask = mask & jnp.asarray(seed_mask, dtype=bool)[:, None]
+
+    if rescore:
+        f_idx = jnp.arange(n_fields, dtype=jnp.int32)[:, None]
+        hr_val = cifhr_lookup(hr, jnp.broadcast_to(f_idx, (n_fields, hw)), x, y,
+                              default=-1.0)
+        v = 0.9 * hr_val + 0.1 * c
+    else:
+        v = c
+    mask = mask & (v >= threshold)
+
+    scored = jnp.where(mask, v, -jnp.inf).reshape(-1)
+    k = min(n_seeds, scored.shape[0])
+    top_v, top_i = jax.lax.top_k(scored, k)
+
+    valid = jnp.isfinite(top_v)
+    return {
+        'f': jnp.where(valid, (top_i // hw).astype(jnp.int32), 0),
+        'v': jnp.where(valid, top_v, 0.0),
+        'x': jnp.where(valid, x.reshape(-1)[top_i], 0.0),
+        'y': jnp.where(valid, y.reshape(-1)[top_i], 0.0),
+        's': jnp.where(valid, s.reshape(-1)[top_i], 0.0),
+    }
+
+
+def seed_nms(seeds, n_fields, hr_shape, *, n_keep, reduction=2.0, min_scale=4.0):
+    """Greedy per-field occupancy suppression of redundant seeds.
+
+    This replaces the reference's sequential "skip seed if occupied by an
+    already-grown pose" gate (``cifcaf.cpp:206-211``): duplicate seeds of the
+    same joint are suppressed before growth so that the parallel grower only
+    expands a compact, high-value seed set. Poses that would additionally be
+    suppressed by the reference's cross-joint occupancy are instead removed by
+    the final keypoint NMS.
+
+    Returns indices (n_keep,) into the seed arrays of accepted seeds, in
+    descending score order, and a validity mask.
+    """
+    hs, ws = hr_shape
+    gh = int(hs / reduction) + 1
+    gw = int(ws / reduction) + 1
+    n = seeds['v'].shape[0]
+
+    ys_grid = jnp.arange(gh, dtype=jnp.float32)[:, None]
+    xs_grid = jnp.arange(gw, dtype=jnp.float32)[None, :]
+
+    def body(carry, i):
+        occ = carry
+        f = seeds['f'][i]
+        v = seeds['v'][i]
+        x = seeds['x'][i] / reduction
+        y = seeds['y'][i] / reduction
+        sigma = jnp.maximum(min_scale / reduction, seeds['s'][i] / reduction)
+
+        xi = jnp.clip(x.astype(jnp.int32), 0, gw - 1)
+        yi = jnp.clip(y.astype(jnp.int32), 0, gh - 1)
+        occupied = occ[f, yi, xi]
+        accept = (v > 0.0) & ~occupied
+
+        # mark the window [x - sigma, x + sigma) like Occupancy::set
+        minx = jnp.clip(jnp.floor(x - sigma), 0, gw - 1)
+        maxx = jnp.clip(jnp.floor(x + sigma), minx + 1, gw)
+        miny = jnp.clip(jnp.floor(y - sigma), 0, gh - 1)
+        maxy = jnp.clip(jnp.floor(y + sigma), miny + 1, gh)
+        window = ((ys_grid >= miny) & (ys_grid < maxy)
+                  & (xs_grid >= minx) & (xs_grid < maxx))
+        occ = jnp.where(accept, occ.at[f].set(occ[f] | window), occ)
+        return occ, accept
+
+    occ0 = jnp.zeros((n_fields, gh, gw), dtype=bool)
+    _, accepted = jax.lax.scan(body, occ0, jnp.arange(n))
+
+    # stable top-n_keep accepted seeds: seeds are already sorted by v desc
+    order_score = jnp.where(accepted, -jnp.arange(n, dtype=jnp.float32), -jnp.inf)
+    _, keep_idx = jax.lax.top_k(order_score, min(n_keep, n))
+    keep_valid = accepted[keep_idx] & (seeds['v'][keep_idx] > 0.0)
+    return keep_idx, keep_valid

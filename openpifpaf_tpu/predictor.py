@@ -1,0 +1,147 @@
+"""High-level Predictor API (reference ``predictor.py:12-192``).
+
+Wires checkpoint/model -> jitted forward -> device decoder and exposes
+generators over image files, PIL images, numpy arrays and dataloaders.
+"""
+
+import logging
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import datasets, decoder, transforms
+from .models import factory as models_factory
+
+LOG = logging.getLogger(__name__)
+
+
+class Predictor:
+    batch_size = 1
+    long_edge = None
+    loader_workers = None
+
+    def __init__(self, checkpoint=None, head_metas=None, *,
+                 model=None, variables=None,
+                 json_data=False, visualize_image=False,
+                 fast_rescaling=True):
+        if model is None:
+            net_factory = models_factory.Factory(checkpoint=checkpoint)
+            model, init_or_vars = net_factory.factory(head_metas=head_metas)
+            if callable(init_or_vars):
+                variables = init_or_vars(jax.random.PRNGKey(0))
+            else:
+                variables = init_or_vars
+        self.model = model
+        self.variables = variables
+        self.head_metas = model.head_metas
+
+        self.processor = decoder.factory.factory(self.head_metas)
+        self.json_data = json_data
+        self.visualize_image = visualize_image
+
+        self.preprocess = self._build_preprocess()
+        self.last_decoder_time = 0.0
+        self.last_nn_time = 0.0
+        self.total_nn_time = 0.0
+        self.total_decoder_time = 0.0
+        self.total_images = 0
+
+        self._forward_fn = None
+
+    def _build_preprocess(self):
+        rescale_t = None
+        if self.long_edge:
+            rescale_t = transforms.RescaleAbsolute(self.long_edge)
+        pad_t = transforms.CenterPadTight(16)
+        return transforms.Compose([
+            transforms.NormalizeAnnotations(),
+            rescale_t,
+            pad_t,
+            transforms.EVAL_TRANSFORM,
+        ])
+
+    @property
+    def forward_fn(self):
+        if self._forward_fn is None:
+            model = self.model
+
+            @jax.jit
+            def forward(variables, image_batch):
+                return model.apply(variables, image_batch, train=False)
+
+            self._forward_fn = forward
+        return self._forward_fn
+
+    def fields_batch(self, image_batch):
+        start = time.perf_counter()
+        fields = self.forward_fn(self.variables, jnp.asarray(image_batch))
+        fields = [np.asarray(f) if f is not None else None for f in fields]
+        self.last_nn_time = time.perf_counter() - start
+        return fields
+
+    def dataset(self, data):
+        """Iterate a dataset (objects with __getitem__/__len__)."""
+        for start in range(0, len(data), self.batch_size):
+            items = [data[i] for i in range(start,
+                                            min(start + self.batch_size, len(data)))]
+            batch = datasets.collate.collate_images_anns_meta(items)
+            yield from self._run_batch(batch)
+
+    def _run_batch(self, batch):
+        if len(batch) == 4:
+            _, image_batch, gt_anns_batch, meta_batch = batch
+        else:
+            image_batch, gt_anns_batch, meta_batch = batch
+
+        fields = self.fields_batch(image_batch)
+        pred_batch = self.processor.batch_decode(fields)
+        self.last_decoder_time = self.processor.last_decoder_time
+        self.total_nn_time += self.last_nn_time
+        self.total_decoder_time += self.last_decoder_time
+        self.total_images += len(meta_batch)
+
+        for pred, gt_anns, meta in zip(pred_batch, gt_anns_batch, meta_batch):
+            pred = [ann.inverse_transform(meta) for ann in pred]
+            gt_anns = [ann.inverse_transform(meta) for ann in gt_anns
+                       if hasattr(ann, 'inverse_transform')]
+            if self.json_data:
+                pred = [ann.json_data() for ann in pred]
+            yield pred, gt_anns, meta
+
+    def images(self, file_names, **kwargs):
+        data = datasets.ImageList(
+            file_names, preprocess=self.preprocess,
+            with_raw_image=self.visualize_image)
+        yield from self.dataset(data, **kwargs)
+
+    def pil_images(self, pil_images, **kwargs):
+        data = datasets.PilImageList(
+            pil_images, preprocess=self.preprocess,
+            with_raw_image=self.visualize_image)
+        yield from self.dataset(data, **kwargs)
+
+    def numpy_images(self, numpy_images, **kwargs):
+        data = datasets.NumpyImageList(
+            numpy_images, preprocess=self.preprocess,
+            with_raw_image=self.visualize_image)
+        yield from self.dataset(data, **kwargs)
+
+    def image(self, file_name):
+        return next(iter(self.images([file_name])))
+
+    def pil_image(self, image):
+        return next(iter(self.pil_images([image])))
+
+    def numpy_image(self, image):
+        return next(iter(self.numpy_images([image])))
+
+    def enumerated_dataloader(self, enumerated_dataloader):
+        for _, batch in enumerated_dataloader:
+            yield from self._run_batch(batch)
+
+    def dataloader(self, dataloader):
+        for batch in dataloader:
+            yield from self._run_batch(batch)

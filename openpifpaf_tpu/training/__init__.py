@@ -1,0 +1,4 @@
+"""Training: losses, optimizer schedules, trainer, checkpointing."""
+
+from . import losses
+from .losses import LOSSES, CompositeLoss, MultiHeadLoss

@@ -1,0 +1,258 @@
+"""Composite-field losses in JAX.
+
+Reference: ``network/losses/components.py`` and ``composite.py``. The
+reference uses boolean masked selects (dynamic shapes); here every component
+is computed densely and reduced with mask-weighted sums so the whole loss is
+a fixed-shape jitted graph.
+
+Component semantics (bit-matching the reference):
+- ``Bce`` — focal BCE (alpha=0.5, gamma=1) via the smooth-L1-on-constructed-
+  target trick (components.py:86-116), background clamp at -15, soft clamp
+  at 5, sigma-uncertainty weighting of foreground by the logb channel.
+- ``Regression`` — L2 over (dx, dy, bmin) scale-normalized by
+  ``0.5 * t_scale`` with Laplace log-b uncertainty (components.py:246-304).
+- ``Scale`` — relative L1 on softplus(x) (components.py:140-212).
+"""
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .. import headmeta
+
+
+def soft_clamp(x, max_value=5.0):
+    """Log-damped clamp (components.py:10-23)."""
+    return jnp.where(x > max_value,
+                     max_value + jnp.log1p(x - max_value),
+                     x)
+
+
+def smooth_l1(d):
+    ad = jnp.abs(d)
+    return jnp.where(ad < 1.0, 0.5 * d * d, ad - 0.5)
+
+
+def _logs2(x_logb_channel):
+    return 3.0 * jnp.tanh(x_logb_channel / 3.0)
+
+
+def bce_loss(x_all, t_all, *, xi, ti, weights=None,
+             focal_alpha=0.5, focal_gamma=1.0,
+             soft_clamp_value=5.0, background_clamp=-15.0):
+    """x_all, t_all: (..., C) channel-last; returns summed loss."""
+    x = x_all[..., xi[0]]
+    t = t_all[..., ti[0]]
+
+    mask = jnp.nan_to_num(t, nan=-1.0) >= 0.0
+    t_safe = jnp.where(mask, t, 0.0)
+    t_sign = jnp.where(t_safe > 0.0, 1.0, -1.0)
+
+    x_detached = jax.lax.stop_gradient(x)
+    p_bar = jax.nn.sigmoid(-t_sign * x_detached)
+    neg_ln_p = jax.nn.softplus(-t_sign * x_detached)
+
+    focal = 1.0
+    if focal_alpha:
+        focal = focal * focal_alpha
+    if focal_gamma == 1.0:
+        p = 1.0 - p_bar
+        focal = focal * (p_bar + p * neg_ln_p)
+    elif focal_gamma > 0.0:
+        p = 1.0 - p_bar
+        focal = focal * (p_bar ** focal_gamma
+                         + focal_gamma * p_bar ** (focal_gamma - 1.0) * p * neg_ln_p)
+
+    target = x_detached + t_sign * p_bar * focal
+    l = smooth_l1(x - target)
+
+    if background_clamp is not None:
+        l = jnp.where((x_detached < background_clamp) & (t_sign == -1.0), 0.0, l)
+    if soft_clamp_value:
+        l = soft_clamp(l, soft_clamp_value)
+
+    # uncertainty weighting of foreground
+    fg = mask & (t_safe > 0.0)
+    x_logs2 = _logs2(x_all[..., 0])
+    l = jnp.where(fg, 0.5 * l * jnp.exp(-x_logs2) + 0.5 * x_logs2, l)
+
+    if weights is not None:
+        l = l * weights
+    return jnp.sum(jnp.where(mask, l, 0.0))
+
+
+def regression_loss(x_all, t_all, *, xi, ti, weights=None,
+                    sigma_from_scale=0.5, scale_from_wh=False,
+                    soft_clamp_value=5.0):
+    x_reg_x = x_all[..., xi[0]]
+    x_reg_y = x_all[..., xi[1]]
+    t_reg_x = t_all[..., ti[0]]
+    t_reg_y = t_all[..., ti[1]]
+    t_sigma_min = t_all[..., ti[2]]
+    if scale_from_wh:
+        x_scales = jnp.sqrt(x_all[..., xi[2]] ** 2 + x_all[..., xi[3]] ** 2)
+        t_scales = jnp.sqrt(t_all[..., ti[3]] ** 2 + t_all[..., ti[4]] ** 2)
+    else:
+        x_scales = x_all[..., xi[2]]
+        t_scales = t_all[..., ti[3]]
+
+    mask = jnp.isfinite(t_reg_x) & jnp.isfinite(t_reg_y)
+
+    t_scales = jnp.where(
+        jnp.isnan(t_scales),
+        jax.nn.softplus(jax.lax.stop_gradient(x_scales)),
+        t_scales)
+    t_sigma_min = jnp.where(jnp.isnan(t_sigma_min), 0.1, t_sigma_min)
+
+    dx = x_reg_x - jnp.where(mask, t_reg_x, 0.0)
+    dy = x_reg_y - jnp.where(mask, t_reg_y, 0.0)
+    d = jnp.sqrt(dx * dx + dy * dy + t_sigma_min * t_sigma_min + 1e-12)
+
+    t_sigma = sigma_from_scale * t_scales
+    l = d / jnp.maximum(t_sigma, 1e-6)
+    if soft_clamp_value:
+        l = soft_clamp(l, soft_clamp_value)
+
+    x_logs2 = _logs2(x_all[..., 0])
+    x_logb = 0.5 * x_logs2 + 0.69314
+    l = l * jnp.exp(-x_logb) + x_logb
+
+    if weights is not None:
+        l = l * weights
+    return jnp.sum(jnp.where(mask, l, 0.0))
+
+
+def scale_loss(x_all, t_all, *, xi, ti, weights=None, b=1.0,
+               relative_eps=0.1, soft_clamp_value=5.0):
+    x = x_all[..., xi[0]]
+    t = t_all[..., ti[0]]
+    mask = jnp.isfinite(t)
+    t_safe = jnp.where(mask, t, 0.0)
+
+    d = jnp.abs(jax.nn.softplus(x) - t_safe)
+    d = d / (b * (relative_eps + t_safe))
+    if soft_clamp_value:
+        d = soft_clamp(d, soft_clamp_value)
+    l = smooth_l1(d)
+
+    if weights is not None:
+        l = l * weights
+    return jnp.sum(jnp.where(mask, l, 0.0))
+
+
+@dataclasses.dataclass
+class CompositeLoss:
+    """Per-head loss (reference composite.py:12-139).
+
+    ``__call__(x, t)`` with x (B, F, C, H, W) raw head output and t
+    (B, F, Ct, H, W) encoded targets; returns a dict of summed losses per
+    component group, each divided by batch size.
+    """
+    meta: headmeta.Base
+    weights: Optional[jnp.ndarray] = None
+
+    @property
+    def field_names(self):
+        names = [f'{self.meta.dataset}.{self.meta.name}.c']
+        if self.meta.n_vectors > 0:
+            names.append(f'{self.meta.dataset}.{self.meta.name}.vec')
+        if self.meta.n_scales > 0:
+            names.append(f'{self.meta.dataset}.{self.meta.name}.scales')
+        return names
+
+    def __call__(self, x, t):
+        meta = self.meta
+        batch_size = x.shape[0]
+        # channel-last views
+        x = jnp.moveaxis(x, 2, -1)
+        t = jnp.moveaxis(t, 2, -1)
+
+        weights = None
+        if meta.training_weights is not None:
+            weights = jnp.asarray(meta.training_weights).reshape(
+                1, -1, *([1] * (x.ndim - 3)))
+
+        nv = meta.n_vectors
+        ns = meta.n_scales
+        losses = {}
+        losses[self.field_names[0]] = bce_loss(
+            x, t, xi=[1], ti=[0], weights=weights) / batch_size
+
+        if nv > 0:
+            if nv <= ns:
+                vec = sum(
+                    regression_loss(
+                        x, t,
+                        xi=[2 + vi * 2, 2 + vi * 2 + 1, 2 + nv * 2 + vi],
+                        ti=[1 + vi * 2, 1 + vi * 2 + 1, 1 + nv * 2 + vi,
+                            1 + nv * 3 + vi],
+                        weights=weights)
+                    for vi in range(nv))
+            elif nv == 2 and ns == 0:
+                # detection: scale from w/h channels (composite.py:51-73)
+                vec = sum(
+                    regression_loss(
+                        x, t,
+                        xi=[2 + vi * 2, 2 + vi * 2 + 1, 2 + 2, 2 + 3],
+                        ti=[1 + vi * 2, 1 + vi * 2 + 1, 1 + 4 + vi, 1 + 2, 1 + 3],
+                        weights=weights,
+                        sigma_from_scale=0.1, scale_from_wh=True)
+                    for vi in range(nv))
+            else:
+                vec = None
+            if vec is not None:
+                losses[f'{meta.dataset}.{meta.name}.vec'] = vec / batch_size
+
+        if ns > 0:
+            losses[f'{meta.dataset}.{meta.name}.scales'] = sum(
+                scale_loss(
+                    x, t,
+                    xi=[2 + nv * 2 + si],
+                    ti=[1 + nv * 3 + si],
+                    weights=weights)
+                for si in range(ns)) / batch_size
+
+        return losses
+
+
+class MultiHeadLoss:
+    """Lambda-weighted sum over heads (reference multi_head.py:13-39)."""
+
+    def __init__(self, losses, lambdas=None):
+        self.losses = losses
+        self.field_names = [n for l in losses for n in l.field_names]
+        if lambdas is None:
+            lambdas = [1.0 for _ in self.field_names]
+        assert len(lambdas) == len(self.field_names)
+        self.lambdas = lambdas
+
+    def __call__(self, head_outputs, targets):
+        all_components = {}
+        for loss, x, t in zip(self.losses, head_outputs, targets):
+            if t is None:
+                continue
+            all_components.update(loss(x, t))
+        flat = [all_components.get(n) for n in self.field_names]
+        total = sum(
+            lam * l for lam, l in zip(self.lambdas, flat) if l is not None)
+        return total, flat
+
+
+LOSSES = {
+    headmeta.Cif: CompositeLoss,
+    headmeta.Caf: CompositeLoss,
+    headmeta.CifDet: CompositeLoss,
+    headmeta.TSingleImageCif: CompositeLoss,
+    headmeta.TSingleImageCaf: CompositeLoss,
+    headmeta.Tcaf: CompositeLoss,
+}
+
+
+class Factory:
+    lambdas = None
+
+    def factory(self, head_metas):
+        losses = [LOSSES[type(meta)](meta) for meta in head_metas]
+        return MultiHeadLoss(losses, self.lambdas)

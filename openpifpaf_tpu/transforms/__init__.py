@@ -1,0 +1,23 @@
+"""Preprocessing transforms (image, anns, meta) -> (image, anns, meta).
+
+Mirrors the reference ``transforms/`` package: geometric ops update both the
+annotations and the meta (offset/scale/rotation/valid_area) so that
+``Annotation.inverse_transform(meta)`` maps predictions back to the original
+image coordinates.
+"""
+
+from .preprocess import Preprocess
+from .compose import Compose
+from .annotations import NormalizeAnnotations
+from .scale import RescaleAbsolute, RescaleRelative
+from .pad import CenterPad, CenterPadTight
+from .crop import Crop
+from .hflip import HFlip
+from .image import ImageTransform, Blur, JpegCompression
+from .random import RandomApply, RandomChoice, DeterministicEqualChoice
+from .minsize import MinSize
+from .unclipped import UnclippedArea, UnclippedSides
+from .toannotations import (ToAnnotations, ToKpAnnotations, ToDetAnnotations,
+                            ToCrowdAnnotations)
+from .encoders import Encoders
+from .normalize import EVAL_TRANSFORM, TRAIN_TRANSFORM, NormalizeImage, ToNumpy
