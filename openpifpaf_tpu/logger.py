@@ -1,0 +1,47 @@
+"""Logging setup (reference ``logger.py``): JSON-lines train log file +
+console logging with --quiet/--debug."""
+
+import argparse
+import json
+import logging
+import sys
+
+
+class JsonFormatter(logging.Formatter):
+    def format(self, record):
+        payload = record.msg
+        if not isinstance(payload, dict):
+            payload = {'message': record.getMessage()}
+        return json.dumps({
+            'levelname': record.levelname,
+            'name': record.name,
+            **payload,
+        })
+
+
+def cli(parser: argparse.ArgumentParser):
+    group = parser.add_argument_group('logging')
+    group.add_argument('-q', '--quiet', default=False, action='store_true')
+    group.add_argument('--debug-log', dest='debug_logging',
+                       default=False, action='store_true')
+    group.add_argument('--log-stats', default=False, action='store_true')
+
+
+def configure(args: argparse.Namespace, local_log=None):
+    level = logging.INFO
+    if args.quiet:
+        level = logging.WARNING
+    if getattr(args, 'debug', False) or getattr(args, 'debug_logging', False):
+        level = logging.DEBUG
+
+    stream_handler = logging.StreamHandler(sys.stdout)
+    stream_handler.setLevel(level)
+    logging.basicConfig(level=level, handlers=[stream_handler])
+
+    if getattr(args, 'output', None):
+        file_handler = logging.FileHandler(args.output + '.log', mode='w')
+        file_handler.setFormatter(JsonFormatter())
+        file_handler.setLevel(logging.INFO)
+        logging.getLogger('').addHandler(file_handler)
+
+    return local_log

@@ -1,0 +1,120 @@
+"""Train CLI (reference ``train.py:18-196``).
+
+Example:
+    python -m openpifpaf_tpu.train --dataset cocokp --basenet shufflenetv2k16
+"""
+
+import argparse
+import datetime
+import logging
+import os
+import socket
+
+import jax
+
+from . import __version__, datasets, encoder, logger, plugin
+from .models import factory as models_factory
+from .training import checkpoint as ckpt_mod
+from .training import losses, optimize
+from .training.trainer import Trainer, make_mesh
+
+LOG = logging.getLogger(__name__)
+
+
+def default_output_file(args):
+    base_name = args.basenet or 'default'
+    now = datetime.datetime.now().strftime('%y%m%d-%H%M%S')
+    out = f'outputs/{base_name}-{now}-{args.dataset}'
+    return out
+
+
+def cli():
+    parser = argparse.ArgumentParser(
+        prog='python3 -m openpifpaf_tpu.train',
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    parser.add_argument('--version', action='version',
+                        version=f'OpenPifPaf-TPU {__version__}')
+    parser.add_argument('--output', default=None, help='output file')
+    parser.add_argument('--dataset', default='cocokp')
+    parser.add_argument('--basenet', default='shufflenetv2k16')
+    parser.add_argument('--checkpoint', default=None,
+                        help='resume from checkpoint')
+    parser.add_argument('--upsample', default=1, type=int,
+                        help='head upsample stride')
+    parser.add_argument('--batch-size', default=8, type=int)
+    parser.add_argument('--loader-workers', default=0, type=int)
+    parser.add_argument('--n-devices', default=None, type=int,
+                        help='restrict the mesh to the first N devices')
+    parser.add_argument('--seed', default=42, type=int)
+    parser.add_argument('--debug', default=False, action='store_true')
+
+    logger.cli(parser)
+    Trainer.cli(parser)
+    optimize.cli(parser)
+    encoder.cli(parser)
+    for dm in datasets.DATAMODULES.values():
+        dm.cli(parser)
+
+    args = parser.parse_args()
+
+    logger.configure(args, LOG)
+    Trainer.configure(args)
+    encoder.configure(args)
+    for dm in datasets.DATAMODULES.values():
+        dm.configure(args)
+
+    if args.output is None:
+        args.output = default_output_file(args)
+        os.makedirs('outputs', exist_ok=True)
+    return args
+
+
+def main():
+    args = cli()
+
+    datamodule = datasets.factory(args.dataset)
+    datamodule.batch_size = args.batch_size
+    datamodule.loader_workers = args.loader_workers
+
+    if args.checkpoint:
+        model, variables = ckpt_mod.load_shell(
+            args.checkpoint, head_metas=datamodule.head_metas)
+        start_epoch = 0
+    else:
+        net_factory = models_factory.Factory(
+            base_name=args.basenet, upsample_stride=args.upsample)
+        model, init_fn = net_factory.from_scratch(datamodule.head_metas)
+        variables = init_fn(jax.random.PRNGKey(args.seed))
+        start_epoch = 0
+
+    loss_fn = losses.Factory().factory(datamodule.head_metas)
+
+    train_loader = datamodule.train_loader()
+    val_loader = datamodule.val_loader()
+    LOG.info('training batches: %d, validation batches: %d',
+             len(train_loader), len(val_loader))
+
+    optimizer, schedule = optimize.factory_optimizer(
+        args, training_batches_per_epoch=len(train_loader))
+
+    mesh = make_mesh(args.n_devices)
+    LOG.info('mesh: %s', mesh)
+
+    trainer = Trainer(
+        model, loss_fn, optimizer, schedule, args.output,
+        variables=variables,
+        mesh=mesh,
+        model_meta_data={
+            'base_name': args.basenet,
+            'head_metas': [ckpt_mod.headmeta_to_dict(m)
+                           for m in datamodule.head_metas],
+            'args': vars(args),
+            'version': __version__,
+            'hostname': socket.gethostname(),
+        })
+    trainer.loop(train_loader, val_loader, start_epoch)
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,152 @@
+"""Parity tests: vectorized JAX decoder vs the sequential numpy oracle."""
+
+import numpy as np
+import pytest
+
+import oracle
+import field_fixtures
+
+from openpifpaf_tpu.ops import cifhr as cifhr_mod
+from openpifpaf_tpu.ops import seeds as seeds_mod
+from openpifpaf_tpu.ops import caf_scored as caf_scored_mod
+from openpifpaf_tpu.ops import grow as grow_mod
+from openpifpaf_tpu.ops import decode_cifcaf as decode_mod
+from openpifpaf_tpu.plugins.coco import constants
+
+STRIDE = 8
+SKELETON = constants.COCO_PERSON_SKELETON
+
+
+@pytest.fixture(scope='module')
+def two_person_fields():
+    rng = np.random.RandomState(42)
+    anns = [
+        field_fixtures.annotation_dict(
+            field_fixtures.synthetic_person(40.0, 60.0, 90.0, rng)),
+        field_fixtures.annotation_dict(
+            field_fixtures.synthetic_person(100.0, 55.0, 70.0, rng)),
+    ]
+    cif, caf, metas = field_fixtures.fields_from_annotations(
+        anns, (129, 161), stride=STRIDE)
+    return cif, caf, metas
+
+
+def test_cifhr_parity(two_person_fields):
+    cif, _, _ = two_person_fields
+    hr_oracle = oracle.cif_hr(cif, STRIDE)
+    hr_jax = np.asarray(cifhr_mod.cif_hr(cif, STRIDE, n_cells=512))
+    np.testing.assert_allclose(hr_jax, hr_oracle, atol=1e-5)
+
+
+def test_seeds_parity(two_person_fields):
+    cif, _, _ = two_person_fields
+    hr = oracle.cif_hr(cif, STRIDE)
+    seeds_o = oracle.cif_seeds(cif, hr, STRIDE)
+    seeds_j = seeds_mod.cif_seeds(cif, np.asarray(hr), STRIDE, n_seeds=1024)
+
+    n_o = len(seeds_o)
+    v_j = np.asarray(seeds_j['v'])
+    n_j = int(np.sum(v_j > 0))
+    assert n_j == n_o
+
+    # same scores in the same order (ties may swap, so compare sorted values)
+    np.testing.assert_allclose(
+        np.sort(v_j[:n_o])[::-1],
+        np.asarray([s[1] for s in seeds_o]),
+        atol=1e-5)
+
+
+def test_caf_scored_parity(two_person_fields):
+    cif, caf, _ = two_person_fields
+    hr = oracle.cif_hr(cif, STRIDE)
+    fwd_o, bwd_o = oracle.caf_scored(caf, hr, STRIDE, SKELETON)
+    dense = caf_scored_mod.caf_scored(caf, np.asarray(hr), STRIDE,
+                                      np.asarray(SKELETON))
+
+    n_edges = caf.shape[0]
+    c = np.asarray(dense['c'])
+    for e in range(n_edges):
+        n_fwd_j = int(np.sum(c[e] > 0))
+        n_bwd_j = int(np.sum(c[e + n_edges] > 0))
+        assert n_fwd_j == len(fwd_o[e])
+        assert n_bwd_j == len(bwd_o[e])
+        if fwd_o[e]:
+            np.testing.assert_allclose(
+                np.sort(c[e][c[e] > 0]),
+                np.sort([cand[0] for cand in fwd_o[e]]),
+                atol=1e-5)
+
+
+def test_blend_parity(two_person_fields):
+    cif, caf, _ = two_person_fields
+    hr = oracle.cif_hr(cif, STRIDE)
+    fwd_o, _ = oracle.caf_scored(caf, hr, STRIDE, SKELETON)
+    dense = caf_scored_mod.caf_scored(caf, np.asarray(hr), STRIDE,
+                                      np.asarray(SKELETON))
+    dense = {k: np.asarray(v) for k, v in dense.items()}
+
+    rng = np.random.RandomState(0)
+    checked = 0
+    for e in range(caf.shape[0]):
+        if not fwd_o[e]:
+            continue
+        # query near a random candidate source
+        cand = fwd_o[e][rng.randint(len(fwd_o[e]))]
+        x, y = cand[1] + rng.uniform(-2, 2), cand[2] + rng.uniform(-2, 2)
+        s = rng.uniform(2.0, 12.0)
+
+        v_o, x_o, y_o, s_o = oracle.grow_connection_blend(fwd_o[e], x, y, s)
+        v_j, x_j, y_j, s_j = [
+            float(r) for r in grow_mod.grow_connection_blend(
+                {k: v for k, v in dense.items()}, e, x, y, s)]
+        assert v_j == pytest.approx(v_o, abs=1e-5)
+        if v_o > 0:
+            assert x_j == pytest.approx(x_o, abs=1e-4)
+            assert y_j == pytest.approx(y_o, abs=1e-4)
+            assert s_j == pytest.approx(s_o, abs=1e-4)
+        checked += 1
+    assert checked >= 10
+
+
+def match_poses(poses_a, poses_b, tol=1.0):
+    """Greedy matching of pose lists by mean joint distance."""
+    assert len(poses_a) == len(poses_b)
+    used = set()
+    for pa in poses_a:
+        best, best_d = None, np.inf
+        for i, pb in enumerate(poses_b):
+            if i in used:
+                continue
+            mask = (pa[:, 0] > 0) & (pb[:, 0] > 0)
+            if not np.any(mask):
+                continue
+            d = np.mean(np.linalg.norm(pa[mask, 1:3] - pb[mask, 1:3], axis=1))
+            if d < best_d:
+                best, best_d = i, d
+        assert best is not None and best_d < tol, \
+            f'pose unmatched (best distance {best_d})'
+        used.add(best)
+
+
+def test_full_decode_parity(two_person_fields):
+    cif, caf, _ = two_person_fields
+
+    poses_oracle = oracle.decode_cifcaf(cif, caf, STRIDE, SKELETON, 17)
+    assert len(poses_oracle) == 2
+
+    config = decode_mod.CifCafDecoderConfig(n_seeds=1024, n_hr_cells=512)
+    decode = decode_mod.build_cifcaf_decoder(
+        stride=STRIDE, skeleton=SKELETON, n_keypoints=17, config=config)
+    poses, keep, order = decode(cif[None], caf[None])
+    poses = np.asarray(poses[0])
+    keep = np.asarray(keep[0])
+    order = np.asarray(order[0])
+
+    decoded = [poses[i] for i in order if keep[i]]
+    assert len(decoded) == len(poses_oracle)
+    match_poses(poses_oracle, decoded, tol=1.0)
+
+    # joint confidences should agree closely
+    for po, pd in zip(poses_oracle, decoded):
+        mask = po[:, 0] > 0
+        assert np.mean(np.abs(po[mask, 0] - pd[mask, 0])) < 0.05
