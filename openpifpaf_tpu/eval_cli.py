@@ -1,0 +1,144 @@
+"""Eval CLI (reference ``eval.py:39-310``).
+
+Example:
+    python -m openpifpaf_tpu.eval_cli --dataset cocokp --checkpoint model
+"""
+
+import argparse
+import json
+import logging
+import os
+import sys
+import time
+
+from . import __version__, datasets, decoder, logger
+from .predictor import Predictor
+from .training import checkpoint as ckpt_mod
+
+LOG = logging.getLogger(__name__)
+
+
+class Evaluator:
+    skip_epoch0 = True
+    show_final_image = False
+    n_images = None
+    loader_warmup = 3.0
+
+    def __init__(self, dataset_name: str):
+        self.dataset_name = dataset_name
+        self.datamodule = datasets.factory(dataset_name)
+        self.data_loader = self.datamodule.eval_loader()
+        self.metrics = None
+
+    def accumulate(self, predictor, metrics):
+        prediction_loader = predictor.dataloader(self.data_loader)
+        total_start = time.perf_counter()
+        loop_start = time.perf_counter()
+
+        for image_i, (pred, gt_anns, image_meta) in enumerate(prediction_loader):
+            LOG.info('image %d / %d, last loop: %.3fs, images per second=%.1f',
+                     image_i, len(self.data_loader),
+                     time.perf_counter() - loop_start,
+                     image_i / max(1e-6, time.perf_counter() - total_start))
+            loop_start = time.perf_counter()
+            for metric in metrics:
+                metric.accumulate(pred, image_meta, ground_truth=gt_anns)
+            if self.n_images is not None and image_i >= self.n_images - 1:
+                break
+
+        total_time = time.perf_counter() - total_start
+        return total_time
+
+    def evaluate(self, output: str, *, checkpoint=None, model=None,
+                 variables=None, write_predictions=False):
+        predictor = Predictor(
+            checkpoint=checkpoint, model=model, variables=variables,
+            head_metas=self.datamodule.head_metas)
+        metrics = self.datamodule.metrics()
+
+        total_time = self.accumulate(predictor, metrics)
+
+        # model stats
+        counted_ops = None
+        file_size = -1
+        if checkpoint and os.path.exists(checkpoint + '.arrays'):
+            file_size = sum(
+                os.path.getsize(os.path.join(dirpath, f))
+                for dirpath, _, files in os.walk(checkpoint + '.arrays')
+                for f in files)
+
+        # write
+        for metric_i, metric in enumerate(metrics):
+            this_output = output if len(metrics) == 1 \
+                else f'{output}.{metric_i}'
+            if write_predictions:
+                metric.write_predictions(this_output)
+
+            stats = metric.stats()
+            additional = {
+                'total_time': total_time,
+                'checkpoint': checkpoint,
+                'count_ops': counted_ops,
+                'file_size': file_size,
+                'n_images': predictor.total_images,
+                'decoder_time': predictor.total_decoder_time,
+                'nn_time': predictor.total_nn_time,
+            }
+            stats.update(additional)
+            with open(this_output + '.stats.json', 'w') as f:
+                json.dump(stats, f)
+            LOG.info('stats:\n%s', json.dumps(stats, indent=4))
+            LOG.info(
+                'time per image: total %.3fs, nn %.3fs, dec %.3fs',
+                total_time / max(1, predictor.total_images),
+                predictor.total_nn_time / max(1, predictor.total_images),
+                predictor.total_decoder_time / max(1, predictor.total_images))
+
+
+def cli():
+    parser = argparse.ArgumentParser(
+        prog='python3 -m openpifpaf_tpu.eval_cli',
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    parser.add_argument('--version', action='version',
+                        version=f'OpenPifPaf-TPU {__version__}')
+    parser.add_argument('--output', default=None)
+    parser.add_argument('--dataset', default='cocokp')
+    parser.add_argument('--checkpoint', default=None)
+    parser.add_argument('--batch-size', default=1, type=int)
+    parser.add_argument('--loader-workers', default=0, type=int)
+    parser.add_argument('--n-images', default=None, type=int)
+    parser.add_argument('--write-predictions', default=False,
+                        action='store_true')
+    parser.add_argument('--debug', default=False, action='store_true')
+    logger.cli(parser)
+    decoder.factory.cli(parser)
+    for dm in datasets.DATAMODULES.values():
+        dm.cli(parser)
+
+    args = parser.parse_args()
+    logger.configure(args, LOG)
+    decoder.factory.configure(args)
+    for dm in datasets.DATAMODULES.values():
+        dm.configure(args)
+    return args
+
+
+def main():
+    args = cli()
+
+    for dm in datasets.DATAMODULES.values():
+        dm.batch_size = args.batch_size
+        dm.loader_workers = args.loader_workers
+
+    evaluator = Evaluator(args.dataset)
+    evaluator.n_images = args.n_images
+
+    if args.output is None:
+        args.output = (args.checkpoint or 'eval') + '.eval-' + args.dataset
+    evaluator.evaluate(args.output, checkpoint=args.checkpoint,
+                       write_predictions=args.write_predictions)
+
+
+if __name__ == '__main__':
+    main()

@@ -15,8 +15,6 @@ static top-K selection of contributing cells per field (typical images have
 far fewer cells above threshold than K; masked-out cells contribute 0).
 """
 
-import functools
-
 import jax
 import jax.numpy as jnp
 
@@ -86,19 +84,25 @@ def accumulate_dense(x, y, sigma, w, *, hr_h, hr_w, neighbors=16, factor=1.0):
 
 
 def cif_hr(cif, stride, *, threshold=0.3, min_scale=0.0, neighbors=16,
-           factor=1.0, n_cells=256, accumulate_fn=None):
-    """Full CifHr from a decoded CIF field. Returns (F, HS, WS)."""
+           factor=1.0, n_cells=256, impl='auto'):
+    """Full CifHr from a decoded CIF field. Returns (F, HS, WS).
+
+    impl: 'auto' (Pallas on TPU, dense jnp elsewhere), 'pallas' or 'dense'.
+    """
     _, _, h, w = cif.shape
     hr_h = (h - 1) * stride + 1
     hr_w = (w - 1) * stride + 1
     x, y, sigma, wgt = select_cells(
         cif, stride, threshold=threshold, min_scale=min_scale, n_cells=n_cells)
-    if accumulate_fn is None:
-        accumulate_fn = functools.partial(accumulate_dense,
-                                          neighbors=neighbors, factor=factor)
-        return accumulate_fn(x, y, sigma, wgt, hr_h=hr_h, hr_w=hr_w)
-    return accumulate_fn(x, y, sigma, wgt, hr_h=hr_h, hr_w=hr_w,
-                         neighbors=neighbors, factor=factor)
+
+    if impl == 'auto':
+        impl = 'pallas' if jax.default_backend() not in ('cpu',) else 'dense'
+    if impl == 'pallas':
+        from .cifhr_pallas import accumulate_pallas
+        return accumulate_pallas(x, y, sigma, wgt, hr_h=hr_h, hr_w=hr_w,
+                                 neighbors=neighbors, factor=factor)
+    return accumulate_dense(x, y, sigma, wgt, hr_h=hr_h, hr_w=hr_w,
+                            neighbors=neighbors, factor=factor)
 
 
 def cifhr_lookup(hr, f, x, y, default=-1.0):

@@ -57,6 +57,7 @@ class CifCafDecoderConfig:
     n_seeds: int = 256
     n_poses: int = 96
     seed_nms: bool = True
+    cifhr_impl: str = 'auto'
 
 
 def decode_cifcaf_single(cif, caf, *, stride, skeleton, config,
@@ -75,7 +76,8 @@ def decode_cifcaf_single(cif, caf, *, stride, skeleton, config,
         threshold=cfg.cifhr_threshold,
         min_scale=cfg.cifhr_min_scale,
         neighbors=cfg.cifhr_neighbors,
-        n_cells=cfg.n_hr_cells)
+        n_cells=cfg.n_hr_cells,
+        impl=cfg.cifhr_impl)
 
     seeds = seeds_mod.cif_seeds(
         cif, hr, stride,
