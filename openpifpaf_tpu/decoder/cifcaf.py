@@ -33,6 +33,8 @@ class CifCaf(Decoder):
     nms_before_force_complete = False
     instance_threshold = 0.15
     seed_threshold = 0.2
+    keypoint_threshold_nms = 0.15
+    force_complete_caf_th = 0.001
     cifhr_threshold = 0.3
     n_seeds = 256
     n_poses = 96
@@ -52,8 +54,11 @@ class CifCaf(Decoder):
             keypoint_threshold=self.keypoint_threshold,
             keypoint_threshold_rel=self.keypoint_threshold_rel,
             reverse_match=self.reverse_match,
+            greedy=self.greedy,
+            force_complete=self.force_complete,
+            force_complete_caf_th=self.force_complete_caf_th,
             nms_instance_threshold=self.instance_threshold,
-            nms_keypoint_threshold=self.keypoint_threshold,
+            nms_keypoint_threshold=self.keypoint_threshold_nms,
             n_seeds=self.n_seeds,
             n_poses=self.n_poses,
             n_hr_cells=self.n_hr_cells,
@@ -90,6 +95,15 @@ class CifCaf(Decoder):
         cls.force_complete = args.force_complete
         cls.keypoint_threshold = args.keypoint_threshold
         cls.keypoint_threshold_rel = args.keypoint_threshold_rel
+        # reference: force-complete zeros the growth thresholds but keeps
+        # the NMS keypoint threshold (decoder/cifcaf.py:178-198)
+        cls.keypoint_threshold_nms = args.keypoint_threshold
+        if args.force_complete:
+            cls.keypoint_threshold = 0.0
+            cls.keypoint_threshold_rel = 0.0
+            cls.keypoint_threshold_nms = 0.0
+        if args.seed_threshold < cls.keypoint_threshold:
+            cls.keypoint_threshold = args.seed_threshold
         cls.instance_threshold = args.instance_threshold
         cls.seed_threshold = args.seed_threshold
         cls.greedy = args.greedy

@@ -21,19 +21,23 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(x_ref, y_ref, sig_ref, w_ref, out_ref, *, n_cells, tile_h, tile_w):
+    f = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
+    base = f * n_cells
     y0 = (i * tile_h).astype(jnp.float32)
     x0 = (j * tile_w).astype(jnp.float32)
 
-    ys = y0 + jax.lax.broadcasted_iota(jnp.float32, (tile_h, tile_w), 0)
-    xs = x0 + jax.lax.broadcasted_iota(jnp.float32, (tile_h, tile_w), 1)
+    ys = y0 + jax.lax.broadcasted_iota(
+        jnp.int32, (tile_h, tile_w), 0).astype(jnp.float32)
+    xs = x0 + jax.lax.broadcasted_iota(
+        jnp.int32, (tile_h, tile_w), 1).astype(jnp.float32)
 
     def body(k, acc):
-        cx = x_ref[0, k]
-        cy = y_ref[0, k]
-        cs = sig_ref[0, k]
-        cw = w_ref[0, k]
+        cx = x_ref[base + k]
+        cy = y_ref[base + k]
+        cs = sig_ref[base + k]
+        cw = w_ref[base + k]
 
         intersects = ((cw > 0.0)
                       & (cx + cs >= x0) & (cx - cs <= x0 + tile_w - 1)
@@ -70,8 +74,9 @@ def accumulate_pallas(x, y, sigma, w, *, hr_h, hr_w, neighbors=16, factor=1.0,
     weight = w / neighbors * factor
 
     grid = (n_fields, pl.cdiv(hr_h, tile_h), pl.cdiv(hr_w, tile_w))
-    cell_spec = pl.BlockSpec((1, n_cells), lambda f, i, j: (f, 0),
-                             memory_space=pltpu.SMEM)
+    # full (unblocked) flat parameter arrays in SMEM: avoids blocked-layout
+    # constraints; the kernel indexes by field via program_id(0)
+    cell_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
 
     out = pl.pallas_call(
         functools.partial(_kernel, n_cells=n_cells,
@@ -82,5 +87,5 @@ def accumulate_pallas(x, y, sigma, w, *, hr_h, hr_w, neighbors=16, factor=1.0,
         out_specs=pl.BlockSpec((1, tile_h, tile_w),
                                lambda f, i, j: (f, i, j),
                                memory_space=pltpu.VMEM),
-    )(x, y, sigma, weight)
+    )(x.reshape(-1), y.reshape(-1), sigma.reshape(-1), weight.reshape(-1))
     return out

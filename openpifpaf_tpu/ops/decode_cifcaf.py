@@ -45,6 +45,9 @@ class CifCafDecoderConfig:
     keypoint_threshold_rel: float = 0.5
     reverse_match: bool = True
     filter_sigmas: float = 1.0
+    greedy: bool = False
+    force_complete: bool = False
+    force_complete_caf_th: float = 0.001
 
     nms_suppression: float = 1e-5
     nms_instance_threshold: float = 0.15
@@ -107,7 +110,25 @@ def decode_cifcaf_single(cif, caf, *, stride, skeleton, config,
         keypoint_threshold=cfg.keypoint_threshold,
         keypoint_threshold_rel=cfg.keypoint_threshold_rel,
         reverse_match=cfg.reverse_match,
-        filter_sigmas=cfg.filter_sigmas)
+        filter_sigmas=cfg.filter_sigmas,
+        greedy=cfg.greedy)
+
+    if cfg.force_complete:
+        # second grow pass on low-threshold candidates, no reverse match,
+        # wide filter window (cifcaf.cpp:414-426), then flood fill
+        caf_low = caf_scored_mod.caf_scored(
+            caf, hr, stride, skeleton,
+            score_th=cfg.force_complete_caf_th,
+            cif_floor=cfg.caf_cif_floor,
+            rescore=cfg.caf_rescore)
+        poses = grow_mod.grow_from_poses(
+            caf_low, graph, poses,
+            keypoint_threshold=cfg.keypoint_threshold,
+            keypoint_threshold_rel=cfg.keypoint_threshold_rel,
+            reverse_match=False,
+            filter_sigmas=4.0,
+            greedy=cfg.greedy)
+        poses = grow_mod.flood_fill_poses(graph, poses)
 
     poses, keep, order = nms_mod.nms_keypoints(
         poses, hr_shape,

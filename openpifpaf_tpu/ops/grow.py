@@ -148,10 +148,15 @@ def connection_value(caf, graph_arrays, pose, d, *, keypoint_threshold=0.15,
     return v, nx, ny, ns
 
 
-def grow_pose(caf, graph: SkeletonGraph, seed_f, seed_v, seed_x, seed_y, seed_s,
-              *, keypoint_threshold=0.15, keypoint_threshold_rel=0.5,
-              reverse_match=True, filter_sigmas=1.0):
-    """Grow one pose from one seed. Returns (n_keypoints, 4) [v, x, y, s]."""
+def grow_from_pose(caf, graph: SkeletonGraph, pose0, *,
+                   keypoint_threshold=0.15, keypoint_threshold_rel=0.5,
+                   reverse_match=True, filter_sigmas=1.0, greedy=False):
+    """Grow a (partially filled) pose to completion.
+
+    pose0: (n_keypoints, 4) [v, x, y, s]; joints with v > 0 are fixed and
+    form the initial frontier (supports multi-joint initial annotations for
+    tracking and force-complete, ``cifcaf.cpp:177-201``).
+    """
     n_kp = graph.n_keypoints
     n_dir = 2 * graph.n_edges
 
@@ -161,12 +166,6 @@ def grow_pose(caf, graph: SkeletonGraph, seed_f, seed_v, seed_x, seed_y, seed_s,
     adjacency = jnp.asarray(graph.adjacency)
     adjacency_valid = jnp.asarray(graph.adjacency_valid)
     graph_arrays = (dir_start, dir_end, dir_reverse)
-
-    pose0 = jnp.zeros((n_kp, 4))
-    pose0 = pose0.at[seed_f].set(jnp.stack([seed_v, seed_x, seed_y, seed_s]))
-
-    # connection cache with one extra dummy slot (index n_dir) for padding
-    cache0 = jnp.zeros((n_dir + 1, 4))
 
     def eval_edges(pose, edges, valid):
         def one(d, is_valid):
@@ -179,16 +178,67 @@ def grow_pose(caf, graph: SkeletonGraph, seed_f, seed_v, seed_x, seed_y, seed_s,
             return jnp.stack([v, x, y, s])
         return jax.vmap(one)(edges, valid)
 
-    def body(state):
-        pose, cache, last_joint, step, _ = state
+    def eval_one(pose, d):
+        v, x, y, s = connection_value(
+            caf, graph_arrays, pose, d,
+            keypoint_threshold=keypoint_threshold,
+            keypoint_threshold_rel=keypoint_threshold_rel,
+            reverse_match=reverse_match, filter_sigmas=filter_sigmas)
+        return jnp.stack([v, x, y, s])
 
-        edges = adjacency[last_joint]
-        valid = adjacency_valid[last_joint]
+    def update_cache(cache, pose, joint):
+        edges = adjacency[joint]
+        valid = adjacency_valid[joint]
         new_vals = eval_edges(pose, edges, valid)
         safe_edges = jnp.where(valid, edges, n_dir)
-        cache = cache.at[safe_edges].set(
+        return cache.at[safe_edges].set(
             jnp.where(valid[:, None], new_vals, cache[safe_edges]))
 
+    if greedy:
+        # greedy mode (cifcaf.cpp:298-307 with greedy=True): pick the
+        # frontier edge with the best source score, evaluate it once and
+        # commit immediately; failed edges are excluded from re-selection.
+        def body(state):
+            pose, failed, step, _ = state
+            target_empty = pose[dir_end, 0] == 0.0
+            source_filled = pose[dir_start, 0] > 0.0
+            active = target_empty & source_filled & ~failed
+            priority = jnp.where(active, jnp.sqrt(pose[dir_start, 0]), -1.0)
+            best = jnp.argmax(priority)
+            any_active = priority[best] > 0.0
+
+            vals = eval_one(pose, best)
+            success = any_active & (vals[0] > 0.0)
+            pose = jnp.where(success, pose.at[dir_end[best]].set(vals), pose)
+            failed = failed.at[best].set(jnp.where(any_active & ~success,
+                                                   True, failed[best]))
+            return pose, failed, step + 1, any_active
+
+        def cond(state):
+            _, _, step, alive = state
+            return alive & (step < n_kp + n_dir)
+
+        state0 = (pose0, jnp.zeros((n_dir,), dtype=bool), jnp.int32(0),
+                  jnp.array(True))
+        pose, _, _, _ = jax.lax.while_loop(cond, body, state0)
+        return pose
+
+    # non-greedy: evaluate-all / commit-global-argmax fixpoint
+    cache0 = jnp.zeros((n_dir + 1, 4))
+
+    def init_cache(cache, j):
+        filled = pose0[j, 0] > 0.0
+        edges = adjacency[j]
+        valid = adjacency_valid[j] & filled
+        new_vals = eval_edges(pose0, edges, valid)
+        safe_edges = jnp.where(valid, edges, n_dir)
+        return cache.at[safe_edges].set(
+            jnp.where(valid[:, None], new_vals, cache[safe_edges])), None
+
+    cache0, _ = jax.lax.scan(init_cache, cache0, jnp.arange(n_kp))
+
+    def body(state):
+        pose, cache, step, _ = state
         target_empty = pose[dir_end, 0] == 0.0
         cand = jnp.where(target_empty, cache[:n_dir, 0], 0.0)
         best = jnp.argmax(cand)
@@ -196,20 +246,25 @@ def grow_pose(caf, graph: SkeletonGraph, seed_f, seed_v, seed_x, seed_y, seed_s,
 
         commit = best_v > 0.0
         new_joint = dir_end[best]
-        pose = jnp.where(
-            commit,
-            pose.at[new_joint].set(cache[best]),
-            pose)
-        last_joint = jnp.where(commit, new_joint, last_joint)
-        return pose, cache, last_joint, step + 1, commit
+        pose = jnp.where(commit, pose.at[new_joint].set(cache[best]), pose)
+        cache = jnp.where(commit, update_cache(cache, pose, new_joint), cache)
+        return pose, cache, step + 1, commit
 
     def cond(state):
-        _, _, _, step, alive = state
+        _, _, step, alive = state
         return alive & (step < n_kp)
 
-    state0 = (pose0, cache0, seed_f, jnp.int32(0), jnp.array(True))
-    pose, _, _, _, _ = jax.lax.while_loop(cond, body, state0)
+    state0 = (pose0, cache0, jnp.int32(0), jnp.array(True))
+    pose, _, _, _ = jax.lax.while_loop(cond, body, state0)
     return pose
+
+
+def grow_pose(caf, graph: SkeletonGraph, seed_f, seed_v, seed_x, seed_y, seed_s,
+              **kwargs):
+    """Grow one pose from one seed. Returns (n_keypoints, 4) [v, x, y, s]."""
+    pose0 = jnp.zeros((graph.n_keypoints, 4))
+    pose0 = pose0.at[seed_f].set(jnp.stack([seed_v, seed_x, seed_y, seed_s]))
+    return grow_from_pose(caf, graph, pose0, **kwargs)
 
 
 def grow_poses(caf, graph: SkeletonGraph, seeds, **kwargs):
@@ -222,3 +277,48 @@ def grow_poses(caf, graph: SkeletonGraph, seeds, **kwargs):
         return jnp.where(v > 0.0, pose, jnp.zeros_like(pose))
     return jax.vmap(one)(seeds['f'], seeds['v'], seeds['x'], seeds['y'],
                          seeds['s'])
+
+
+def grow_from_poses(caf, graph: SkeletonGraph, poses, **kwargs):
+    """vmap of :func:`grow_from_pose` over (K, n_kp, 4) initial poses."""
+    def one(pose0):
+        grown = grow_from_pose(caf, graph, pose0, **kwargs)
+        any_filled = jnp.any(pose0[:, 0] > 0.0)
+        return jnp.where(any_filled, grown, jnp.zeros_like(grown))
+    return jax.vmap(one)(poses)
+
+
+def flood_fill_pose(graph: SkeletonGraph, pose):
+    """Copy filled joints into empty neighbors with v = 1e-5
+    (``cifcaf.cpp:429-449``), in descending source-score order."""
+    n_kp = graph.n_keypoints
+    n_dir = 2 * graph.n_edges
+    dir_start = jnp.asarray(graph.dir_start)
+    dir_end = jnp.asarray(graph.dir_end)
+
+    def body(state):
+        pose, step, _ = state
+        target_empty = pose[dir_end, 0] == 0.0
+        source_filled = pose[dir_start, 0] > 0.0
+        active = target_empty & source_filled
+        priority = jnp.where(active, jnp.sqrt(pose[dir_start, 0]), -1.0)
+        best = jnp.argmax(priority)
+        any_active = priority[best] > 0.0
+
+        src = pose[dir_start[best]]
+        new_joint = jnp.array([1e-5, src[1], src[2], src[3]])
+        pose = jnp.where(any_active,
+                         pose.at[dir_end[best]].set(new_joint), pose)
+        return pose, step + 1, any_active
+
+    def cond(state):
+        _, step, alive = state
+        return alive & (step < n_kp)
+
+    pose, _, _ = jax.lax.while_loop(
+        cond, body, (pose, jnp.int32(0), jnp.array(True)))
+    return pose
+
+
+def flood_fill_poses(graph: SkeletonGraph, poses):
+    return jax.vmap(lambda p: flood_fill_pose(graph, p))(poses)

@@ -52,6 +52,7 @@ def cli():
     logger.cli(parser)
     Trainer.cli(parser)
     optimize.cli(parser)
+    losses.Factory.cli(parser)
     encoder.cli(parser)
     for dm in datasets.DATAMODULES.values():
         dm.cli(parser)
@@ -60,6 +61,7 @@ def cli():
 
     logger.configure(args, LOG)
     Trainer.configure(args)
+    losses.Factory.configure(args)
     encoder.configure(args)
     for dm in datasets.DATAMODULES.values():
         dm.configure(args)

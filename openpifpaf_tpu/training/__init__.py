@@ -1,4 +1,6 @@
 """Training: losses, optimizer schedules, trainer, checkpointing."""
 
 from . import losses
-from .losses import LOSSES, CompositeLoss, MultiHeadLoss
+from .losses import (LOSSES, CompositeLoss, MultiHeadLoss,
+                     MultiHeadLossAutoTuneKendall,
+                     MultiHeadLossAutoTuneVariance)

@@ -217,27 +217,132 @@ class CompositeLoss:
         return losses
 
 
-class MultiHeadLoss:
-    """Lambda-weighted sum over heads (reference multi_head.py:13-39)."""
+class MultiHeadLossBase:
+    """Common interface: every multi-head loss is a pure function of
+    (head_outputs, targets, loss_params, loss_state) returning
+    (total, flat_head_losses, new_loss_state). ``loss_params`` are
+    trainable (Kendall log-sigmas), ``loss_state`` is running non-trainable
+    state (variance buffers); both may be empty dicts."""
 
     def __init__(self, losses, lambdas=None):
         self.losses = losses
         self.field_names = [n for l in losses for n in l.field_names]
-        if lambdas is None:
+        if not lambdas:
             lambdas = [1.0 for _ in self.field_names]
+        assert all(lam >= 0.0 for lam in lambdas)
         assert len(lambdas) == len(self.field_names)
         self.lambdas = lambdas
 
-    def __call__(self, head_outputs, targets):
+    def init_params(self):
+        return {}
+
+    def init_state(self):
+        return {}
+
+    def _flat_losses(self, head_outputs, targets):
         all_components = {}
         for loss, x, t in zip(self.losses, head_outputs, targets):
             if t is None:
                 continue
             all_components.update(loss(x, t))
-        flat = [all_components.get(n) for n in self.field_names]
+        return [all_components.get(n) for n in self.field_names]
+
+    def __call__(self, head_outputs, targets, loss_params=None,
+                 loss_state=None):
+        raise NotImplementedError
+
+
+class MultiHeadLoss(MultiHeadLossBase):
+    """Lambda-weighted sum over heads (reference multi_head.py:13-39)."""
+
+    def __call__(self, head_outputs, targets, loss_params=None,
+                 loss_state=None):
+        flat = self._flat_losses(head_outputs, targets)
         total = sum(
             lam * l for lam, l in zip(self.lambdas, flat) if l is not None)
-        return total, flat
+        return total, flat, (loss_state or {})
+
+
+class MultiHeadLossAutoTuneKendall(MultiHeadLossBase):
+    """Learned per-component log-sigma weighting (multi_head.py:42-139),
+    from Kendall/Gal/Cipolla's uncertainty-based multi-task weighting."""
+
+    def __init__(self, losses, lambdas=None, *, tune=None):
+        super().__init__(losses, lambdas)
+        if tune is None:
+            def tune_from_name(name):
+                if '.vec' in name:
+                    return 'none'
+                if '.scale' in name:
+                    return 'laplace'
+                return 'gauss'
+            tune = [tune_from_name(n) for n in self.field_names]
+        self.tune = tune
+
+    def init_params(self):
+        return {'log_sigmas': jnp.zeros((len(self.lambdas),))}
+
+    def __call__(self, head_outputs, targets, loss_params=None,
+                 loss_state=None):
+        flat = self._flat_losses(head_outputs, targets)
+        log_sigmas = 3.0 * jnp.tanh(loss_params['log_sigmas'] / 3.0)
+
+        def tuned_loss(tune, log_sigma, loss):
+            if tune == 'none':
+                return loss
+            if tune == 'laplace':
+                # negative ln of a Laplace; ln(2) = 0.694
+                return 0.694 + log_sigma + loss * jnp.exp(-log_sigma)
+            if tune == 'gauss':
+                # negative ln of a Gaussian; ln(sqrt(2pi)) = 0.919
+                return 0.919 + log_sigma + loss * 0.5 * jnp.exp(-2.0 * log_sigma)
+            raise ValueError(f'unknown tune: {tune}')
+
+        total = sum(
+            lam * tuned_loss(t, log_sigmas[i], l)
+            for i, (lam, t, l) in enumerate(zip(self.lambdas, self.tune, flat))
+            if l is not None)
+        return total, flat, (loss_state or {})
+
+
+class MultiHeadLossAutoTuneVariance(MultiHeadLossBase):
+    """Running-variance loss normalization (multi_head.py:142-222):
+    each component is divided by the standard deviation of its last 53
+    values (prime buffer length), normalized so sum(1/eps) is constant."""
+
+    buffer_len = 53
+
+    def init_state(self):
+        n = len(self.lambdas)
+        return {
+            'buffer': jnp.full((n, self.buffer_len), jnp.nan),
+            'index': jnp.array(-1, dtype=jnp.int32),
+        }
+
+    def __call__(self, head_outputs, targets, loss_params=None,
+                 loss_state=None):
+        flat = self._flat_losses(head_outputs, targets)
+
+        index = (loss_state['index'] + 1) % self.buffer_len
+        buffer = loss_state['buffer']
+        for i, l in enumerate(flat):
+            if l is None:
+                continue
+            buffer = buffer.at[i, index].set(jax.lax.stop_gradient(l))
+
+        epsilons = jnp.sqrt(
+            jnp.mean(buffer ** 2, axis=1)
+            - jnp.sum(buffer, axis=1) ** 2 / self.buffer_len ** 2)
+        epsilons = jnp.where(jnp.isnan(epsilons), 10.0, epsilons)
+        epsilons = jnp.clip(epsilons, 0.01, 100.0)
+        epsilons = epsilons * jnp.sum(1.0 / epsilons) / epsilons.shape[0]
+
+        total = sum(
+            lam * l / epsilons[i]
+            for i, (lam, l) in enumerate(zip(self.lambdas, flat))
+            if l is not None)
+        new_state = {'buffer': buffer, 'index': index}
+        return total, flat, new_state
 
 
 LOSSES = {
@@ -252,7 +357,48 @@ LOSSES = {
 
 class Factory:
     lambdas = None
+    component_lambdas = None
+    auto_tune_mtl = False
+    auto_tune_mtl_variance = False
+
+    @classmethod
+    def cli(cls, parser):
+        group = parser.add_argument_group('losses')
+        group.add_argument('--lambdas', default=cls.lambdas, type=float,
+                           nargs='+', help='prefactor for head losses by head')
+        group.add_argument('--component-lambdas', default=cls.component_lambdas,
+                           type=float, nargs='+',
+                           help='prefactor for head losses by component')
+        group.add_argument('--auto-tune-mtl', default=False,
+                           action='store_true',
+                           help='[experimental] use Kendall\'s prescription '
+                                'for adjusting the multitask weight')
+        group.add_argument('--auto-tune-mtl-variance', default=False,
+                           action='store_true',
+                           help='[experimental] use loss-variance '
+                                'normalization for the multitask weights')
+
+    @classmethod
+    def configure(cls, args):
+        cls.lambdas = args.lambdas
+        cls.component_lambdas = args.component_lambdas
+        cls.auto_tune_mtl = args.auto_tune_mtl
+        cls.auto_tune_mtl_variance = args.auto_tune_mtl_variance
 
     def factory(self, head_metas):
         losses = [LOSSES[type(meta)](meta) for meta in head_metas]
-        return MultiHeadLoss(losses, self.lambdas)
+
+        component_lambdas = self.component_lambdas
+        if component_lambdas is None and self.lambdas is not None:
+            assert len(self.lambdas) == len(head_metas)
+            component_lambdas = [
+                head_lambda
+                for loss, head_lambda in zip(losses, self.lambdas)
+                for _ in loss.field_names
+            ]
+
+        if self.auto_tune_mtl:
+            return MultiHeadLossAutoTuneKendall(losses, component_lambdas)
+        if self.auto_tune_mtl_variance:
+            return MultiHeadLossAutoTuneVariance(losses, component_lambdas)
+        return MultiHeadLoss(losses, component_lambdas)

@@ -30,10 +30,14 @@ class TrainState:
     opt_state: Any
     ema_params: Any
     step: Any
+    loss_params: Any = dataclasses.field(default_factory=dict)
+    loss_state: Any = dataclasses.field(default_factory=dict)
 
 
 jax.tree_util.register_dataclass(
-    TrainState, ['params', 'batch_stats', 'opt_state', 'ema_params', 'step'],
+    TrainState,
+    ['params', 'batch_stats', 'opt_state', 'ema_params', 'step',
+     'loss_params', 'loss_state'],
     [])
 
 
@@ -56,16 +60,20 @@ def build_train_step(model, loss_fn, optimizer, schedule, *,
     def step_fn(state: TrainState, images, targets):
         head_mask = tuple(t is not None for t in targets)
 
-        def compute_loss(params):
+        def compute_loss(opt_params):
             outputs, new_model_state = model.apply(
-                {'params': params, 'batch_stats': state.batch_stats},
+                {'params': opt_params['model'],
+                 'batch_stats': state.batch_stats},
                 images, train=True, head_mask=head_mask,
                 mutable=['batch_stats'])
-            total, head_losses = loss_fn(outputs, targets)
-            return total, (head_losses, new_model_state['batch_stats'])
+            total, head_losses, new_loss_state = loss_fn(
+                outputs, targets, opt_params['loss'], state.loss_state)
+            return total, (head_losses, new_model_state['batch_stats'],
+                           new_loss_state)
 
-        (total, (head_losses, new_batch_stats)), grads = jax.value_and_grad(
-            compute_loss, has_aux=True)(state.params)
+        opt_params = {'model': state.params, 'loss': state.loss_params}
+        (total, (head_losses, new_batch_stats, new_loss_state)), grads = \
+            jax.value_and_grad(compute_loss, has_aux=True)(opt_params)
 
         lr = schedule(state.step)
         if clip_grad_norm:
@@ -82,9 +90,10 @@ def build_train_step(model, loss_fn, optimizer, schedule, *,
                 lambda g: jnp.clip(g, -clip_grad_value, clip_grad_value), grads)
 
         updates, new_opt_state = optimizer.update(
-            grads, state.opt_state, state.params)
+            grads, state.opt_state, opt_params)
         import optax
-        new_params = optax.apply_updates(state.params, updates)
+        new_opt_params = optax.apply_updates(opt_params, updates)
+        new_params = new_opt_params['model']
 
         new_ema = jax.tree_util.tree_map(
             lambda e, p: (1.0 - ema_decay) * e + ema_decay * p,
@@ -96,6 +105,8 @@ def build_train_step(model, loss_fn, optimizer, schedule, *,
             opt_state=new_opt_state,
             ema_params=new_ema,
             step=state.step + 1,
+            loss_params=new_opt_params['loss'],
+            loss_state=new_loss_state,
         )
         return new_state, total, head_losses
 
@@ -111,20 +122,21 @@ def build_train_step(model, loss_fn, optimizer, schedule, *,
 
 
 def build_val_step(model, loss_fn, *, mesh: Optional[Mesh] = None):
-    def val_fn(params, batch_stats, images, targets):
+    def val_fn(state: TrainState, images, targets):
         head_mask = tuple(t is not None for t in targets)
         # reference validates in train mode without grad (trainer.py:345-358)
         outputs, _ = model.apply(
-            {'params': params, 'batch_stats': batch_stats},
+            {'params': state.params, 'batch_stats': state.batch_stats},
             images, train=True, head_mask=head_mask, mutable=['batch_stats'])
-        total, head_losses = loss_fn(outputs, targets)
+        total, head_losses, _ = loss_fn(
+            outputs, targets, state.loss_params, state.loss_state)
         return total, head_losses
 
     if mesh is not None:
         replicated = NamedSharding(mesh, P())
         batch_sharded = NamedSharding(mesh, P('data'))
         return jax.jit(val_fn, in_shardings=(
-            replicated, replicated, batch_sharded, batch_sharded))
+            replicated, batch_sharded, batch_sharded))
     return jax.jit(val_fn)
 
 
@@ -150,12 +162,15 @@ class Trainer:
 
         params = variables['params']
         batch_stats = variables.get('batch_stats', {})
+        loss_params = loss_fn.init_params()
         self.state = TrainState(
             params=params,
             batch_stats=batch_stats,
-            opt_state=optimizer.init(params),
+            opt_state=optimizer.init({'model': params, 'loss': loss_params}),
             ema_params=jax.tree_util.tree_map(jnp.copy, params),
             step=jnp.zeros((), dtype=jnp.int32),
+            loss_params=loss_params,
+            loss_state=loss_fn.init_state(),
         )
 
         self.train_step = build_train_step(
@@ -259,8 +274,7 @@ class Trainer:
                 break
             targets = self._prepare_targets(targets, metas)
             loss, _ = self.val_step(
-                self.state.params, self.state.batch_stats,
-                jnp.asarray(images), targets)
+                self.state, jnp.asarray(images), targets)
             epoch_loss += float(loss)
             n += 1
         LOG.info({

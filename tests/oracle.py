@@ -289,9 +289,49 @@ def nms_keypoints(poses, occupancy, *, suppression=1e-5,
     return poses
 
 
+def flood_fill(pose, skeleton, n_keypoints):
+    """Copy filled joints into empty neighbors (cifcaf.cpp:429-449)."""
+    frontier = []
+    in_frontier = set()
+    counter = [0]
+
+    def add_from(start_i):
+        max_score = np.sqrt(pose[start_i][0])
+        for p0, p1 in skeleton:
+            for a, b in ((p0 - 1, p1 - 1), (p1 - 1, p0 - 1)):
+                if a != start_i or pose[b][0] > 0.0 or (a, b) in in_frontier:
+                    continue
+                counter[0] += 1
+                heapq.heappush(frontier, (-max_score, counter[0], a, b))
+                in_frontier.add((a, b))
+
+    for j in range(n_keypoints):
+        if pose[j][0] > 0.0:
+            add_from(j)
+
+    while frontier:
+        _, _, start_i, end_i = heapq.heappop(frontier)
+        if pose[end_i][0] > 0.0:
+            continue
+        pose[end_i] = [1e-5, pose[start_i][1], pose[start_i][2],
+                       pose[start_i][3]]
+        add_from(end_i)
+
+
 def decode_cifcaf(cif, caf, stride, skeleton, n_keypoints, *,
-                  seed_occupancy_skip=True, **kwargs):
+                  seed_occupancy_skip=True, force_complete=False,
+                  force_complete_caf_th=0.001,
+                  keypoint_threshold=0.15, keypoint_threshold_rel=0.5,
+                  nms_keypoint_threshold=None, **kwargs):
     """Full sequential decode. Returns list of (n_kp, 4) [v, x, y, s]."""
+    if force_complete:
+        keypoint_threshold = 0.0
+        keypoint_threshold_rel = 0.0
+        if nms_keypoint_threshold is None:
+            nms_keypoint_threshold = 0.0
+    if nms_keypoint_threshold is None:
+        nms_keypoint_threshold = keypoint_threshold
+
     hr = cif_hr(cif, stride)
     seeds = cif_seeds(cif, hr, stride)
     caf_fb = caf_scored(caf, hr, stride, skeleton)
@@ -304,13 +344,27 @@ def decode_cifcaf(cif, caf, stride, skeleton, n_keypoints, *,
             continue
         pose = [[0.0, 0.0, 0.0, 0.0] for _ in range(n_keypoints)]
         pose[f] = [v, x, y, s]
-        grow(pose, caf_fb, skeleton, n_keypoints, **kwargs)
+        grow(pose, caf_fb, skeleton, n_keypoints,
+             keypoint_threshold=keypoint_threshold,
+             keypoint_threshold_rel=keypoint_threshold_rel, **kwargs)
         for of in range(n_keypoints):
             if pose[of][0] == 0.0:
                 continue
             occupancy.set(of, pose[of][1], pose[of][2], pose[of][3])
         poses.append(pose)
 
+    if force_complete:
+        caf_fb_low = caf_scored(caf, hr, stride, skeleton,
+                                score_th=force_complete_caf_th)
+        for pose in poses:
+            grow(pose, caf_fb_low, skeleton, n_keypoints,
+                 keypoint_threshold=keypoint_threshold,
+                 keypoint_threshold_rel=keypoint_threshold_rel,
+                 reverse_match=False, filter_sigmas=4.0)
+        for pose in poses:
+            flood_fill(pose, skeleton, n_keypoints)
+
     nms_occ = Occupancy(n_keypoints, hs, ws)
-    poses = nms_keypoints(poses, nms_occ)
+    poses = nms_keypoints(poses, nms_occ,
+                          keypoint_threshold=nms_keypoint_threshold)
     return [np.asarray(p, dtype=np.float32) for p in poses]

@@ -80,8 +80,8 @@ def test_composite_loss_structure():
     caf_t[..., 0, :, :] = 0.0
     caf_t[0, 5, :, 3, 3] = [1.0, 0.1, 0.2, -0.5, 0.8, 0.0125, 0.0125, 1.0, 1.2]
 
-    total, head_losses = loss_fn((cif_x, caf_x),
-                                 (jnp.asarray(cif_t), jnp.asarray(caf_t)))
+    total, head_losses, _ = loss_fn((cif_x, caf_x),
+                                    (jnp.asarray(cif_t), jnp.asarray(caf_t)))
     assert np.isfinite(float(total))
     assert len(head_losses) == 6
     assert all(np.isfinite(float(l)) for l in head_losses if l is not None)
@@ -103,8 +103,8 @@ def test_composite_loss_gradients_finite():
     caf_t[..., 0, :, :] = 0.0
 
     def total_loss(cif_x, caf_x):
-        total, _ = loss_fn((cif_x, caf_x),
-                           (jnp.asarray(cif_t), jnp.asarray(caf_t)))
+        total, _, _ = loss_fn((cif_x, caf_x),
+                              (jnp.asarray(cif_t), jnp.asarray(caf_t)))
         return total
 
     g_cif, g_caf = jax.grad(total_loss, argnums=(0, 1))(cif_x, caf_x)
