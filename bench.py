@@ -1,17 +1,49 @@
 """Benchmark: single-image end-to-end throughput at 641px on the TPU.
 
 Measures the flagship pipeline (shufflenetv2k16 + COCO CIF/CAF heads ->
-device CifCaf decode) on a 641-long-edge input, the reference's headline
-benchmark configuration (BASELINE.md: shufflenetv2k16, 40 ms total on a
-GTX1080Ti = 25 img/s). Prints ONE JSON line.
+device CifCaf decode) at 641 long edge, the reference's headline benchmark
+configuration (BASELINE.md: shufflenetv2k16, 40 ms total = 25 img/s on a
+GTX1080Ti). To keep the decoder workload realistic with untrained weights,
+the decode stage is additionally timed on synthetic fields containing six
+people (the growth loops then run full length); the reported e2e number
+uses NN-forward + realistic-decode latency. Prints ONE JSON line.
 """
 
 import json
+import sys
 import time
 
 import numpy as np
 
 BASELINE_IMG_PER_SEC = 25.0  # reference shufflenetv2k16, GTX1080Ti, 641px
+
+
+def synthetic_fields(h_cells, w_cells, stride):
+    sys.path.insert(0, 'tests')
+    import field_fixtures
+
+    rng = np.random.RandomState(0)
+    anns = []
+    for i in range(6):
+        cx = 40 + (i % 3) * ((w_cells - 1) * stride - 80) / 2.0
+        cy = 60 + (i // 3) * ((h_cells - 1) * stride - 120) / 1.0
+        anns.append(field_fixtures.annotation_dict(
+            field_fixtures.synthetic_person(cx, cy, 120.0, rng)))
+    cif, caf, _ = field_fixtures.fields_from_annotations(
+        anns, ((h_cells - 1) * stride + 1, (w_cells - 1) * stride + 1),
+        stride=stride)
+    return cif, caf
+
+
+def time_fn(fn, *args, n_iters=30):
+    import jax
+    out = fn(*args)
+    jax.block_until_ready(out)
+    start = time.perf_counter()
+    for _ in range(n_iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - start) / n_iters, out
 
 
 def main():
@@ -39,30 +71,33 @@ def main():
         n_keypoints=len(cif_meta.keypoints),
         config=CifCafDecoderConfig())
 
-    @jax.jit
-    def pipeline(variables, image):
-        cif, caf = model.apply(variables, image, train=False)
-        return decoder.__wrapped__(cif, caf) if hasattr(decoder, '__wrapped__') \
-            else decoder(cif, caf)
+    forward = jax.jit(lambda v, im: model.apply(v, im, train=False))
 
-    # warm up (compile)
-    out = pipeline(variables, image)
-    jax.block_until_ready(out)
+    nn_time, fields = time_fn(forward, variables, image)
+    cif_shape = fields[0].shape  # (1, 17, 5, fh, fw)
+    fh, fw = cif_shape[-2], cif_shape[-1]
 
-    n_iters = 30
-    start = time.perf_counter()
-    for _ in range(n_iters):
-        out = pipeline(variables, image)
-    jax.block_until_ready(out)
-    elapsed = time.perf_counter() - start
+    cif_syn, caf_syn = synthetic_fields(fh, fw, stride)
+    cif_syn = jnp.asarray(cif_syn[None])
+    caf_syn = jnp.asarray(caf_syn[None])
+    decode_time, decoded = time_fn(decoder, cif_syn, caf_syn)
+    n_poses = int(np.sum(np.asarray(decoded[1])))
 
-    img_per_sec = n_iters / elapsed
-    print(json.dumps({
+    e2e = nn_time + decode_time
+    img_per_sec = 1.0 / e2e
+    result = {
         'metric': 'images_per_sec_641px_e2e',
         'value': round(img_per_sec, 2),
         'unit': 'img/s',
         'vs_baseline': round(img_per_sec / BASELINE_IMG_PER_SEC, 3),
-    }))
+    }
+    print(json.dumps(result))
+    print(json.dumps({
+        'detail': {
+            'nn_ms': round(nn_time * 1e3, 3),
+            'decode_ms': round(decode_time * 1e3, 3),
+            'decoded_poses': n_poses,
+        }}), file=sys.stderr)
 
 
 if __name__ == '__main__':

@@ -7,7 +7,7 @@ objects.
 """
 
 from .base import Decoder
-from .cifcaf import CifCaf
+from .cifcaf import CifCaf, CifCafDense
 from .cifdet import CifDet
 from .multi import Multi
 from . import factory

@@ -114,6 +114,8 @@ class CifCaf(Decoder):
     @classmethod
     def factory(cls, head_metas) -> List['CifCaf']:
         """Pair adjacent (Cif, Caf) metas (reference cifcaf.py:213-222)."""
+        if CifCafDense.dense_coupling:
+            return []  # --dense-connections requested: CifCafDense decodes
         return [
             cls(cif_meta, caf_meta)
             for cif_meta, caf_meta in zip(head_metas, head_metas[1:])
@@ -121,40 +123,70 @@ class CifCaf(Decoder):
                 and isinstance(caf_meta, headmeta.Caf))
         ]
 
-    def _decoder(self, stride):
-        if stride not in self._decoders:
-            self._decoders[stride] = build_cifcaf_decoder(
+    def _decoder(self, stride, with_initial=False):
+        key = (stride, with_initial)
+        if key not in self._decoders:
+            self._decoders[key] = build_cifcaf_decoder(
                 stride=stride,
                 skeleton=self.skeleton,
                 config=self.config,
-                n_keypoints=self.n_keypoints)
-        return self._decoders[stride]
+                n_keypoints=self.n_keypoints,
+                with_initial_annotations=with_initial)
+        return self._decoders[key]
 
-    def batch_decode(self, fields_batch):
-        """fields_batch: list over head indices of (B, F, C, H, W) arrays."""
+    def _fields(self, fields_batch):
         cif = np.asarray(fields_batch[self.cif_meta.head_index],
                          dtype=np.float32)
         caf = np.asarray(fields_batch[self.caf_meta.head_index],
                          dtype=np.float32)
         stride = self.cif_meta.stride
         assert stride == self.caf_meta.stride
+        return cif, caf, stride
+
+    def batch_decode(self, fields_batch, initial_annotations_batch=None):
+        """fields_batch: list over head indices of (B, F, C, H, W) arrays."""
+        cif, caf, stride = self._fields(fields_batch)
 
         start = time.perf_counter()
-        poses, keep, order = self._decoder(stride)(cif, caf)
+        if initial_annotations_batch is None:
+            poses, keep, order = self._decoder(stride)(cif, caf)
+            ids_batch = None
+        else:
+            # pad initial annotations to a bucketed static size
+            n_init = max((len(anns)
+                          for anns in initial_annotations_batch), default=0)
+            k_init = max(8, int(np.ceil(n_init / 8)) * 8)
+            batch = cif.shape[0]
+            initial_poses = np.zeros((batch, k_init, self.n_keypoints, 4),
+                                     dtype=np.float32)
+            ids_batch = np.full((batch, k_init), -1, dtype=np.int64)
+            for b, anns in enumerate(initial_annotations_batch):
+                for i, ann in enumerate(anns[:k_init]):
+                    initial_poses[b, i, :, 0] = ann.data[:, 2]
+                    initial_poses[b, i, :, 1] = ann.data[:, 0]
+                    initial_poses[b, i, :, 2] = ann.data[:, 1]
+                    initial_poses[b, i, :, 3] = ann.joint_scales
+                    ids_batch[b, i] = getattr(ann, 'id_', -1) or -1
+            poses, keep, order = self._decoder(stride, with_initial=True)(
+                cif, caf, initial_poses)
+
         poses = np.asarray(poses)
         keep = np.asarray(keep)
         order = np.asarray(order)
         self.last_decoder_time = time.perf_counter() - start
 
         return [
-            self.annotations_from_tensor(poses[i], keep[i], order[i])
+            self.annotations_from_tensor(
+                poses[i], keep[i], order[i],
+                ids=None if ids_batch is None else ids_batch[i])
             for i in range(poses.shape[0])
         ]
 
-    def __call__(self, fields):
-        return self.batch_decode([f[None] for f in fields])[0]
+    def __call__(self, fields, initial_annotations=None):
+        initial = [initial_annotations] if initial_annotations else None
+        return self.batch_decode([f[None] for f in fields], initial)[0]
 
-    def annotations_from_tensor(self, poses, keep, order):
+    def annotations_from_tensor(self, poses, keep, order, ids=None):
         annotations = []
         for idx in order:
             if not keep[idx]:
@@ -168,6 +200,65 @@ class CifCaf(Decoder):
             ann.data[:, 1] = pose[:, 2]
             ann.data[:, 2] = pose[:, 0]
             ann.joint_scales = pose[:, 3].copy()
+            if ids is not None and idx < len(ids) and ids[idx] != -1:
+                ann.id_ = int(ids[idx])
             annotations.append(ann)
         LOG.debug('annotations %d', len(annotations))
         return annotations
+
+
+class CifCafDense(Decoder):
+    """Decode with sparse + dense CAF fields concatenated
+    (reference ``decoder/cifcaf.py:17-78``)."""
+
+    dense_coupling = 0.0
+
+    def __init__(self, cif_meta: headmeta.Cif, caf_meta: headmeta.Caf,
+                 dense_caf_meta: headmeta.Caf):
+        super().__init__()
+        self.cif_meta = cif_meta
+        self.caf_meta = caf_meta
+        self.dense_caf_meta = dense_caf_meta
+
+        self.dense_caf_meta.decoder_confidence_scales = [
+            self.dense_coupling for _ in self.dense_caf_meta.skeleton]
+        concatenated = headmeta.Caf.concatenate([caf_meta, dense_caf_meta])
+        self.cifcaf = CifCaf(cif_meta, concatenated)
+
+    @classmethod
+    def cli(cls, parser: argparse.ArgumentParser):
+        group = parser.add_argument_group('CifCafDense decoder')
+        group.add_argument('--dense-connections', nargs='?', type=float,
+                           default=0.0, const=1.0)
+
+    @classmethod
+    def configure(cls, args: argparse.Namespace):
+        cls.dense_coupling = args.dense_connections
+
+    @classmethod
+    def factory(cls, head_metas):
+        if len(head_metas) < 3 or not cls.dense_coupling:
+            return []
+        return [
+            cls(cif_meta, caf_meta, dense_meta)
+            for cif_meta, caf_meta, dense_meta
+            in zip(head_metas, head_metas[1:], head_metas[2:])
+            if (isinstance(cif_meta, headmeta.Cif)
+                and isinstance(caf_meta, headmeta.Caf)
+                and isinstance(dense_meta, headmeta.Caf))
+        ]
+
+    def batch_decode(self, fields_batch, initial_annotations_batch=None):
+        merged = list(fields_batch)
+        merged[self.caf_meta.head_index] = np.concatenate([
+            np.asarray(fields_batch[self.caf_meta.head_index]),
+            np.asarray(fields_batch[self.dense_caf_meta.head_index]),
+        ], axis=1)
+        # the concatenated meta reuses the sparse head index
+        out = self.cifcaf.batch_decode(merged, initial_annotations_batch)
+        self.last_decoder_time = self.cifcaf.last_decoder_time
+        return out
+
+    def __call__(self, fields, initial_annotations=None):
+        initial = [initial_annotations] if initial_annotations else None
+        return self.batch_decode([f[None] for f in fields], initial)[0]

@@ -3,13 +3,13 @@
 import argparse
 import logging
 
-from .cifcaf import CifCaf
+from .cifcaf import CifCaf, CifCafDense
 from .cifdet import CifDet
 from .multi import Multi
 
 LOG = logging.getLogger(__name__)
 
-DECODERS = {CifCaf, CifDet}
+DECODERS = {CifCaf, CifCafDense, CifDet}
 
 
 def cli(parser: argparse.ArgumentParser, *, workers=None):

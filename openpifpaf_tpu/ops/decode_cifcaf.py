@@ -63,12 +63,17 @@ class CifCafDecoderConfig:
     cifhr_impl: str = 'auto'
 
 
-def decode_cifcaf_single(cif, caf, *, stride, skeleton, config,
-                         graph: grow_mod.SkeletonGraph):
+def decode_cifcaf_single(cif, caf, initial_poses=None, *, stride, skeleton,
+                         config, graph: grow_mod.SkeletonGraph):
     """Decode one image. cif: (F, 5, H, W), caf: (E, 8, H, W) float32.
 
-    Returns (poses, keep, order): poses (n_poses, n_kp, 4) [v, x, y, s] in
-    hi-res pixel coordinates, keep mask, and score-descending ordering.
+    initial_poses: optional (K_init, n_kp, 4) partial poses (e.g. tracked
+    annotations from the previous frame, ``cifcaf.cpp:177-201``). They are
+    grown first; their joints suppress nearby seeds, and the output tensor
+    keeps them in slots [0, K_init).
+
+    Returns (poses, keep, order): poses (K_init + n_poses, n_kp, 4)
+    [v, x, y, s] in hi-res pixels, keep mask, and score-descending order.
     """
     cfg = config
     _, _, h, w = cif.shape
@@ -88,30 +93,44 @@ def decode_cifcaf_single(cif, caf, *, stride, skeleton, config,
         n_seeds=cfg.n_seeds,
         rescore=cfg.seed_rescore)
 
-    if cfg.seed_nms:
-        keep_idx, keep_valid = seeds_mod.seed_nms(
-            seeds, graph.n_keypoints, hr_shape,
-            n_keep=cfg.n_poses,
-            reduction=cfg.occupancy_reduction,
-            min_scale=cfg.occupancy_min_scale)
-        seeds = {k: v[keep_idx] for k, v in seeds.items()}
-        seeds['v'] = jnp.where(keep_valid, seeds['v'], 0.0)
-    else:
-        seeds = {k: v[:cfg.n_poses] for k, v in seeds.items()}
-
     caf_cands = caf_scored_mod.caf_scored(
         caf, hr, stride, skeleton,
         score_th=cfg.caf_score_th,
         cif_floor=cfg.caf_cif_floor,
         rescore=cfg.caf_rescore)
 
-    poses = grow_mod.grow_poses(
-        caf_cands, graph, seeds,
+    grow_kwargs = dict(
         keypoint_threshold=cfg.keypoint_threshold,
         keypoint_threshold_rel=cfg.keypoint_threshold_rel,
         reverse_match=cfg.reverse_match,
         filter_sigmas=cfg.filter_sigmas,
         greedy=cfg.greedy)
+
+    initial_grown = None
+    seed_occ0 = None
+    if initial_poses is not None:
+        initial_grown = grow_mod.grow_from_poses(
+            caf_cands, graph, initial_poses, **grow_kwargs)
+        seed_occ0 = nms_mod.mark_occupancy(
+            initial_grown, hr_shape,
+            occupancy_reduction=cfg.occupancy_reduction,
+            occupancy_min_scale=cfg.occupancy_min_scale)
+
+    if cfg.seed_nms:
+        keep_idx, keep_valid = seeds_mod.seed_nms(
+            seeds, graph.n_keypoints, hr_shape,
+            n_keep=cfg.n_poses,
+            reduction=cfg.occupancy_reduction,
+            min_scale=cfg.occupancy_min_scale,
+            occ0=seed_occ0)
+        seeds = {k: v[keep_idx] for k, v in seeds.items()}
+        seeds['v'] = jnp.where(keep_valid, seeds['v'], 0.0)
+    else:
+        seeds = {k: v[:cfg.n_poses] for k, v in seeds.items()}
+
+    poses = grow_mod.grow_poses(caf_cands, graph, seeds, **grow_kwargs)
+    if initial_grown is not None:
+        poses = jnp.concatenate([initial_grown, poses], axis=0)
 
     if cfg.force_complete:
         # second grow pass on low-threshold candidates, no reverse match,
@@ -142,7 +161,8 @@ def decode_cifcaf_single(cif, caf, *, stride, skeleton, config,
 
 def build_cifcaf_decoder(*, stride: int, skeleton,
                          config: Optional[CifCafDecoderConfig] = None,
-                         n_keypoints: Optional[int] = None):
+                         n_keypoints: Optional[int] = None,
+                         with_initial_annotations: bool = False):
     """Build a jitted, batched CifCaf decoder.
 
     Returns fn(cif, caf) with cif (B, F, 5, H, W), caf (B, E, 8, H, W)
@@ -158,8 +178,13 @@ def build_cifcaf_decoder(*, stride: int, skeleton,
         decode_cifcaf_single,
         stride=stride, skeleton=skeleton, config=config, graph=graph)
 
-    @jax.jit
-    def decode(cif, caf):
-        return jax.vmap(single)(cif, caf)
+    if with_initial_annotations:
+        @jax.jit
+        def decode(cif, caf, initial_poses):
+            return jax.vmap(single)(cif, caf, initial_poses)
+    else:
+        @jax.jit
+        def decode(cif, caf):
+            return jax.vmap(single)(cif, caf)
 
     return decode

@@ -21,6 +21,41 @@ def pose_score_uniform(poses):
     return jnp.mean(poses[..., 0], axis=-1)
 
 
+def mark_occupancy(poses, hr_shape, *, occupancy_reduction=2.0,
+                   occupancy_min_scale=4.0):
+    """Occupancy grid with windows marked for every joint of every pose
+    (Occupancy::set semantics). poses: (K, n_kp, 4)."""
+    k, n_kp, _ = poses.shape
+    hs, ws = hr_shape
+    gh = int(hs / occupancy_reduction) + 1
+    gw = int(ws / occupancy_reduction) + 1
+    min_scale_reduced = occupancy_min_scale / occupancy_reduction
+
+    ys_grid = jnp.arange(gh, dtype=jnp.float32)[None, :, None]
+    xs_grid = jnp.arange(gw, dtype=jnp.float32)[None, None, :]
+
+    def body(occ, pose):
+        v = pose[:, 0]
+        x = pose[:, 1] / occupancy_reduction
+        y = pose[:, 2] / occupancy_reduction
+        sigma = jnp.maximum(min_scale_reduced,
+                            pose[:, 3] / occupancy_reduction)
+        minx = jnp.clip(jnp.floor(x - sigma), 0, gw - 1)
+        maxx = jnp.clip(jnp.floor(x + sigma), minx + 1, gw)
+        miny = jnp.clip(jnp.floor(y - sigma), 0, gh - 1)
+        maxy = jnp.clip(jnp.floor(y + sigma), miny + 1, gh)
+        window = ((ys_grid >= miny[:, None, None])
+                  & (ys_grid < maxy[:, None, None])
+                  & (xs_grid >= minx[:, None, None])
+                  & (xs_grid < maxx[:, None, None])
+                  & (v > 0.0)[:, None, None])
+        return occ | window, None
+
+    occ0 = jnp.zeros((n_kp, gh, gw), dtype=bool)
+    occ, _ = jax.lax.scan(body, occ0, poses)
+    return occ
+
+
 def nms_keypoints(poses, hr_shape, *, suppression=1e-5,
                   instance_threshold=0.15, keypoint_threshold=0.15,
                   occupancy_reduction=2.0, occupancy_min_scale=4.0):

@@ -55,7 +55,8 @@ def cif_seeds(cif, hr, stride, *, threshold=0.2, n_seeds=256,
     }
 
 
-def seed_nms(seeds, n_fields, hr_shape, *, n_keep, reduction=2.0, min_scale=4.0):
+def seed_nms(seeds, n_fields, hr_shape, *, n_keep, reduction=2.0,
+             min_scale=4.0, occ0=None):
     """Greedy per-field occupancy suppression of redundant seeds.
 
     This replaces the reference's sequential "skip seed if occupied by an
@@ -99,7 +100,8 @@ def seed_nms(seeds, n_fields, hr_shape, *, n_keep, reduction=2.0, min_scale=4.0)
         occ = jnp.where(accept, occ.at[f].set(occ[f] | window), occ)
         return occ, accept
 
-    occ0 = jnp.zeros((n_fields, gh, gw), dtype=bool)
+    if occ0 is None:
+        occ0 = jnp.zeros((n_fields, gh, gw), dtype=bool)
     _, accepted = jax.lax.scan(body, occ0, jnp.arange(n))
 
     # stable top-n_keep accepted seeds: seeds are already sorted by v desc
