@@ -10,5 +10,10 @@ from .base import Decoder
 from .cifcaf import CifCaf, CifCafDense
 from .cifdet import CifDet
 from .multi import Multi
+from .track_annotation import TrackAnnotation
+from .track_base import TrackBase
+from .tracking_pose import TrackingPose
+from .pose_similarity import PoseSimilarity
+from . import pose_distance
 from . import factory
 from .factory import DECODERS

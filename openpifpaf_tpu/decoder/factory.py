@@ -5,11 +5,13 @@ import logging
 
 from .cifcaf import CifCaf, CifCafDense
 from .cifdet import CifDet
+from .tracking_pose import TrackingPose
+from .pose_similarity import PoseSimilarity
 from .multi import Multi
 
 LOG = logging.getLogger(__name__)
 
-DECODERS = {CifCaf, CifCafDense, CifDet}
+DECODERS = {CifCaf, CifCafDense, CifDet, TrackingPose, PoseSimilarity}
 
 
 def cli(parser: argparse.ArgumentParser, *, workers=None):

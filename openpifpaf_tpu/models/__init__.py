@@ -4,7 +4,7 @@ All modules are NHWC (TPU-native conv layout); head outputs are presented in
 the reference's (B, F, C, H, W) field layout at the API boundary.
 """
 
-from . import basenetworks, heads, shell, factory
+from . import basenetworks, heads, shell, factory, tracking
 from .basenetworks import ShuffleNetV2K, Resnet
 from .heads import CompositeField4
 from .shell import Shell
