@@ -205,3 +205,76 @@ class AnnRescalerDet:
                              top + 1, mask.shape[1])
             mask[field_i, top:bottom, left:right] = 0
         return mask
+
+
+class TrackingAnnRescaler(AnnRescaler):
+    """AnnRescaler over image pairs (reference annrescaler.py:232-310):
+    keypoint sets are track-id-matched concatenations of both frames."""
+
+    def bg_mask(self, anns, width_height, *, crowd_margin):
+        anns1, anns2 = anns
+
+        mask = np.ones((
+            (width_height[1] - 1) // self.stride + 1,
+            (width_height[0] - 1) // self.stride + 1,
+        ), dtype=np.bool_)
+        crowd_bbox = [np.inf, np.inf, 0, 0]
+        for ann in anns1 + anns2:
+            if not ann['iscrowd']:
+                valid_keypoints = ('keypoints' in ann
+                                   and np.any(ann['keypoints'][:, 2] > 0))
+                if valid_keypoints:
+                    continue
+            if 'bbox' not in ann:
+                continue
+
+            bb = np.asarray(ann['bbox'], dtype=float).copy()
+            bb /= self.stride
+            bb[2:] += bb[:2]
+            left = np.clip(int(bb[0] - crowd_margin), 0, mask.shape[1] - 1)
+            top = np.clip(int(bb[1] - crowd_margin), 0, mask.shape[0] - 1)
+            right = np.clip(int(np.ceil(bb[2] + crowd_margin)) + 1,
+                            left + 1, mask.shape[1])
+            bottom = np.clip(int(np.ceil(bb[3] + crowd_margin)) + 1,
+                             top + 1, mask.shape[0])
+            crowd_bbox[0] = min(crowd_bbox[0], left)
+            crowd_bbox[1] = min(crowd_bbox[1], top)
+            crowd_bbox[2] = max(crowd_bbox[2], right)
+            crowd_bbox[3] = max(crowd_bbox[3], bottom)
+
+        if crowd_bbox[1] < crowd_bbox[3] and crowd_bbox[0] < crowd_bbox[2]:
+            mask[int(crowd_bbox[1]):int(crowd_bbox[3]),
+                 int(crowd_bbox[0]):int(crowd_bbox[2])] = 0
+        return mask
+
+    def keypoint_sets(self, anns):
+        anns1, anns2 = anns
+
+        anns1_by_trackid = {ann['track_id']: ann for ann in anns1
+                            if 'track_id' in ann}
+        keypoint_sets_bbox = [
+            (
+                np.concatenate((
+                    anns1_by_trackid[ann2['track_id']]['keypoints'],
+                    ann2['keypoints'],
+                ), axis=0),
+                ann2['bbox'],
+            )
+            for ann2 in anns2
+            if (not ann2['iscrowd']
+                and ann2.get('track_id') in anns1_by_trackid)
+        ]
+        if not keypoint_sets_bbox:
+            return []
+
+        if self.suppress_collision:
+            self.suppress_collision_(keypoint_sets_bbox)
+        keypoint_sets = [kps for kps, _ in keypoint_sets_bbox]
+
+        if self.suppress_invisible:
+            for kps in keypoint_sets:
+                kps[kps[:, 2] < 2.0, 2] = 0.0
+
+        for keypoints in keypoint_sets:
+            keypoints[:, :2] /= self.stride
+        return keypoint_sets

@@ -2,3 +2,4 @@
 
 from .base import Base
 from .coco import Coco
+from .classification import Classification

@@ -34,6 +34,14 @@ BASE_FACTORIES = {
     'resnet152': lambda: basenetworks.Resnet(layers=(3, 8, 36, 3)),
 }
 
+# tracking backbones: same networks; the reference's 't' prefix only adds
+# the eval-time feature cache, which here lives in the video pipeline
+BASE_FACTORIES.update({
+    'tshufflenetv2k16': BASE_FACTORIES['shufflenetv2k16'],
+    'tshufflenetv2k30': BASE_FACTORIES['shufflenetv2k30'],
+    'tresnet50': BASE_FACTORIES['resnet50'],
+})
+
 BASE_TYPES = {basenetworks.ShuffleNetV2K, basenetworks.Resnet}
 
 HEADS = {
@@ -77,6 +85,26 @@ class Factory:
         for meta in head_metas:
             meta.upsample_stride = self.upsample_stride
         assign_strides(head_metas, base_net.stride)
+
+        tracking = any(
+            isinstance(meta, (headmeta.Tcaf, headmeta.TSingleImageCif,
+                              headmeta.TSingleImageCaf))
+            for meta in head_metas)
+        if tracking:
+            from .tracking import TrackingShell, TBaseSingleImage
+            from .tracking import Tcaf as TcafHead
+            head_nets = tuple(
+                TcafHead(meta=meta) if isinstance(meta, headmeta.Tcaf)
+                else TBaseSingleImage(meta=meta)
+                for meta in head_metas)
+            model = TrackingShell(base_net=base_net, head_nets=head_nets)
+
+            def init_variables(rng, input_shape=(2, 97, 129, 3)):
+                dummy = jnp.zeros(input_shape, dtype=jnp.float32)
+                return model.init(rng, dummy, train=True)
+
+            return model, init_variables
+
         head_nets = tuple(HEADS[type(meta)](meta=meta) for meta in head_metas)
         model = Shell(base_net=base_net, head_nets=head_nets)
 

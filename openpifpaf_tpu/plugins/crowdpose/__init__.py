@@ -1,0 +1,74 @@
+"""CrowdPose plugin: 14-keypoint crowded-scene pose estimation
+(reference ``plugins/crowdpose/module.py``)."""
+
+import numpy as np
+
+from ...datasets.factory import DATAMODULES
+from ...datasets.kp_module import KpDataModule
+from ..coco.constants import HFLIP as COCO_HFLIP
+
+KEYPOINTS = [
+    'left_shoulder',
+    'right_shoulder',
+    'left_elbow',
+    'right_elbow',
+    'left_wrist',
+    'right_wrist',
+    'left_hip',
+    'right_hip',
+    'left_knee',
+    'right_knee',
+    'left_ankle',
+    'right_ankle',
+    'head',
+    'neck',
+]
+
+SKELETON = [
+    (13, 14), (14, 1), (14, 2), (1, 2), (7, 8), (1, 3), (3, 5), (2, 4),
+    (4, 6), (1, 7), (2, 8), (7, 9), (9, 11), (8, 10), (10, 12),
+]
+
+SIGMAS = [
+    0.079, 0.079, 0.072, 0.072, 0.062, 0.062, 0.107, 0.107,
+    0.087, 0.087, 0.089, 0.089, 0.079, 0.079,
+]
+
+UPRIGHT_POSE = np.array([
+    [-1.4, 8.0, 2.0],   # left_shoulder
+    [1.4, 8.0, 2.0],    # right_shoulder
+    [-1.75, 6.0, 2.0],  # left_elbow
+    [1.75, 6.2, 2.0],   # right_elbow
+    [-1.75, 4.0, 2.0],  # left_wrist
+    [1.75, 4.2, 2.0],   # right_wrist
+    [-1.26, 4.0, 2.0],  # left_hip
+    [1.26, 4.0, 2.0],   # right_hip
+    [-1.4, 2.0, 2.0],   # left_knee
+    [1.4, 2.1, 2.0],    # right_knee
+    [-1.4, 0.0, 2.0],   # left_ankle
+    [1.4, 0.1, 2.0],    # right_ankle
+    [0.0, 10.3, 2.0],   # head
+    [0.0, 9.3, 2.0],    # neck
+])
+
+
+class CrowdPose(KpDataModule):
+    dataset_name = 'crowdpose'
+    cli_prefix = 'crowdpose'
+
+    keypoints = KEYPOINTS
+    sigmas = SIGMAS
+    skeleton = SKELETON
+    upright_pose = UPRIGHT_POSE
+    hflip = COCO_HFLIP
+
+    train_annotations = 'data-crowdpose/json/crowdpose_trainval.json'
+    val_annotations = 'data-crowdpose/json/crowdpose_val.json'
+    eval_annotations = val_annotations
+    train_image_dir = 'data-crowdpose/images/'
+    val_image_dir = 'data-crowdpose/images/'
+    eval_image_dir = val_image_dir
+
+
+def register():
+    DATAMODULES['crowdpose'] = CrowdPose

@@ -1,0 +1,106 @@
+"""PoseTrack2018 dataset reader (reference ``plugins/posetrack/datasets.py``)
+without the pysparkling dependency: plain glob + json of per-sequence
+annotation files, grouped into frame groups."""
+
+import copy
+import glob
+import json
+import logging
+import os
+import random
+
+import numpy as np
+import PIL.Image
+
+LOG = logging.getLogger(__name__)
+
+
+class Posetrack2018:
+    def __init__(self, annotation_files, data_root, *, preprocess,
+                 group=None, only_annotated=False, max_per_sequence=None):
+        if group is None:
+            group = (0,)
+        self.group = group
+        self.preprocess = preprocess
+        self.data_root = data_root
+        self.only_annotated = only_annotated
+        self.max_per_sequence = max_per_sequence
+
+        self.sequences = {}
+        for file_name in sorted(glob.glob(annotation_files)):
+            with open(file_name, 'r') as f:
+                self.sequences[file_name] = json.load(f)
+
+        self.annotations = []
+        for file_name, raw in self.sequences.items():
+            self.annotations.extend(self.group_annotations(file_name, raw))
+
+        LOG.info('sequences = %d, annotations = %d',
+                 len(self.sequences), len(self.annotations))
+
+    def group_annotations(self, file_name, raw_annotation):
+        all_images = raw_annotation['images']
+        all_annotations = raw_annotation.get('annotations', [])
+        by_image_id = {}
+        for ann in all_annotations:
+            by_image_id.setdefault(ann['image_id'], []).append(ann)
+
+        frame_groups = self.group
+        if not isinstance(frame_groups[0], (tuple, list)):
+            frame_groups = [frame_groups]
+
+        groups = []
+        for i in range(len(all_images)):
+            for this_group in frame_groups:
+                if any(i + gi < 0 for gi in this_group):
+                    continue
+                image_groups = [all_images[i + gi] for gi in this_group]
+                groups.append([
+                    {
+                        'annotation_file': file_name,
+                        'image': image,
+                        'annotations': by_image_id.get(image['frame_id'], []),
+                    }
+                    for image in image_groups
+                ])
+
+        if self.only_annotated:
+            groups = [g for g in groups if all(s['annotations'] for s in g)]
+        if self.max_per_sequence and len(groups) > self.max_per_sequence:
+            groups = random.choices(groups, k=self.max_per_sequence)
+        return groups
+
+    def __getitem__(self, index):
+        group = self.annotations[index]
+
+        images, anns, metas = [], [], []
+        for group_i, data in enumerate(group):
+            local_file_path = os.path.join(
+                self.data_root, data['image']['file_name'])
+            with open(local_file_path, 'rb') as f:
+                images.append(PIL.Image.open(f).convert('RGB'))
+
+            frame_anns = copy.deepcopy(data['annotations'])
+            for ann in frame_anns:
+                if 'keypoints' in ann:
+                    ann['keypoints'] = np.asarray(
+                        ann['keypoints'], dtype=np.float32).reshape(-1, 3)
+                if 'bbox' in ann:
+                    ann['bbox'] = np.asarray(ann['bbox'], dtype=np.float32)
+                ann.setdefault('iscrowd', False)
+            anns.append(frame_anns)
+
+            metas.append({
+                'dataset_index': index,
+                'image_id': data['image']['frame_id'],
+                'file_name': data['image']['file_name'],
+                'local_file_path': local_file_path,
+                'annotation_file': data['annotation_file'],
+                'group_i': group_i,
+            })
+
+        images, anns, metas = self.preprocess(images, anns, metas)
+        return images, anns, metas
+
+    def __len__(self):
+        return len(self.annotations)

@@ -6,6 +6,7 @@ annotations and the meta (offset/scale/rotation/valid_area) so that
 image coordinates.
 """
 
+from . import pair
 from .preprocess import Preprocess
 from .compose import Compose
 from .annotations import NormalizeAnnotations
@@ -15,6 +16,7 @@ from .crop import Crop
 from .hflip import HFlip
 from .image import ImageTransform, Blur, JpegCompression
 from .random import RandomApply, RandomChoice, DeterministicEqualChoice
+from .rotate import RotateBy90, RotateUniform
 from .minsize import MinSize
 from .unclipped import UnclippedArea, UnclippedSides
 from .toannotations import (ToAnnotations, ToKpAnnotations, ToDetAnnotations,
