@@ -212,3 +212,209 @@ class Resnet(nn.Module):
             for _ in range(self.layers[block_i] - 1):
                 x = Bottleneck(features, dilation=dilation)(x, train=train)
         return x
+
+
+class InvertedResidualV2(nn.Module):
+    """MobileNetV2 inverted residual (expand -> depthwise -> project)."""
+    features: int
+    stride: int = 1
+    expand_ratio: int = 6
+
+    @nn.compact
+    def __call__(self, x, *, train: bool):
+        in_features = x.shape[-1]
+        hidden = in_features * self.expand_ratio
+        residual = x
+
+        y = x
+        if self.expand_ratio != 1:
+            y = ConvNormAct(hidden, kernel=1, act=False)(y, train=train)
+            y = nn.relu6(y)
+        y = ConvNormAct(hidden, kernel=3, stride=self.stride,
+                        groups=hidden, act=False)(y, train=train)
+        y = nn.relu6(y)
+        y = ConvNormAct(self.features, kernel=1, act=False)(y, train=train)
+
+        if self.stride == 1 and in_features == self.features:
+            return residual + y
+        return y
+
+
+class MobileNetV2(nn.Module):
+    """MobileNetV2 backbone, stride 32, out 1280
+    (reference ``basenetworks.py:407-429``)."""
+
+    stride = 32
+    out_features = 1280
+
+    # (expand_ratio, features, repeats, stride)
+    config = (
+        (1, 16, 1, 1),
+        (6, 24, 2, 2),
+        (6, 32, 3, 2),
+        (6, 64, 4, 2),
+        (6, 96, 3, 1),
+        (6, 160, 3, 2),
+        (6, 320, 1, 1),
+    )
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        x = ConvNormAct(32, kernel=3, stride=2, act=False)(x, train=train)
+        x = nn.relu6(x)
+        for expand, features, repeats, stride in self.config:
+            for i in range(repeats):
+                x = InvertedResidualV2(
+                    features, stride=stride if i == 0 else 1,
+                    expand_ratio=expand)(x, train=train)
+        x = ConvNormAct(1280, kernel=1, act=False)(x, train=train)
+        return nn.relu6(x)
+
+
+def hard_swish(x):
+    return x * nn.relu6(x + 3.0) / 6.0
+
+
+class SqueezeExcite(nn.Module):
+    reduce_features: int
+
+    @nn.compact
+    def __call__(self, x):
+        s = jnp.mean(x, axis=(1, 2), keepdims=True)
+        s = nn.Conv(self.reduce_features, (1, 1))(s)
+        s = nn.relu(s)
+        s = nn.Conv(x.shape[-1], (1, 1))(s)
+        s = nn.relu6(s + 3.0) / 6.0  # hard sigmoid
+        return x * s
+
+
+class InvertedResidualV3(nn.Module):
+    """MobileNetV3 block with optional squeeze-excitation."""
+    features: int
+    hidden: int
+    kernel: int = 3
+    stride: int = 1
+    use_se: bool = False
+    use_hs: bool = False
+
+    @nn.compact
+    def __call__(self, x, *, train: bool):
+        in_features = x.shape[-1]
+        act = hard_swish if self.use_hs else nn.relu
+        residual = x
+
+        y = x
+        if self.hidden != in_features:
+            y = ConvNormAct(self.hidden, kernel=1, act=False)(y, train=train)
+            y = act(y)
+        y = ConvNormAct(self.hidden, kernel=self.kernel, stride=self.stride,
+                        groups=self.hidden, act=False)(y, train=train)
+        y = act(y)
+        if self.use_se:
+            y = SqueezeExcite(max(1, self.hidden // 4))(y)
+        y = ConvNormAct(self.features, kernel=1, act=False)(y, train=train)
+
+        if self.stride == 1 and in_features == self.features:
+            return residual + y
+        return y
+
+
+class MobileNetV3(nn.Module):
+    """MobileNetV3 backbone with the reference's stride surgery: the input
+    conv stride is removed so the total stride is 16
+    (``basenetworks.py:432-458``)."""
+
+    variant: str = 'large'
+
+    # (kernel, hidden, features, use_se, use_hs, stride)
+    config_large = (
+        (3, 16, 16, False, False, 1),
+        (3, 64, 24, False, False, 2),
+        (3, 72, 24, False, False, 1),
+        (5, 72, 40, True, False, 2),
+        (5, 120, 40, True, False, 1),
+        (5, 120, 40, True, False, 1),
+        (3, 240, 80, False, True, 2),
+        (3, 200, 80, False, True, 1),
+        (3, 184, 80, False, True, 1),
+        (3, 184, 80, False, True, 1),
+        (3, 480, 112, True, True, 1),
+        (3, 672, 112, True, True, 1),
+        (5, 672, 160, True, True, 2),
+        (5, 960, 160, True, True, 1),
+        (5, 960, 160, True, True, 1),
+    )
+    config_small = (
+        (3, 16, 16, True, False, 2),
+        (3, 72, 24, False, False, 2),
+        (3, 88, 24, False, False, 1),
+        (5, 96, 40, True, True, 2),
+        (5, 240, 40, True, True, 1),
+        (5, 240, 40, True, True, 1),
+        (5, 120, 48, True, True, 1),
+        (5, 144, 48, True, True, 1),
+        (5, 288, 96, True, True, 2),
+        (5, 576, 96, True, True, 1),
+        (5, 576, 96, True, True, 1),
+    )
+
+    @property
+    def stride(self) -> int:
+        return 16
+
+    @property
+    def out_features(self) -> int:
+        return 960 if self.variant == 'large' else 576
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        # reference removes the stride of the input conv (stride 1)
+        x = ConvNormAct(16, kernel=3, stride=1, act=False)(x, train=train)
+        x = hard_swish(x)
+        config = (self.config_large if self.variant == 'large'
+                  else self.config_small)
+        for kernel, hidden, features, use_se, use_hs, stride in config:
+            x = InvertedResidualV3(
+                features, hidden, kernel=kernel, stride=stride,
+                use_se=use_se, use_hs=use_hs)(x, train=train)
+        last = 960 if self.variant == 'large' else 576
+        x = ConvNormAct(last, kernel=1, act=False)(x, train=train)
+        return hard_swish(x)
+
+
+class Fire(nn.Module):
+    squeeze_features: int
+    expand_features: int
+
+    @nn.compact
+    def __call__(self, x):
+        s = nn.relu(nn.Conv(self.squeeze_features, (1, 1))(x))
+        e1 = nn.relu(nn.Conv(self.expand_features, (1, 1))(s))
+        e3 = nn.relu(nn.Conv(self.expand_features, (3, 3),
+                             padding=[(1, 1), (1, 1)])(s))
+        return jnp.concatenate([e1, e3], axis=-1)
+
+
+class SqueezeNet(nn.Module):
+    """SqueezeNet 1.1 backbone with the reference's padding adjustments
+    (``basenetworks.py:461-499``): stride 16, out 512."""
+
+    stride = 16
+    out_features = 512
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        x = nn.relu(nn.Conv(64, (3, 3), strides=(2, 2),
+                            padding=[(1, 1), (1, 1)])(x))
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        x = Fire(16, 64)(x)
+        x = Fire(16, 64)(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        x = Fire(32, 128)(x)
+        x = Fire(32, 128)(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        x = Fire(48, 192)(x)
+        x = Fire(48, 192)(x)
+        x = Fire(64, 256)(x)
+        x = Fire(64, 256)(x)
+        return x

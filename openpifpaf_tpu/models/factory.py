@@ -32,6 +32,10 @@ BASE_FACTORIES = {
     'resnet50': lambda: basenetworks.Resnet(layers=(3, 4, 6, 3)),
     'resnet101': lambda: basenetworks.Resnet(layers=(3, 4, 23, 3)),
     'resnet152': lambda: basenetworks.Resnet(layers=(3, 8, 36, 3)),
+    'mobilenetv2': basenetworks.MobileNetV2,
+    'mobilenetv3large': lambda: basenetworks.MobileNetV3(variant='large'),
+    'mobilenetv3small': lambda: basenetworks.MobileNetV3(variant='small'),
+    'squeezenet': basenetworks.SqueezeNet,
 }
 
 # tracking backbones: same networks; the reference's 't' prefix only adds

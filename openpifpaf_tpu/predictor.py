@@ -22,6 +22,11 @@ class Predictor:
     batch_size = 1
     long_edge = None
     loader_workers = None
+    #: pad images up to the next multiple of this many pixels so that the
+    #: jitted forward+decode graphs are reused across image sizes (XLA
+    #: compiles one graph per shape; the reference's pad-to-16 still
+    #: produces dozens of shapes on free-size inputs)
+    size_bucket = 128
 
     def __init__(self, checkpoint=None, head_metas=None, *,
                  model=None, variables=None,
@@ -75,8 +80,30 @@ class Predictor:
             self._forward_fn = forward
         return self._forward_fn
 
+    def _bucket_pad(self, image_batch):
+        """Pad (B, H, W, 3) to bucketed H/W (multiple of bucket + 1).
+
+        Padding with zeros after normalization only adds field cells outside
+        the original image; the decoder's coordinates are unaffected and
+        annotations are inverse-transformed with the original meta.
+        """
+        if not self.size_bucket:
+            return image_batch
+        b = self.size_bucket
+        h, w = image_batch.shape[1:3]
+        target_h = ((max(h - 1, 1) + b - 1) // b) * b + 1
+        target_w = ((max(w - 1, 1) + b - 1) // b) * b + 1
+        if (target_h, target_w) == (h, w):
+            return image_batch
+        out = np.zeros(
+            (image_batch.shape[0], target_h, target_w, image_batch.shape[3]),
+            dtype=np.float32)
+        out[:, :h, :w] = image_batch
+        return out
+
     def fields_batch(self, image_batch):
         start = time.perf_counter()
+        image_batch = self._bucket_pad(np.asarray(image_batch))
         fields = self.forward_fn(self.variables, jnp.asarray(image_batch))
         fields = [np.asarray(f) if f is not None else None for f in fields]
         self.last_nn_time = time.perf_counter() - start
