@@ -1,0 +1,110 @@
+"""Benchmark CLI (reference ``benchmark.py:36-283``): run eval for several
+checkpoints/configurations as subprocesses, collect the stats JSONs and
+tabulate a markdown comparison."""
+
+import argparse
+import datetime
+import json
+import logging
+import os
+import subprocess
+import sys
+
+LOG = logging.getLogger(__name__)
+
+
+class Benchmark:
+    def __init__(self, checkpoints, output_folder, *, reference=None,
+                 dataset='cocokp', eval_args=None):
+        self.checkpoints = checkpoints
+        self.output_folder = output_folder
+        self.reference = reference
+        self.dataset = dataset
+        self.eval_args = eval_args or []
+
+        os.makedirs(output_folder, exist_ok=True)
+
+    def stats_file(self, checkpoint):
+        name = checkpoint.replace('/', '-')
+        return os.path.join(self.output_folder,
+                            f'{name}.eval-{self.dataset}.stats.json')
+
+    def run(self):
+        for checkpoint in self.checkpoints:
+            out_file = self.stats_file(checkpoint)
+            if os.path.exists(out_file):
+                LOG.info('skipping %s (exists)', out_file)
+                continue
+            cmd = [
+                sys.executable, '-m', 'openpifpaf_tpu.eval_cli',
+                '--dataset', self.dataset,
+                '--checkpoint', checkpoint,
+                '--output', out_file.replace('.stats.json', ''),
+            ] + self.eval_args
+            LOG.info('running %s', ' '.join(cmd))
+            subprocess.run(cmd, check=True)
+        return self
+
+    def print_results(self):
+        rows = []
+        reference_stats = None
+        for checkpoint in self.checkpoints:
+            out_file = self.stats_file(checkpoint)
+            if not os.path.exists(out_file):
+                continue
+            with open(out_file) as f:
+                stats = json.load(f)
+            rows.append((checkpoint, stats))
+            if checkpoint == self.reference:
+                reference_stats = stats
+
+        if not rows:
+            print('no results')
+            return
+
+        labels = rows[0][1].get('text_labels', [])
+        header = '| checkpoint | ' + ' | '.join(labels) + ' | t_total [ms] |'
+        sep = '|' + '---|' * (len(labels) + 2)
+        print(header)
+        print(sep)
+        for checkpoint, stats in rows:
+            values = stats.get('stats', [])
+            t_total = (stats.get('total_time', 0)
+                       / max(1, stats.get('n_images', 1)) * 1000)
+            cells = []
+            for i, v in enumerate(values):
+                cell = f'{v * 100:.1f}'
+                if reference_stats and checkpoint != self.reference:
+                    ref_v = reference_stats['stats'][i]
+                    cell += f' ({(v - ref_v) * 100:+.1f})'
+                cells.append(cell)
+            print(f'| {checkpoint} | ' + ' | '.join(cells)
+                  + f' | {t_total:.0f} |')
+
+
+def main():
+    parser = argparse.ArgumentParser(
+        prog='python3 -m openpifpaf_tpu.benchmark')
+    parser.add_argument('--checkpoints', nargs='+', required=True)
+    parser.add_argument('--dataset', default='cocokp')
+    parser.add_argument('--reference', default=None)
+    parser.add_argument('-o', '--output', default=None)
+    parser.add_argument('--n-images', type=int, default=None)
+    args, eval_args = parser.parse_known_args()
+
+    logging.basicConfig(level=logging.INFO)
+
+    if args.output is None:
+        now = datetime.datetime.now().strftime('%y%m%d-%H%M%S')
+        args.output = f'outputs/benchmark-{now}'
+    if args.n_images is not None:
+        eval_args += ['--n-images', str(args.n_images)]
+
+    Benchmark(args.checkpoints, args.output,
+              reference=args.reference,
+              dataset=args.dataset,
+              eval_args=eval_args).run().print_results()
+
+
+if __name__ == '__main__':
+    main()

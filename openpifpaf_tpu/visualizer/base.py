@@ -1,6 +1,12 @@
-"""Visualizer base (reference ``visualizer/base.py:25-166``)."""
+"""Visualizer base (reference ``visualizer/base.py:25-166``).
+
+Visualizers draw debug overlays for intermediate fields. Fields to plot are
+requested via ``--debug-indices headname:fieldindex[:type]``; the request
+state is shared through class attributes like the reference's global stash.
+"""
 
 import logging
+from contextlib import contextmanager
 
 import numpy as np
 
@@ -21,6 +27,23 @@ class Base:
         self.head_name = head_name
         self._ax = None
 
+    @staticmethod
+    def set_all_indices(all_indices):
+        """Parse --debug-indices entries 'head:field[:type]' with comma
+        lists, e.g. 'cif:5,6:confidence,hr'."""
+        parsed = []
+        for entry in all_indices:
+            parts = entry.split(':')
+            head_names = parts[0].split(',')
+            field_indices = [int(i) for i in parts[1].split(',')] \
+                if len(parts) > 1 else []
+            types = parts[2].split(',') if len(parts) > 2 else ['all']
+            for hn in head_names:
+                for fi in field_indices:
+                    for t in types:
+                        parsed.append((hn, fi, t))
+        Base.all_indices = parsed
+
     @classmethod
     def image(cls, image=None, meta=None):
         if image is None:
@@ -34,10 +57,8 @@ class Base:
     @classmethod
     def processed_image(cls, image=None):
         if image is None:
-            cls._processed_image = None
-            return cls
-        image = np.moveaxis(np.asarray(image), 0, -1) \
-            if np.asarray(image).shape[0] in (1, 3) else np.asarray(image)
+            return cls._processed_image
+        image = np.asarray(image)
         image = 0.5 + 0.5 * image / cls.processed_image_intensity_spread
         cls._processed_image = np.clip(image, 0.0, 1.0)
         return cls
@@ -54,12 +75,42 @@ class Base:
         cls._processed_image = None
         cls._ground_truth = None
 
-    @property
-    def indices(self):
-        return [f for hn, f in self.all_indices if hn == self.head_name]
+    def indices(self, type_=None):
+        """Field indices requested for this head (and visualization type)."""
+        return [
+            fi for hn, fi, t in self.all_indices
+            if hn == self.head_name and (type_ is None or t in ('all', type_))
+        ]
+
+    @contextmanager
+    def image_canvas(self, image=None, **kwargs):
+        from ..show.canvas import image_canvas as show_image_canvas, canvas
+
+        if self.common_ax is not None:
+            yield self.common_ax
+            return
+        if image is not None:
+            with show_image_canvas(image, show=True, **kwargs) as ax:
+                yield ax
+            return
+        with canvas(show=True, **kwargs) as ax:
+            yield ax
+
+    @staticmethod
+    def scale_scalar(field, stride):
+        field = np.repeat(field, stride, 0)
+        field = np.repeat(field, stride, 1)
+        # center the feature cells
+        half = stride // 2
+        return field[max(0, half - 1):, max(0, half - 1):]
+
+    @staticmethod
+    def colorbar(ax, im):
+        import matplotlib.pyplot as plt
+        plt.colorbar(im, ax=ax, fraction=0.046, pad=0.04)
 
     def targets(self, field, *, annotation_dicts=None):
-        """Visualize encoded targets. No-op unless indices are requested."""
+        """Visualize encoded targets."""
 
     def predicted(self, field):
-        """Visualize predicted fields. No-op unless indices are requested."""
+        """Visualize predicted fields."""
