@@ -1,8 +1,6 @@
-"""Debug visualizers for intermediate fields (reference ``visualizer/``).
-
-Round 1 placeholder: the Base class stores the processed image / ground
-truth like the reference's global stash; field visualizers arrive with the
-show/debug milestone.
-"""
+"""Debug visualizers for intermediate fields (reference ``visualizer/``)."""
 
 from .base import Base
+from .fields_vis import (Cif, Caf, CifHr, CifDet, Seeds, Occupancy,
+                         MultiTracking)
+from .cli import cli, configure
