@@ -110,6 +110,9 @@ def cli():
     parser.add_argument('--n-images', default=None, type=int)
     parser.add_argument('--write-predictions', default=False,
                         action='store_true')
+    parser.add_argument('--watch', default=False, nargs='?', const=60,
+                        type=int,
+                        help='poll for new checkpoints with this interval')
     parser.add_argument('--debug', default=False, action='store_true')
     logger.cli(parser)
     decoder.factory.cli(parser)
@@ -136,6 +139,31 @@ def main():
 
     if args.output is None:
         args.output = (args.checkpoint or 'eval') + '.eval-' + args.dataset
+
+    if args.watch:
+        # reference eval.py:216-240: poll the checkpoint pattern and
+        # evaluate each new checkpoint as it appears
+        import glob
+
+        evaluated = set()
+        while True:
+            for meta_file in sorted(glob.glob(args.checkpoint + '.epoch*.json')):
+                checkpoint = meta_file[:-len('.json')]
+                if checkpoint in evaluated:
+                    continue
+                if not os.path.exists(checkpoint + '.arrays'):
+                    continue
+                LOG.info('watch: evaluating %s', checkpoint)
+                evaluator = Evaluator(args.dataset)
+                evaluator.n_images = args.n_images
+                evaluator.evaluate(
+                    checkpoint + '.eval-' + args.dataset,
+                    checkpoint=checkpoint,
+                    write_predictions=args.write_predictions)
+                evaluated.add(checkpoint)
+            time.sleep(args.watch)
+        return
+
     evaluator.evaluate(args.output, checkpoint=args.checkpoint,
                        write_predictions=args.write_predictions)
 

@@ -44,6 +44,16 @@ class Wholebody(KpDataModule):
     val_image_dir = 'data-mscoco/images/val2017/'
     eval_image_dir = val_image_dir
 
+    def metrics(self):
+        from ..coco.dataset import CocoIndex
+        from .metric import WholeBodyMetric
+        index = CocoIndex(self.eval_annotations)
+        gt_by_image = {
+            image_id: index.annotations(image_id, [1])
+            for image_id in index.images
+        }
+        return [WholeBodyMetric(gt_by_image, sigmas=self.sigmas)]
+
 
 def register():
     DATAMODULES['wholebody'] = Wholebody

@@ -1,7 +1,12 @@
 """Visualization of annotations (matplotlib painters)."""
 
-from .painters import KeypointPainter, DetectionPainter, CrowdPainter, AnnotationPainter
+from .painters import (KeypointPainter, DetectionPainter, CrowdPainter,
+                       AnnotationPainter)
 from .canvas import Canvas, image_canvas, canvas
+from .animation_frame import AnimationFrame
+from . import fields
+from .fields import white_screen, quiver, boxes, circles
+from .cli import cli, configure
 
 PAINTERS = {
     'Annotation': KeypointPainter,

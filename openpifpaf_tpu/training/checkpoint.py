@@ -105,29 +105,68 @@ def save_shell(path, *, base_name, head_metas, params, batch_stats,
     save(path, params=params, batch_stats=batch_stats, meta=meta)
 
 
-def load_shell(path, *, head_metas=None):
+def load_shell(path, *, head_metas=None, head_consolidation='filter_and_extend'):
     """Rebuild a Shell model + variables from a checkpoint.
 
-    Returns (model, variables). If head_metas is provided, they are used for
-    consolidation (head order must match the checkpoint for now).
+    head_consolidation (reference network/factory.py:198-234):
+      'keep' — ignore the requested head_metas, use the checkpoint's heads;
+      'create' — all requested heads freshly initialized;
+      'filter_and_extend' — reuse checkpoint weights for requested heads
+        that match by (dataset, name), initialize the rest.
     """
+    import jax
+
     from ..models import factory as models_factory
     from ..models.shell import Shell
 
     arrays, meta = load(path)
     ckpt_metas = [headmeta_from_dict(d) for d in meta['head_metas']]
-    metas = ckpt_metas if head_metas is None else head_metas
 
-    base_net = models_factory.BASE_FACTORIES[meta['base_name']]()
-    for m, ckpt_m in zip(metas, ckpt_metas):
-        m.head_index = ckpt_m.head_index
-        m.base_stride = ckpt_m.base_stride
-        m.upsample_stride = ckpt_m.upsample_stride
-    head_nets = tuple(models_factory.HEADS[type(m)](meta=m) for m in metas)
-    model = Shell(base_net=base_net, head_nets=head_nets)
-    variables = {'params': arrays['params'],
-                 'batch_stats': arrays['batch_stats']}
-    return model, variables
+    def build(metas, base_stride_from=None):
+        base_net = models_factory.BASE_FACTORIES[meta['base_name']]()
+        for i, m in enumerate(metas):
+            m.head_index = i
+            m.base_stride = base_net.stride
+        head_nets = tuple(
+            models_factory.HEADS[type(m)](meta=m) for m in metas)
+        return Shell(base_net=base_net, head_nets=head_nets)
+
+    if head_metas is None or head_consolidation == 'keep':
+        model = build(ckpt_metas)
+        variables = {'params': arrays['params'],
+                     'batch_stats': arrays['batch_stats']}
+        return model, variables
+
+    model = build(head_metas)
+    import jax.numpy as jnp
+    dummy = jnp.zeros((1, 97, 129, 3), dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), dummy, train=True)
+    variables = jax.tree_util.tree_map(lambda x: x, variables)  # unfreeze copy
+
+    params = dict(variables['params'])
+    batch_stats = dict(variables.get('batch_stats', {}))
+    params['base_net'] = arrays['params']['base_net']
+    if 'base_net' in arrays['batch_stats']:
+        batch_stats['base_net'] = arrays['batch_stats']['base_net']
+
+    if head_consolidation == 'filter_and_extend':
+        ckpt_by_key = {(m.dataset, m.name): i
+                       for i, m in enumerate(ckpt_metas)}
+        for i, m in enumerate(head_metas):
+            ckpt_i = ckpt_by_key.get((m.dataset, m.name))
+            if ckpt_i is None:
+                LOG.info('initializing new head %s.%s', m.dataset, m.name)
+                continue
+            src = f'head_nets_{ckpt_i}'
+            dst = f'head_nets_{i}'
+            if src in arrays['params']:
+                params[dst] = arrays['params'][src]
+            if src in arrays['batch_stats']:
+                batch_stats[dst] = arrays['batch_stats'][src]
+    elif head_consolidation != 'create':
+        raise ValueError(f'unknown head consolidation {head_consolidation}')
+
+    return model, {'params': params, 'batch_stats': batch_stats}
 
 
 def file_hash(path):

@@ -14,7 +14,7 @@ from .scale import RescaleAbsolute, RescaleRelative
 from .pad import CenterPad, CenterPadTight
 from .crop import Crop
 from .hflip import HFlip
-from .image import ImageTransform, Blur, JpegCompression
+from .image import ImageTransform, Blur, HorizontalBlur, JpegCompression
 from .random import RandomApply, RandomChoice, DeterministicEqualChoice
 from .rotate import RotateBy90, RotateUniform
 from .minsize import MinSize
@@ -22,4 +22,5 @@ from .unclipped import UnclippedArea, UnclippedSides
 from .toannotations import (ToAnnotations, ToKpAnnotations, ToDetAnnotations,
                             ToCrowdAnnotations)
 from .encoders import Encoders
+from .misc import Assert, Deinterlace, MultiScale, AddCrowdForIncompleteHead
 from .normalize import EVAL_TRANSFORM, TRAIN_TRANSFORM, NormalizeImage, ToNumpy

@@ -45,6 +45,30 @@ class Blur(Preprocess):
         return image, anns, meta
 
 
+class HorizontalBlur(Preprocess):
+    """Motion-blur horizontally (reference transforms/image.py)."""
+
+    def __init__(self, max_sigma=5.0):
+        self.max_sigma = max_sigma
+
+    def __call__(self, image, anns, meta):
+        im_np = np.asarray(image).astype(np.float32)
+        sigma = self.max_sigma * float(np.random.rand())
+        radius = max(1, int(2 * sigma))
+        kernel = np.exp(
+            -0.5 * (np.arange(-radius, radius + 1) / max(sigma, 0.1)) ** 2)
+        kernel /= kernel.sum()
+        blurred = np.stack([
+            np.apply_along_axis(
+                lambda row: np.convolve(row, kernel, mode='same'),
+                1, im_np[:, :, c])
+            for c in range(im_np.shape[2])
+        ], axis=2)
+        image = PIL.Image.fromarray(
+            np.clip(blurred, 0, 255).astype(np.uint8))
+        return image, anns, meta
+
+
 class ColorJitter(Preprocess):
     """PIL-based color jitter (brightness/contrast/saturation/hue)."""
 
