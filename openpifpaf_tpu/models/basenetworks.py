@@ -136,20 +136,48 @@ class ShuffleNetV2K(nn.Module):
 
 
 class Bottleneck(nn.Module):
-    """ResNet v1 bottleneck block (torchvision layout)."""
+    """ResNet v1 bottleneck block (torchvision layout).
+
+    ``groups``/``width_per_group`` follow torchvision's ResNeXt
+    parameterization: inner width = features/4 * width_per_group/64 * groups.
+    """
     features: int  # output features (4x the inner width)
+    stride: int = 1
+    dilation: int = 1
+    project: bool = False
+    groups: int = 1
+    width_per_group: int = 64
+
+    @nn.compact
+    def __call__(self, x, *, train: bool):
+        width = (self.features // 4) * self.width_per_group // 64 * self.groups
+        residual = x
+        y = ConvNormAct(width, kernel=1)(x, train=train)
+        y = ConvNormAct(width, kernel=3, stride=self.stride,
+                        dilation=self.dilation,
+                        groups=self.groups)(y, train=train)
+        y = ConvNormAct(self.features, kernel=1, act=False)(y, train=train)
+        if self.project:
+            residual = ConvNormAct(self.features, kernel=1,
+                                   stride=self.stride, act=False)(x, train=train)
+        return nn.relu(residual + y)
+
+
+class BasicBlock(nn.Module):
+    """ResNet v1 basic block (two 3x3 convs, torchvision layout) —
+    used by resnet18 (network/factory.py:57)."""
+    features: int
     stride: int = 1
     dilation: int = 1
     project: bool = False
 
     @nn.compact
     def __call__(self, x, *, train: bool):
-        width = self.features // 4
         residual = x
-        y = ConvNormAct(width, kernel=1)(x, train=train)
-        y = ConvNormAct(width, kernel=3, stride=self.stride,
-                        dilation=self.dilation)(y, train=train)
-        y = ConvNormAct(self.features, kernel=1, act=False)(y, train=train)
+        y = ConvNormAct(self.features, kernel=3, stride=self.stride,
+                        dilation=self.dilation)(x, train=train)
+        y = ConvNormAct(self.features, kernel=3, dilation=self.dilation,
+                        act=False)(y, train=train)
         if self.project:
             residual = ConvNormAct(self.features, kernel=1,
                                    stride=self.stride, act=False)(x, train=train)
@@ -164,10 +192,13 @@ class Resnet(nn.Module):
     """
     layers: Sequence[int] = (3, 4, 6, 3)
     base_features: int = 256
+    basic_block: bool = False  # True for resnet18/34 (BasicBlock, 512 out)
     pool0_stride: int = 0
     input_conv_stride: int = 2
     block5_dilation: int = 1
     remove_last_block: bool = False
+    groups: int = 1  # >1 turns this into ResNeXt (network/factory.py:61-62)
+    width_per_group: int = 64
 
     @property
     def stride(self) -> int:
@@ -207,10 +238,20 @@ class Resnet(nn.Module):
             is_last = block_i == 3
             dilation = self.block5_dilation if is_last else 1
             stride = 1 if block_i == 0 or (is_last and dilation != 1) else 2
+            if self.basic_block:
+                # torchvision BasicBlock stage 0 has no projection
+                x = BasicBlock(features, stride=stride, dilation=dilation,
+                               project=block_i > 0)(x, train=train)
+                for _ in range(self.layers[block_i] - 1):
+                    x = BasicBlock(features, dilation=dilation)(x, train=train)
+                continue
             x = Bottleneck(features, stride=stride, dilation=dilation,
-                           project=True)(x, train=train)
+                           project=True, groups=self.groups,
+                           width_per_group=self.width_per_group)(x, train=train)
             for _ in range(self.layers[block_i] - 1):
-                x = Bottleneck(features, dilation=dilation)(x, train=train)
+                x = Bottleneck(features, dilation=dilation, groups=self.groups,
+                               width_per_group=self.width_per_group)(
+                                   x, train=train)
         return x
 
 

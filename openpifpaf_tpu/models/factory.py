@@ -28,10 +28,25 @@ BASE_FACTORIES = {
         stages_repeats=[8, 16, 6], stages_out_channels=[32, 512, 1024, 2048, 2048]),
     'shufflenetv2k44': lambda: basenetworks.ShuffleNetV2K(
         stages_repeats=[12, 24, 8], stages_out_channels=[32, 512, 1024, 2048, 2048]),
-    'resnet18': lambda: basenetworks.Resnet(layers=(2, 2, 2, 2)),
+    'shufflenetv2kx5': lambda: basenetworks.ShuffleNetV2K(
+        stages_repeats=[6, 13, 6], stages_out_channels=[42, 640, 1280, 2560, 2560]),
+    # original torchvision ShuffleNetV2 (k=3 blocks, max-pool removed ->
+    # stride 16; network/basenetworks.py:36-56)
+    'shufflenetv2x1': lambda: basenetworks.ShuffleNetV2K(
+        stages_repeats=[4, 8, 4], stages_out_channels=[24, 116, 232, 464, 1024],
+        kernel=3),
+    'shufflenetv2x2': lambda: basenetworks.ShuffleNetV2K(
+        stages_repeats=[4, 8, 4], stages_out_channels=[24, 244, 488, 976, 2048],
+        kernel=3),
+    'resnet18': lambda: basenetworks.Resnet(
+        layers=(2, 2, 2, 2), base_features=64, basic_block=True),
     'resnet50': lambda: basenetworks.Resnet(layers=(3, 4, 6, 3)),
     'resnet101': lambda: basenetworks.Resnet(layers=(3, 4, 23, 3)),
     'resnet152': lambda: basenetworks.Resnet(layers=(3, 8, 36, 3)),
+    'resnext50': lambda: basenetworks.Resnet(
+        layers=(3, 4, 6, 3), groups=32, width_per_group=4),
+    'resnext101': lambda: basenetworks.Resnet(
+        layers=(3, 4, 23, 3), groups=32, width_per_group=8),
     'mobilenetv2': basenetworks.MobileNetV2,
     'mobilenetv3large': lambda: basenetworks.MobileNetV3(variant='large'),
     'mobilenetv3small': lambda: basenetworks.MobileNetV3(variant='small'),

@@ -75,3 +75,21 @@ def test_inference_postprocessing_ranges():
     h, w = cif.shape[-2:]
     assert abs(float(jnp.mean(cif[:, :, 2])) - (w - 1) / 2) < 3.0
     assert abs(float(jnp.mean(cif[:, :, 3])) - (h - 1) / 2) < 3.0
+
+
+@pytest.mark.parametrize('base_name,out_features', [
+    ('resnext50', 2048),
+    ('shufflenetv2x1', 1024),
+    ('shufflenetv2x2', 2048),
+    ('shufflenetv2kx5', 2560),
+])
+def test_backbone_registry_variants(base_name, out_features):
+    """Every reference BASE_FACTORIES entry exists and produces stride-16
+    features of the documented width (reference network/factory.py:51-79)."""
+    net = models_factory.BASE_FACTORIES[base_name]()
+    assert net.stride == 16
+    assert net.out_features == out_features
+    x = np.zeros((1, 65, 65, 3), np.float32)
+    variables = net.init(jax.random.PRNGKey(0), x, train=False)
+    out = net.apply(variables, x, train=False)
+    assert out.shape == (1, 5, 5, out_features)
