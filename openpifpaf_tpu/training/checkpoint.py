@@ -119,8 +119,18 @@ def load_shell(path, *, head_metas=None, head_consolidation='filter_and_extend')
     from ..models import factory as models_factory
     from ..models.shell import Shell
 
-    arrays, meta = load(path)
-    ckpt_metas = [headmeta_from_dict(d) for d in meta['head_metas']]
+    if os.path.isfile(path) and not os.path.exists(path + '.json'):
+        # a single file is a reference (PyTorch) checkpoint: convert in place
+        from ..models import convert_torch
+        base_name, ckpt_metas, variables, epoch = \
+            convert_torch.convert_checkpoint(path, head_metas=head_metas)
+        arrays = {'params': variables['params'],
+                  'batch_stats': variables['batch_stats']}
+        meta = {'base_name': base_name, 'epoch': epoch,
+                'head_metas': [headmeta_to_dict(m) for m in ckpt_metas]}
+    else:
+        arrays, meta = load(path)
+        ckpt_metas = [headmeta_from_dict(d) for d in meta['head_metas']]
 
     def build(metas, base_stride_from=None):
         base_net = models_factory.BASE_FACTORIES[meta['base_name']]()

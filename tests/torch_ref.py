@@ -1,0 +1,280 @@
+"""PyTorch fixture models that replicate the *reference checkpoint layout*.
+
+These mirror the module registration structure of the reference
+(``network/basenetworks.py:186-345`` for ShuffleNetV2K,
+``basenetworks.py:71-183`` for Resnet, ``network/nets.py:7-33`` +
+``network/heads.py:272-310`` for Shell/CompositeField4) so that
+``torch.save({'model': shell, ...})`` produces checkpoints with the same
+dotted state names the converter must handle. Written from the structural
+survey; used only as a test fixture for numeric conversion parity.
+"""
+
+import torch
+
+
+def _cna(inp, out, kernel=3, stride=1, groups=1, dilation=1):
+    padding = (kernel - 1) // 2 * dilation
+    return torch.nn.Sequential(
+        torch.nn.Conv2d(inp, out, kernel, stride, padding,
+                        groups=groups, dilation=dilation, bias=False),
+        torch.nn.BatchNorm2d(out),
+        torch.nn.ReLU(inplace=True),
+    )
+
+
+def _channel_shuffle(x, groups=2):
+    b, c, h, w = x.shape
+    x = x.view(b, groups, c // groups, h, w).transpose(1, 2).contiguous()
+    return x.view(b, c, h, w)
+
+
+class InvertedResidualK(torch.nn.Module):
+    def __init__(self, inp, oup, first_in_stage, *, stride=1, kernel=5):
+        super().__init__()
+        branch = oup // 2
+        pad = (kernel - 1) // 2
+
+        self.branch1 = None
+        if first_in_stage:
+            self.branch1 = torch.nn.Sequential(
+                torch.nn.Conv2d(inp, inp, kernel, stride, pad,
+                                groups=inp, bias=False),
+                torch.nn.BatchNorm2d(inp),
+                torch.nn.Conv2d(inp, branch, 1, bias=False),
+                torch.nn.BatchNorm2d(branch),
+                torch.nn.ReLU(inplace=True),
+            )
+        self.branch2 = torch.nn.Sequential(
+            torch.nn.Conv2d(inp if first_in_stage else branch, branch, 1,
+                            bias=False),
+            torch.nn.BatchNorm2d(branch),
+            torch.nn.ReLU(inplace=True),
+            torch.nn.Conv2d(branch, branch, kernel, stride, pad,
+                            groups=branch, bias=False),
+            torch.nn.BatchNorm2d(branch),
+            torch.nn.Conv2d(branch, branch, 1, bias=False),
+            torch.nn.BatchNorm2d(branch),
+            torch.nn.ReLU(inplace=True),
+        )
+
+    def forward(self, x):
+        if self.branch1 is None:
+            x1, x2 = x.chunk(2, dim=1)
+            out = torch.cat((x1, self.branch2(x2)), dim=1)
+        else:
+            out = torch.cat((self.branch1(x), self.branch2(x)), dim=1)
+        return _channel_shuffle(out)
+
+
+class ShuffleNetV2K(torch.nn.Module):
+    stride = 16
+
+    def __init__(self, stages_repeats, stages_out_channels, kernel=5):
+        super().__init__()
+        self.out_features = stages_out_channels[-1]
+        self.input_block = torch.nn.Sequential(
+            _cna(3, stages_out_channels[0], 3, 2))
+        inp = stages_out_channels[0]
+        for stage_i, (repeats, out) in enumerate(
+                zip(stages_repeats, stages_out_channels[1:4])):
+            seq = [InvertedResidualK(inp, out, True, stride=2, kernel=kernel)]
+            seq += [InvertedResidualK(out, out, False, kernel=kernel)
+                    for _ in range(repeats - 1)]
+            setattr(self, f'stage{stage_i + 2}', torch.nn.Sequential(*seq))
+            inp = out
+        self.conv5 = _cna(inp, stages_out_channels[-1], 1)
+
+    def forward(self, x):
+        x = self.input_block(x)
+        x = self.stage2(x)
+        x = self.stage3(x)
+        x = self.stage4(x)
+        return self.conv5(x)
+
+
+class Bottleneck(torch.nn.Module):
+    def __init__(self, inp, planes, stride=1, groups=1, width_per_group=64):
+        super().__init__()
+        width = planes * width_per_group // 64 * groups
+        out = planes * 4
+        self.conv1 = torch.nn.Conv2d(inp, width, 1, bias=False)
+        self.bn1 = torch.nn.BatchNorm2d(width)
+        self.conv2 = torch.nn.Conv2d(width, width, 3, stride, 1,
+                                     groups=groups, bias=False)
+        self.bn2 = torch.nn.BatchNorm2d(width)
+        self.conv3 = torch.nn.Conv2d(width, out, 1, bias=False)
+        self.bn3 = torch.nn.BatchNorm2d(out)
+        self.relu = torch.nn.ReLU(inplace=True)
+        self.downsample = None
+        if stride != 1 or inp != out:
+            self.downsample = torch.nn.Sequential(
+                torch.nn.Conv2d(inp, out, 1, stride, bias=False),
+                torch.nn.BatchNorm2d(out),
+            )
+
+    def forward(self, x):
+        identity = self.downsample(x) if self.downsample is not None else x
+        y = self.relu(self.bn1(self.conv1(x)))
+        y = self.relu(self.bn2(self.conv2(y)))
+        y = self.bn3(self.conv3(y))
+        return self.relu(identity + y)
+
+
+class BasicBlock(torch.nn.Module):
+    def __init__(self, inp, planes, stride=1):
+        super().__init__()
+        self.conv1 = torch.nn.Conv2d(inp, planes, 3, stride, 1, bias=False)
+        self.bn1 = torch.nn.BatchNorm2d(planes)
+        self.conv2 = torch.nn.Conv2d(planes, planes, 3, 1, 1, bias=False)
+        self.bn2 = torch.nn.BatchNorm2d(planes)
+        self.relu = torch.nn.ReLU(inplace=True)
+        self.downsample = None
+        if stride != 1 or inp != planes:
+            self.downsample = torch.nn.Sequential(
+                torch.nn.Conv2d(inp, planes, 1, stride, bias=False),
+                torch.nn.BatchNorm2d(planes),
+            )
+
+    def forward(self, x):
+        identity = self.downsample(x) if self.downsample is not None else x
+        y = self.relu(self.bn1(self.conv1(x)))
+        y = self.bn2(self.conv2(y))
+        return self.relu(identity + y)
+
+
+class Resnet(torch.nn.Module):
+    """Reference layout: input_block (pool removed -> stride 16) +
+    block2..block5."""
+    stride = 16
+
+    def __init__(self, layers, *, basic=False, groups=1, width_per_group=64):
+        super().__init__()
+        self.input_block = torch.nn.Sequential(
+            torch.nn.Conv2d(3, 64, 7, 2, 3, bias=False),
+            torch.nn.BatchNorm2d(64),
+            torch.nn.ReLU(inplace=True),
+        )
+        block_cls = BasicBlock if basic else Bottleneck
+        inp = 64
+        for block_i, repeats in enumerate(layers):
+            planes = 64 * (2 ** block_i)
+            stride = 1 if block_i == 0 else 2
+            if basic:
+                seq = [block_cls(inp, planes, stride)]
+                inp = planes
+            else:
+                seq = [block_cls(inp, planes, stride, groups, width_per_group)]
+                inp = planes * 4
+            for _ in range(repeats - 1):
+                seq.append(block_cls(inp, planes) if basic else
+                           block_cls(inp, planes, 1, groups, width_per_group))
+            setattr(self, f'block{block_i + 2}', torch.nn.Sequential(*seq))
+        self.out_features = inp
+
+    def forward(self, x):
+        x = self.input_block(x)
+        x = self.block2(x)
+        x = self.block3(x)
+        x = self.block4(x)
+        return self.block5(x)
+
+
+class Cif:  # noqa: mirror of reference headmeta.Cif attribute names
+    def __init__(self, name, dataset, keypoints, sigmas):
+        self.name = name
+        self.dataset = dataset
+        self.keypoints = keypoints
+        self.sigmas = sigmas
+        self.pose = None
+        self.draw_skeleton = None
+        self.score_weights = None
+        self.upsample_stride = 1
+        self.n_confidences, self.n_vectors, self.n_scales = 1, 1, 1
+
+    @property
+    def n_fields(self):
+        return len(self.keypoints)
+
+
+class Caf:
+    def __init__(self, name, dataset, keypoints, sigmas, skeleton):
+        self.name = name
+        self.dataset = dataset
+        self.keypoints = keypoints
+        self.sigmas = sigmas
+        self.skeleton = skeleton
+        self.pose = None
+        self.sparse_skeleton = None
+        self.only_in_field_of_view = False
+        self.upsample_stride = 1
+        self.n_confidences, self.n_vectors, self.n_scales = 1, 2, 2
+
+    @property
+    def n_fields(self):
+        return len(self.skeleton)
+
+
+class CompositeField4(torch.nn.Module):
+    def __init__(self, meta, in_features):
+        super().__init__()
+        self.meta = meta
+        n_components = 1 + meta.n_confidences + meta.n_vectors * 2 + meta.n_scales
+        self.conv = torch.nn.Conv2d(
+            in_features, meta.n_fields * n_components, 1)
+
+    def forward(self, x):  # raw (training) output layout (B, F, C, H, W)
+        x = self.conv(x)
+        b, _, h, w = x.shape
+        return x.view(b, self.meta.n_fields, -1, h, w)
+
+
+class Shell(torch.nn.Module):
+    def __init__(self, base_net, head_nets):
+        super().__init__()
+        self.base_net = base_net
+        self.head_nets = torch.nn.ModuleList(head_nets)
+
+    def forward(self, x):
+        x = self.base_net(x)
+        return tuple(hn(x) for hn in self.head_nets)
+
+
+def build_shell(base_name='shufflenetv2k16'):
+    if base_name == 'shufflenetv2k16':
+        base = ShuffleNetV2K([4, 8, 4], [24, 348, 696, 1392, 1392])
+    elif base_name == 'resnet18':
+        base = Resnet([2, 2, 2, 2], basic=True)
+    elif base_name == 'resnet50':
+        base = Resnet([3, 4, 6, 3])
+    elif base_name == 'resnext50':
+        base = Resnet([3, 4, 6, 3], groups=32, width_per_group=4)
+    else:
+        raise ValueError(base_name)
+
+    kps = [f'kp{i}' for i in range(17)]
+    sigmas = [0.05] * 17
+    skeleton = [(i + 1, i + 2) for i in range(16)] + [(1, 17), (2, 16), (3, 15)]
+    cif = Cif('cif', 'cocokp', kps, sigmas)
+    caf = Caf('caf', 'cocokp', kps, sigmas, skeleton)
+    heads = [CompositeField4(cif, base.out_features),
+             CompositeField4(caf, base.out_features)]
+    shell = Shell(base, heads)
+    # reference model_defaults (network/nets.py:60-89): BN eps=1e-3,
+    # momentum=0.01 — applied to every trained reference model
+    for m in shell.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.eps = 1e-3
+            m.momentum = 0.01
+    return shell
+
+
+def randomize_batch_norm_stats(model, seed=0):
+    """Give running stats non-trivial values so eval-mode parity actually
+    exercises the batch_stats conversion."""
+    gen = torch.Generator().manual_seed(seed)
+    for m in model.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.running_mean.copy_(torch.randn(m.running_mean.shape,
+                                             generator=gen) * 0.1)
+            m.running_var.copy_(
+                1.0 + 0.3 * torch.rand(m.running_var.shape, generator=gen))
