@@ -8,4 +8,5 @@ from .loader_with_reset import LoaderWithReset
 from .multiloader import MultiLoader
 from .multimodule import MultiDataModule
 from .kp_module import KpDataModule
+from .wrapped import WrappedDataset
 from . import collate

@@ -96,3 +96,48 @@ class CompositeField4(nn.Module):
             scales = nn.softplus(x[:, :, 1 + nc + 2 * nv:1 + nc + 2 * nv + ns])
             parts.append(scales)
         return jnp.concatenate(parts, axis=2)
+
+
+def pif_hflip(fields, keypoints, hflip):
+    """Horizontal test-time flip of decoded CIF fields
+    (reference ``network/heads.py:31-52``).
+
+    fields: (B, F, C, H, W) with channel layout [logb, conf, x, y, scale].
+    Returns fields of the mirrored image mapped back: left/right keypoint
+    fields swapped, W axis reversed, x regression negated.
+    """
+    flip_indices = jnp.asarray([
+        keypoints.index(hflip[kp]) if kp in hflip else i
+        for i, kp in enumerate(keypoints)])
+    out = fields[:, flip_indices, :, :, ::-1]
+    return out.at[:, :, 2].multiply(-1.0)
+
+
+def paf_hflip(fields, keypoints, skeleton, hflip):
+    """Horizontal test-time flip of decoded CAF fields
+    (reference ``network/heads.py:55-101``).
+
+    fields: (B, F, C, H, W) with layout [logb, conf, x1, y1, x2, y2, s1, s2].
+    """
+    names = [(keypoints[a - 1], keypoints[b - 1]) for a, b in skeleton]
+    flipped = [(hflip.get(a, a), hflip.get(b, b)) for a, b in names]
+    flip_indices = list(range(len(skeleton)))
+    reverse = []
+    for i, (a, b) in enumerate(names):
+        if (a, b) in flipped:
+            flip_indices[i] = flipped.index((a, b))
+        if (b, a) in flipped:
+            flip_indices[i] = flipped.index((b, a))
+            reverse.append(i)
+    out = fields[:, jnp.asarray(flip_indices), :, :, ::-1]
+    out = out.at[:, :, 2].multiply(-1.0)
+    out = out.at[:, :, 4].multiply(-1.0)
+    if reverse:
+        rev = jnp.asarray(reverse)
+        v1 = out[:, rev, 2:4]
+        v2 = out[:, rev, 4:6]
+        s1 = out[:, rev, 6:7]
+        s2 = out[:, rev, 7:8]
+        out = out.at[:, rev, 2:4].set(v2).at[:, rev, 4:6].set(v1)
+        out = out.at[:, rev, 6:7].set(s2).at[:, rev, 7:8].set(s1)
+    return out

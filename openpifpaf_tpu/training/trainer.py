@@ -50,7 +50,7 @@ def make_mesh(n_devices: Optional[int] = None) -> Mesh:
 
 def build_train_step(model, loss_fn, optimizer, schedule, *,
                      clip_grad_norm=0.0, clip_grad_value=0.0, ema_decay=0.01,
-                     mesh: Optional[Mesh] = None):
+                     cross_talk=0.0, mesh: Optional[Mesh] = None):
     """Returns jitted fn(state, images, targets) -> (state, loss, head_losses).
 
     images: (B, H, W, 3); targets: tuple of per-head target arrays
@@ -59,6 +59,10 @@ def build_train_step(model, loss_fn, optimizer, schedule, *,
 
     def step_fn(state: TrainState, images, targets):
         head_mask = tuple(t is not None for t in targets)
+        if cross_talk:
+            # train-time input cross-talk augmentation: blend each image
+            # with the previous batch element (reference nets.py:51-60)
+            images = images + jnp.roll(images, 1, axis=0) * cross_talk
 
         def compute_loss(opt_params):
             outputs, new_model_state = model.apply(
@@ -144,6 +148,7 @@ class Trainer:
     epochs = None
     clip_grad_norm = 0.0
     clip_grad_value = 0.0
+    cross_talk = 0.0
     log_interval = 11
     val_interval = 1
     ema_decay = 0.01
@@ -178,6 +183,7 @@ class Trainer:
             clip_grad_norm=self.clip_grad_norm,
             clip_grad_value=self.clip_grad_value,
             ema_decay=self.ema_decay,
+            cross_talk=self.cross_talk,
             mesh=mesh)
         self.val_step = build_val_step(model, loss_fn, mesh=mesh)
         self.schedule = schedule
@@ -195,6 +201,8 @@ class Trainer:
         group.add_argument('--log-interval', default=cls.log_interval, type=int)
         group.add_argument('--val-interval', default=cls.val_interval, type=int)
         group.add_argument('--ema', default=cls.ema_decay, type=float)
+        group.add_argument('--cross-talk', default=cls.cross_talk, type=float,
+                           help='[experimental] input cross-talk strength')
 
     @classmethod
     def configure(cls, args):
@@ -206,6 +214,7 @@ class Trainer:
         cls.log_interval = args.log_interval
         cls.val_interval = args.val_interval
         cls.ema_decay = args.ema
+        cls.cross_talk = args.cross_talk
 
     def loop(self, train_loader, val_loader, start_epoch=0):
         for epoch in range(start_epoch, self.epochs):

@@ -9,9 +9,9 @@ image coordinates.
 from . import pair
 from .preprocess import Preprocess
 from .compose import Compose
-from .annotations import NormalizeAnnotations
-from .scale import RescaleAbsolute, RescaleRelative
-from .pad import CenterPad, CenterPadTight
+from .annotations import NormalizeAnnotations, AnnotationJitter
+from .scale import RescaleAbsolute, RescaleRelative, ScaleMix
+from .pad import CenterPad, CenterPadTight, SquarePad
 from .crop import Crop
 from .hflip import HFlip
 from .image import ImageTransform, Blur, HorizontalBlur, JpegCompression

@@ -105,3 +105,38 @@ class RescaleAbsolute(Preprocess):
         else:
             target_w, target_h = int(this_long_edge), int(h * s)
         return _scale(image, anns, meta, target_w, target_h, self.resample)
+
+
+class ScaleMix(Preprocess):
+    """Push all-small scenes up and all-large scenes down by 2x
+    (reference ``transforms/scale.py:176-208``)."""
+
+    def __init__(self, scale_threshold, *, upscale_factor=2.0,
+                 downscale_factor=0.5, resample=None):
+        self.scale_threshold = scale_threshold
+        self.upscale_factor = upscale_factor
+        self.downscale_factor = downscale_factor
+        self.resample = resample
+
+    def __call__(self, image, anns, meta):
+        scales = np.array([
+            np.sqrt(ann['bbox'][2] * ann['bbox'][3])
+            for ann in anns if (not getattr(ann, 'iscrowd', False)
+                                and np.any(ann['keypoints'][:, 2] > 0.0))
+        ])
+        if not scales.shape[0]:
+            return image, anns, meta
+
+        all_above = np.all(scales > self.scale_threshold)
+        all_below = np.all(scales < self.scale_threshold)
+        if not all_above and not all_below:
+            return image, anns, meta
+
+        w, h = image.size
+        if all_above:
+            target_w, target_h = int(w * self.downscale_factor), \
+                int(h * self.downscale_factor)
+        else:
+            target_w, target_h = int(w * self.upscale_factor), \
+                int(h * self.upscale_factor)
+        return _scale(image, anns, meta, target_w, target_h, self.resample)
