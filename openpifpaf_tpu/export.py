@@ -46,7 +46,65 @@ def export_stablehlo(model, variables, *, input_shape=(1, 481, 641, 3),
     return lowered.as_text()
 
 
+def _build_forward(model, variables, *, with_decoder, head_metas):
+    if with_decoder:
+        from .ops import build_cifcaf_decoder
+        cif_meta, caf_meta = head_metas[:2]
+        decoder = build_cifcaf_decoder(
+            stride=cif_meta.stride, skeleton=caf_meta.skeleton,
+            n_keypoints=len(cif_meta.keypoints))
+
+        def forward(image):
+            cif, caf = model.apply(variables, image, train=False)
+            poses, keep, _ = decoder(cif, caf)
+            return poses, keep
+        return forward
+
+    def forward(image):
+        return model.apply(variables, image, train=False)
+    return forward
+
+
+def export_savedmodel(model, variables, outdir, *,
+                      input_shape=(1, 481, 641, 3),
+                      with_decoder=False, head_metas=None,
+                      platforms=('cpu', 'tpu')):
+    """Export as a TF SavedModel via jax2tf (native StableHLO serialization).
+
+    The deployment counterpart of the reference's scripted EncoderDecoder
+    TorchScript export (``export_torchscript.py:15-66``): with
+    ``with_decoder=True`` the serving signature maps a preprocessed image
+    batch directly to pose tensors ``(poses (B,P,K,4), keep (B,P))`` so the
+    standalone C++ runner (``cpp/``) needs no Python at all.
+    """
+    import tensorflow as tf
+    from jax.experimental import jax2tf
+
+    forward = _build_forward(model, variables, with_decoder=with_decoder,
+                             head_metas=head_metas)
+    tf_forward = jax2tf.convert(
+        forward, native_serialization_platforms=tuple(platforms),
+        with_gradient=False)
+
+    module = tf.Module()
+    module.f = tf.function(
+        tf_forward,
+        input_signature=[tf.TensorSpec(input_shape, tf.float32, name='image')],
+        jit_compile=True)
+    concrete = module.f.get_concrete_function()
+    tf.saved_model.save(
+        module, outdir, signatures={'serving_default': concrete},
+        options=tf.saved_model.SaveOptions(experimental_custom_gradients=False))
+    return outdir
+
+
 def main():
+    # the environment may force a platform through sitecustomize-level
+    # jax.config (which beats the env var); re-apply the env var so
+    # `JAX_PLATFORMS=cpu python -m openpifpaf_tpu.export` does what it says
+    if os.environ.get('JAX_PLATFORMS'):
+        jax.config.update('jax_platforms', os.environ['JAX_PLATFORMS'])
+
     parser = argparse.ArgumentParser(prog='python3 -m openpifpaf_tpu.export')
     parser.add_argument('--checkpoint', default=None)
     parser.add_argument('--basenet', default='shufflenetv2k16')
@@ -57,6 +115,10 @@ def main():
     parser.add_argument('--with-decoder', default=False, action='store_true',
                         help='include the CifCaf decode pipeline in the '
                              'exported program')
+    parser.add_argument('--format', default='stablehlo',
+                        choices=('stablehlo', 'savedmodel'),
+                        help='stablehlo: portable MLIR text; savedmodel: '
+                             'TF SavedModel directory for the C++ runner')
     args = parser.parse_args()
 
     if args.checkpoint:
@@ -70,9 +132,17 @@ def main():
         variables = init_fn(jax.random.PRNGKey(0))
         head_metas = datamodule.head_metas
 
+    input_shape = (1, args.input_height, args.input_width, 3)
+    if args.format == 'savedmodel':
+        export_savedmodel(
+            model, variables, args.outfile, input_shape=input_shape,
+            with_decoder=args.with_decoder, head_metas=head_metas)
+        print(f'wrote SavedModel {args.outfile}')
+        return
+
     text = export_stablehlo(
         model, variables,
-        input_shape=(1, args.input_height, args.input_width, 3),
+        input_shape=input_shape,
         with_decoder=args.with_decoder,
         head_metas=head_metas)
 

@@ -1,0 +1,78 @@
+"""Mesh construction, batch sharding and multi-host initialization."""
+
+import logging
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+LOG = logging.getLogger(__name__)
+
+
+def initialize_multihost(coordinator_address: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None):
+    """Initialize jax.distributed for multi-host meshes.
+
+    Replaces the reference's SLURM/env-var rendezvous + NCCL init
+    (``train.py:76-97,146-165``). With no arguments, jax.distributed
+    auto-detects the cluster environment (SLURM, GKE, Cloud TPU metadata).
+    Safe to call when already initialized or single-host.
+    """
+    if jax.process_count() > 1:
+        return  # already initialized
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id)
+        LOG.info('jax.distributed initialized: process %d/%d',
+                 jax.process_index(), jax.process_count())
+    except (ValueError, RuntimeError) as e:
+        LOG.debug('single-process run (jax.distributed not initialized: %s)', e)
+
+
+def data_mesh(n_devices: Optional[int] = None, *, axis: str = 'data') -> Mesh:
+    """1-D mesh over all (or the first n) devices for data parallelism."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def replicate(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh, *, axis: str = 'data') -> NamedSharding:
+    return NamedSharding(mesh, P(axis))
+
+
+def local_batch_slice(global_batch_size: int) -> slice:
+    """The slice of a globally-indexed batch this process should load.
+
+    Host-local data loading replaces DistributedSampler
+    (``datasets/module.py:119-134``): each host reads only its shard.
+    """
+    per_process = global_batch_size // jax.process_count()
+    start = jax.process_index() * per_process
+    return slice(start, start + per_process)
+
+
+def shard_batch(batch, mesh: Mesh, *, axis: str = 'data'):
+    """Form a globally-sharded array from process-local data.
+
+    On a single host this is a device_put with a batch-dim sharding; on
+    multi-host it assembles the global array from each process's local
+    shard (jax.make_array_from_process_local_data).
+    """
+    sharding = batch_sharding(mesh, axis=axis)
+
+    def put(x):
+        x = np.asarray(x)
+        if jax.process_count() > 1:
+            return jax.make_array_from_process_local_data(sharding, x)
+        return jax.device_put(x, sharding)
+
+    return jax.tree_util.tree_map(put, batch)

@@ -47,6 +47,10 @@ def cli():
     parser.add_argument('--n-devices', default=None, type=int,
                         help='restrict the mesh to the first N devices')
     parser.add_argument('--seed', default=42, type=int)
+    parser.add_argument('--profile', default=None, nargs='?',
+                        const='jax_trace',
+                        help='capture a jax.profiler trace of each train '
+                             'step into this directory prefix')
     parser.add_argument('--debug', default=False, action='store_true')
 
     logger.cli(parser)
@@ -115,6 +119,10 @@ def main():
             'version': __version__,
             'hostname': socket.gethostname(),
         })
+    if args.profile:
+        from .profiler import JaxProfiler
+        trainer.train_step = JaxProfiler(trainer.train_step,
+                                         out_name=args.profile)
     trainer.loop(train_loader, val_loader, start_epoch)
 
 
