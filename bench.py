@@ -74,6 +74,15 @@ def main():
     forward = jax.jit(lambda v, im: model.apply(v, im, train=False))
 
     nn_time, fields = time_fn(forward, variables, image)
+
+    # bfloat16 backbone path (what `predict --bf16` runs): conv/BN on the
+    # MXU in bf16, heads in f32 for full-precision regressions
+    from openpifpaf_tpu.predictor import Predictor
+    predictor = Predictor(model=model, variables=variables)
+    predictor.bf16 = True
+    predictor.size_bucket = 0
+    bf16_forward = predictor.forward_fn
+    nn_bf16_time, _ = time_fn(bf16_forward, variables, image)
     cif_shape = fields[0].shape  # (1, 17, 5, fh, fw)
     fh, fw = cif_shape[-2], cif_shape[-1]
 
@@ -95,6 +104,9 @@ def main():
     print(json.dumps({
         'detail': {
             'nn_ms': round(nn_time * 1e3, 3),
+            'nn_bf16_ms': round(nn_bf16_time * 1e3, 3),
+            'e2e_bf16_img_per_sec': round(
+                1.0 / (nn_bf16_time + decode_time), 1),
             'decode_ms': round(decode_time * 1e3, 3),
             'decoded_poses': n_poses,
         }}), file=sys.stderr)

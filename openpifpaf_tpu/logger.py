@@ -28,6 +28,16 @@ def cli(parser: argparse.ArgumentParser):
 
 
 def configure(args: argparse.Namespace, local_log=None):
+    # honor JAX_PLATFORMS even when a site-level jax.config override
+    # (e.g. a remote-TPU plugin) beats the env var
+    import os
+    if os.environ.get('JAX_PLATFORMS'):
+        try:
+            import jax
+            jax.config.update('jax_platforms', os.environ['JAX_PLATFORMS'])
+        except Exception:  # pragma: no cover - jax not initialized yet
+            pass
+
     level = logging.INFO
     if args.quiet:
         level = logging.WARNING

@@ -29,6 +29,9 @@ def cli():
     parser.add_argument('--long-edge', default=None, type=int,
                         help='rescale the long side of the image')
     parser.add_argument('--batch-size', default=1, type=int)
+    parser.add_argument('--bf16', default=False, action='store_true',
+                        help='run the backbone in bfloat16 (MXU-native); '
+                             'heads and decode stay float32')
     parser.add_argument('-o', '--image-output', default=None, nargs='?',
                         const=True, help='image output file or directory')
     parser.add_argument('--json-output', default=None, nargs='?',
@@ -66,6 +69,7 @@ def main():
 
     predictor = Predictor(checkpoint=args.checkpoint)
     predictor.batch_size = args.batch_size
+    predictor.bf16 = args.bf16
     predictor.long_edge = args.long_edge
     predictor.preprocess = predictor._build_preprocess()
 

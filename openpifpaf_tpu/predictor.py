@@ -27,6 +27,9 @@ class Predictor:
     #: compiles one graph per shape; the reference's pad-to-16 still
     #: produces dozens of shapes on free-size inputs)
     size_bucket = 128
+    #: run the backbone in bfloat16 (MXU-native). Heads and decode stay
+    #: float32 so regression coordinates keep full precision.
+    bf16 = False
 
     def __init__(self, checkpoint=None, head_metas=None, *,
                  model=None, variables=None,
@@ -79,9 +82,37 @@ class Predictor:
         if self._forward_fn is None:
             model = self.model
 
-            @jax.jit
-            def forward(variables, image_batch):
-                return model.apply(variables, image_batch, train=False)
+            use_bf16 = self.bf16 and hasattr(model, 'base_net') \
+                and 'base_net' in self.variables.get('params', {})
+            if use_bf16:
+                base_net = model.base_net
+                head_nets = model.head_nets
+
+                @jax.jit
+                def forward(variables, image_batch):
+                    base_vars = {
+                        'params': jax.tree_util.tree_map(
+                            lambda x: x.astype(jnp.bfloat16),
+                            variables['params']['base_net']),
+                        'batch_stats': jax.tree_util.tree_map(
+                            lambda x: x.astype(jnp.bfloat16),
+                            variables.get('batch_stats', {}).get(
+                                'base_net', {})),
+                    }
+                    feats = base_net.apply(
+                        base_vars, image_batch.astype(jnp.bfloat16),
+                        train=False)
+                    feats = feats.astype(jnp.float32)
+                    return tuple(
+                        hn.apply(
+                            {'params':
+                             variables['params'][f'head_nets_{i}']},
+                            feats, train=False)
+                        for i, hn in enumerate(head_nets))
+            else:
+                @jax.jit
+                def forward(variables, image_batch):
+                    return model.apply(variables, image_batch, train=False)
 
             self._forward_fn = forward
         return self._forward_fn
