@@ -316,6 +316,14 @@ def hard_swish(x):
     return x * nn.relu6(x + 3.0) / 6.0
 
 
+def make_divisible(v: int, divisor: int = 8) -> int:
+    """torchvision's channel rounding (_make_divisible)."""
+    new_v = max(divisor, int(v + divisor / 2) // divisor * divisor)
+    if new_v < 0.9 * v:
+        new_v += divisor
+    return new_v
+
+
 class SqueezeExcite(nn.Module):
     reduce_features: int
 
@@ -352,7 +360,8 @@ class InvertedResidualV3(nn.Module):
                         groups=self.hidden, act=False)(y, train=train)
         y = act(y)
         if self.use_se:
-            y = SqueezeExcite(max(1, self.hidden // 4))(y)
+            # torchvision rounds the reduction to a multiple of 8
+            y = SqueezeExcite(make_divisible(self.hidden // 4, 8))(y)
         y = ConvNormAct(self.features, kernel=1, act=False)(y, train=train)
 
         if self.stride == 1 and in_features == self.features:

@@ -319,6 +319,78 @@ def _map_resnet(m: _Mapper, layers, *, basic_block=False):
             block += 1
 
 
+def _map_mobilenetv2(m: _Mapper):
+    """torchvision MobileNetV2 features, wrapped as ``backbone`` by the
+    reference (basenetworks.py:408-418)."""
+    from .basenetworks import MobileNetV2
+
+    m.cna('backbone.0.0', 'backbone.0.1', ('ConvNormAct_0',))
+    block = 0
+    t_idx = 1
+    for expand, _, repeats, _ in MobileNetV2.config:
+        for _ in range(repeats):
+            f = (f'InvertedResidualV2_{block}',)
+            t = f'backbone.{t_idx}'
+            if expand == 1:
+                # [dw ConvBNAct, project conv, bn]
+                m.cna(f'{t}.conv.0.0', f'{t}.conv.0.1', f + ('ConvNormAct_0',))
+                m.conv(f'{t}.conv.1', f + ('ConvNormAct_1', 'Conv_0'))
+                m.bn(f'{t}.conv.2', f + ('ConvNormAct_1', 'BatchNorm_0'))
+            else:
+                m.cna(f'{t}.conv.0.0', f'{t}.conv.0.1', f + ('ConvNormAct_0',))
+                m.cna(f'{t}.conv.1.0', f'{t}.conv.1.1', f + ('ConvNormAct_1',))
+                m.conv(f'{t}.conv.2', f + ('ConvNormAct_2', 'Conv_0'))
+                m.bn(f'{t}.conv.3', f + ('ConvNormAct_2', 'BatchNorm_0'))
+            block += 1
+            t_idx += 1
+    m.cna(f'backbone.{t_idx}.0', f'backbone.{t_idx}.1', ('ConvNormAct_1',))
+
+
+def _map_mobilenetv3(m: _Mapper, variant: str):
+    """torchvision MobileNetV3 features (reference basenetworks.py:432-448)."""
+    from .basenetworks import MobileNetV3
+
+    config = (MobileNetV3.config_large if variant == 'large'
+              else MobileNetV3.config_small)
+    m.cna('backbone.0.0', 'backbone.0.1', ('ConvNormAct_0',))
+    in_features = 16
+    for block, (kernel, hidden, features, use_se, use_hs, stride) in \
+            enumerate(config):
+        f = (f'InvertedResidualV3_{block}',)
+        t = f'backbone.{block + 1}.block'
+        cna_i = 0
+        t_i = 0
+        if hidden != in_features:
+            m.cna(f'{t}.{t_i}.0', f'{t}.{t_i}.1', f + (f'ConvNormAct_{cna_i}',))
+            cna_i += 1
+            t_i += 1
+        m.cna(f'{t}.{t_i}.0', f'{t}.{t_i}.1', f + (f'ConvNormAct_{cna_i}',))
+        cna_i += 1
+        t_i += 1
+        if use_se:
+            se = f + ('SqueezeExcite_0',)
+            m.conv(f'{t}.{t_i}.fc1', se + ('Conv_0',), bias=True)
+            m.conv(f'{t}.{t_i}.fc2', se + ('Conv_1',), bias=True)
+            t_i += 1
+        m.cna(f'{t}.{t_i}.0', f'{t}.{t_i}.1', f + (f'ConvNormAct_{cna_i}',))
+        in_features = features
+    last_t = f'backbone.{len(config) + 1}'
+    m.cna(f'{last_t}.0', f'{last_t}.1', ('ConvNormAct_1',))
+
+
+def _map_squeezenet(m: _Mapper):
+    """torchvision SqueezeNet 1.1 features (reference basenetworks.py:461-488).
+
+    All convs have biases and no batch norm."""
+    m.conv('backbone.0', ('Conv_0',), bias=True)
+    fire_t = (3, 4, 6, 7, 9, 10, 11, 12)
+    for i, t_idx in enumerate(fire_t):
+        f = (f'Fire_{i}',)
+        m.conv(f'backbone.{t_idx}.squeeze', f + ('Conv_0',), bias=True)
+        m.conv(f'backbone.{t_idx}.expand1x1', f + ('Conv_1',), bias=True)
+        m.conv(f'backbone.{t_idx}.expand3x3', f + ('Conv_2',), bias=True)
+
+
 _SHUFFLENET_REPEATS = {
     'shufflenetv2k16': [4, 8, 4],
     'shufflenetv2k20': [5, 10, 5],
@@ -353,6 +425,12 @@ def convert_base_net(flat: Dict[str, np.ndarray], base_name: str,
     elif name in _RESNET_LAYERS:
         layers, basic = _RESNET_LAYERS[name]
         _map_resnet(m, layers, basic_block=basic)
+    elif name == 'mobilenetv2':
+        _map_mobilenetv2(m)
+    elif name in ('mobilenetv3large', 'mobilenetv3small'):
+        _map_mobilenetv3(m, name.replace('mobilenetv3', ''))
+    elif name == 'squeezenet':
+        _map_squeezenet(m)
     else:
         raise NotImplementedError(
             f'no torch conversion map for backbone {base_name!r}')
@@ -406,6 +484,14 @@ def detect_base_name(flat: Dict[str, np.ndarray], meta: dict) -> str:
             net = models_factory.BASE_FACTORIES[name]()
             if ch is None or net.stages_out_channels[1] == ch:
                 return name
+    if any(k.endswith('backbone.3.squeeze.weight') for k in flat):
+        return 'squeezenet'
+    if any('.block.' in k and 'backbone.' in k for k in flat):
+        return ('mobilenetv3large'
+                if any(k.endswith('backbone.16.0.weight') for k in flat)
+                else 'mobilenetv3small')
+    if any(k.endswith('backbone.18.0.weight') for k in flat):
+        return 'mobilenetv2'
     if any('.block2.' in k for k in flat):
         n4 = 1 + max(int(k.split('.block4.')[1].split('.')[0])
                      for k in flat if '.block4.' in k)

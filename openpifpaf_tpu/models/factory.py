@@ -74,6 +74,10 @@ HEADS = {
 #: checkpoint name -> url or path (filled by plugins)
 CHECKPOINT_URLS = {}
 
+#: sentinel for checkpoint names whose pretrained weights are not published
+#: (reference network/factory.py:37)
+PRETRAINED_UNAVAILABLE = object()
+
 
 class Factory:
     base_name: Optional[str] = 'shufflenetv2k16'
@@ -93,7 +97,8 @@ class Factory:
         """
         if self.checkpoint is not None:
             from ..training import checkpoint as ckpt_mod  # circular-safe
-            return ckpt_mod.load_shell(self.checkpoint, head_metas=head_metas)
+            return ckpt_mod.load_shell(resolve_checkpoint(self.checkpoint),
+                                       head_metas=head_metas)
         return self.from_scratch(head_metas)
 
     def from_scratch(self, head_metas: Sequence[headmeta.Base]):
@@ -141,3 +146,64 @@ def local_checkpoint_path(checkpoint: str):
     if checkpoint in CHECKPOINT_URLS:
         return CHECKPOINT_URLS[checkpoint]
     return None
+
+
+def checkpoint_cache_dir():
+    import os
+    return os.environ.get(
+        'OPENPIFPAF_TPU_CACHE',
+        os.path.join(os.path.expanduser('~'), '.cache', 'openpifpaf_tpu'))
+
+
+def resolve_checkpoint(checkpoint: str) -> str:
+    """Resolve a checkpoint argument to a local path.
+
+    Accepts a path of this framework's checkpoints, a reference PyTorch
+    checkpoint file, or a published checkpoint *name* registered in
+    ``CHECKPOINT_URLS`` (downloaded to the cache with a hash check, like
+    the reference's torch.hub flow, network/factory.py:251-266; the
+    downloaded .pkl converts on load).
+    """
+    import hashlib
+    import logging
+    import os
+
+    if os.path.exists(checkpoint) or os.path.exists(checkpoint + '.json'):
+        return checkpoint
+
+    url = CHECKPOINT_URLS.get(checkpoint)
+    if url is None:
+        return checkpoint  # let the loader error with context
+    if url is PRETRAINED_UNAVAILABLE:
+        available = sorted(k for k, v in CHECKPOINT_URLS.items()
+                           if v is not PRETRAINED_UNAVAILABLE)
+        raise ValueError(
+            f'no pretrained weights published for {checkpoint!r}; '
+            f'available: {available}')
+    if os.path.exists(url):
+        return url
+
+    file_name = os.path.basename(url)
+    cache_dir = checkpoint_cache_dir()
+    local = os.path.join(cache_dir, file_name)
+    if not os.path.exists(local):
+        import urllib.request
+        os.makedirs(cache_dir, exist_ok=True)
+        logging.getLogger(__name__).info('downloading %s -> %s', url, local)
+        tmp = local + '.partial'
+        urllib.request.urlretrieve(url, tmp)
+        os.replace(tmp, local)
+
+    # torch.hub-style hash check: filename ...-<8 hex>.pkl must prefix the
+    # sha256 of the contents
+    stem = file_name.rsplit('.', 1)[0]
+    suffix = stem.rsplit('-', 1)[-1]
+    if len(suffix) == 8 and all(c in '0123456789abcdef' for c in suffix):
+        sha = hashlib.sha256()
+        with open(local, 'rb') as f:
+            for chunk in iter(lambda: f.read(1 << 20), b''):
+                sha.update(chunk)
+        if not sha.hexdigest().startswith(suffix):
+            raise ValueError(f'hash mismatch for {local}: expected prefix '
+                             f'{suffix}, got {sha.hexdigest()[:8]}')
+    return local

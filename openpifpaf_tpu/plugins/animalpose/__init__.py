@@ -41,5 +41,15 @@ class AnimalKp(KpDataModule):
     orientation_invariant = 0.1
 
 
+from ...models import factory as models_factory
+
+
 def register():
     DATAMODULES['animal'] = AnimalKp
+    _register_checkpoints()
+
+def _register_checkpoints():
+    # reference plugins/animalpose/__init__.py:11-13
+    models_factory.CHECKPOINT_URLS['shufflenetv2k30-animalpose'] = (
+        'http://github.com/vita-epfl/openpifpaf-torchhub/releases/'
+        'download/v0.12.9/shufflenetv2k30-210511-120906-animal.pkl.epoch400')

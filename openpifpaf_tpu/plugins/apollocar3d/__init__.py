@@ -64,5 +64,21 @@ class ApolloKp(KpDataModule):
         cls.eval_annotations = cls.val_annotations
 
 
+from ...models import factory as models_factory
+
+
 def register():
     DATAMODULES['apollo'] = ApolloKp
+    _register_checkpoints()
+
+def _register_checkpoints():
+    # reference plugins/apollocar3d/__init__.py:8-16
+    models_factory.CHECKPOINT_URLS['shufflenetv2k16-apollo-24'] = (
+        'http://github.com/DuncanZauss/openpifpaf_assets/releases/'
+        'download/v0.1.0/shufflenetv2k16-201113-135121-apollo.pkl.epoch290')
+    models_factory.CHECKPOINT_URLS['shufflenetv2k16-apollo-66'] = (
+        'http://github.com/DuncanZauss/openpifpaf_assets/releases/'
+        'download/v0.1.0/sk16_apollo_66kp.pkl')
+    models_factory.CHECKPOINT_URLS['shufflenetv2k30-apollo-66'] = (
+        'http://github.com/DuncanZauss/openpifpaf_assets/releases/'
+        'download/v0.1.0/sk30_apollo_66kp.pkl')

@@ -70,5 +70,15 @@ class CrowdPose(KpDataModule):
     eval_image_dir = val_image_dir
 
 
+from ...models import factory as models_factory
+
+
 def register():
     DATAMODULES['crowdpose'] = CrowdPose
+    _register_checkpoints()
+
+def _register_checkpoints():
+    # reference plugins/crowdpose/__init__.py:7-10
+    models_factory.CHECKPOINT_URLS['resnet50-crowdpose'] = (
+        'http://github.com/vita-epfl/openpifpaf-torchhub/releases/'
+        'download/v0.12a7/resnet50-201005-100758-crowdpose-d978a89f.pkl')

@@ -149,5 +149,15 @@ class NuScenes(DataModule):
             iou_type='bbox')]
 
 
+from ...models import factory as models_factory
+
+
 def register():
     DATAMODULES['nuscenes'] = NuScenes
+    _register_checkpoints()
+
+def _register_checkpoints():
+    # reference plugins/nuscenes/__init__.py:8-9
+    models_factory.CHECKPOINT_URLS['shufflenetv2k16-nuscenes'] = (
+        'http://github.com/DuncanZauss/openpifpaf_assets/releases/'
+        'download/v0.1.0/nuscenes_sk16.pkl.epoch150')

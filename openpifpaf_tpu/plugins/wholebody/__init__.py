@@ -55,5 +55,18 @@ class Wholebody(KpDataModule):
         return [WholeBodyMetric(gt_by_image, sigmas=self.sigmas)]
 
 
+from ...models import factory as models_factory
+
+
 def register():
     DATAMODULES['wholebody'] = Wholebody
+    _register_checkpoints()
+
+def _register_checkpoints():
+    # reference plugins/wholebody/__init__.py:8-11
+    models_factory.CHECKPOINT_URLS['shufflenetv2k16-wholebody'] = (
+        'http://github.com/DuncanZauss/openpifpaf_assets/releases/'
+        'download/v0.1.0/sk16_wholebody.pkl')
+    models_factory.CHECKPOINT_URLS['shufflenetv2k30-wholebody'] = (
+        'http://github.com/DuncanZauss/openpifpaf_assets/releases/'
+        'download/v0.1.0/sk30_wholebody.pkl')

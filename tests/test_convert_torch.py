@@ -38,7 +38,9 @@ def _flax_model(base_name, head_metas):
 
 
 @pytest.mark.parametrize('base_name', ['shufflenetv2k16', 'resnet18',
-                                       'resnet50', 'resnext50'])
+                                       'resnet50', 'resnext50',
+                                       'mobilenetv2', 'mobilenetv3large',
+                                       'mobilenetv3small', 'squeezenet'])
 def test_forward_parity(tmp_path, base_name):
     torch.manual_seed(42)
     shell_t = torch_ref.build_shell(base_name)
@@ -139,3 +141,16 @@ def test_converted_checkpoint_roundtrip(tmp_path):
         np.zeros((1, 65, 65, 3), np.float32), train=False)
     assert fields[0].shape == (1, 17, 5, 5, 5)
     assert fields[1].shape == (1, 19, 8, 5, 5)
+
+
+@pytest.mark.parametrize('base_name', ['mobilenetv2', 'mobilenetv3large',
+                                       'mobilenetv3small', 'squeezenet',
+                                       'resnext50'])
+def test_detect_base_name_from_shapes(tmp_path, base_name):
+    """Backbone detection works without checkpoint metadata."""
+    torch.manual_seed(0)
+    shell_t = torch_ref.build_shell(base_name)
+    path = str(tmp_path / 'ckpt.pkl')
+    torch.save({'model': shell_t, 'epoch': 0, 'meta': {}}, path)
+    detected, _, _, _ = convert_torch.convert_checkpoint(path)
+    assert detected == base_name

@@ -57,3 +57,37 @@ def test_cifar10_basenet():
     out = model.apply(variables, jnp.zeros((1, 33, 33, 3)), train=False)
     # CifDet components: [logb, conf, x, y, w, h]
     assert out[0].shape == (1, 10, 6, 3, 3)
+
+
+def test_checkpoint_urls_registered():
+    from openpifpaf_tpu.models.factory import (CHECKPOINT_URLS,
+                                               PRETRAINED_UNAVAILABLE)
+    available = {k for k, v in CHECKPOINT_URLS.items()
+                 if v is not PRETRAINED_UNAVAILABLE}
+    for name in ('shufflenetv2k16', 'shufflenetv2k30', 'resnet50',
+                 'shufflenetv2k16-wholebody', 'tshufflenetv2k30',
+                 'resnet50-crowdpose'):
+        assert name in available
+    assert CHECKPOINT_URLS['resnet18'] is PRETRAINED_UNAVAILABLE
+
+
+def test_resolve_checkpoint(tmp_path):
+    import pytest
+    from openpifpaf_tpu.models import factory as models_factory
+
+    # unavailable name raises with alternatives
+    with pytest.raises(ValueError, match='no pretrained weights'):
+        models_factory.resolve_checkpoint('resnet18')
+
+    # a registered local path resolves without download
+    local = tmp_path / 'fake.pkl'
+    local.write_bytes(b'x')
+    models_factory.CHECKPOINT_URLS['_test_local'] = str(local)
+    try:
+        assert models_factory.resolve_checkpoint('_test_local') == str(local)
+    finally:
+        del models_factory.CHECKPOINT_URLS['_test_local']
+
+    # unknown names pass through for the loader to error with context
+    assert models_factory.resolve_checkpoint('/nonexistent/path') == \
+        '/nonexistent/path'

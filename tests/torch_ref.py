@@ -248,6 +248,14 @@ def build_shell(base_name='shufflenetv2k16'):
         base = Resnet([3, 4, 6, 3])
     elif base_name == 'resnext50':
         base = Resnet([3, 4, 6, 3], groups=32, width_per_group=4)
+    elif base_name == 'mobilenetv2':
+        base = MobileNetV2()
+    elif base_name == 'mobilenetv3large':
+        base = MobileNetV3('large')
+    elif base_name == 'mobilenetv3small':
+        base = MobileNetV3('small')
+    elif base_name == 'squeezenet':
+        base = SqueezeNetTV()
     else:
         raise ValueError(base_name)
 
@@ -278,3 +286,176 @@ def randomize_batch_norm_stats(model, seed=0):
                                              generator=gen) * 0.1)
             m.running_var.copy_(
                 1.0 + 0.3 * torch.rand(m.running_var.shape, generator=gen))
+
+
+def _cba(inp, out, kernel=3, stride=1, groups=1, act='relu6'):
+    """torchvision ConvBNActivation layout."""
+    layers = [
+        torch.nn.Conv2d(inp, out, kernel, stride, (kernel - 1) // 2,
+                        groups=groups, bias=False),
+        torch.nn.BatchNorm2d(out),
+    ]
+    if act == 'relu6':
+        layers.append(torch.nn.ReLU6(inplace=True))
+    elif act == 'hs':
+        layers.append(torch.nn.Hardswish(inplace=True))
+    elif act == 'relu':
+        layers.append(torch.nn.ReLU(inplace=True))
+    return torch.nn.Sequential(*layers)
+
+
+class InvertedResidualV2(torch.nn.Module):
+    def __init__(self, inp, out, stride, expand):
+        super().__init__()
+        hidden = inp * expand
+        self.use_res = stride == 1 and inp == out
+        layers = []
+        if expand != 1:
+            layers.append(_cba(inp, hidden, 1))
+        layers.append(_cba(hidden, hidden, 3, stride, groups=hidden))
+        layers.append(torch.nn.Conv2d(hidden, out, 1, bias=False))
+        layers.append(torch.nn.BatchNorm2d(out))
+        self.conv = torch.nn.Sequential(*layers)
+
+    def forward(self, x):
+        return x + self.conv(x) if self.use_res else self.conv(x)
+
+
+class MobileNetV2(torch.nn.Module):
+    """reference layout: torchvision features as `backbone`
+    (basenetworks.py:408-418)."""
+    config = ((1, 16, 1, 1), (6, 24, 2, 2), (6, 32, 3, 2), (6, 64, 4, 2),
+              (6, 96, 3, 1), (6, 160, 3, 2), (6, 320, 1, 1))
+    out_features = 1280
+
+    def __init__(self):
+        super().__init__()
+        layers = [_cba(3, 32, 3, 2)]
+        inp = 32
+        for expand, out, repeats, stride in self.config:
+            for i in range(repeats):
+                layers.append(InvertedResidualV2(
+                    inp, out, stride if i == 0 else 1, expand))
+                inp = out
+        layers.append(_cba(inp, 1280, 1))
+        self.backbone = torch.nn.Sequential(*layers)
+
+    def forward(self, x):
+        return self.backbone(x)
+
+
+class SqueezeExcitationTV(torch.nn.Module):
+    def __init__(self, ch, squeeze):
+        super().__init__()
+        self.fc1 = torch.nn.Conv2d(ch, squeeze, 1)
+        self.fc2 = torch.nn.Conv2d(squeeze, ch, 1)
+
+    def forward(self, x):
+        s = torch.nn.functional.adaptive_avg_pool2d(x, 1)
+        s = torch.relu(self.fc1(s))
+        s = torch.nn.functional.hardsigmoid(self.fc2(s))
+        return x * s
+
+
+def _make_divisible(v, divisor=8):
+    new_v = max(divisor, int(v + divisor / 2) // divisor * divisor)
+    if new_v < 0.9 * v:
+        new_v += divisor
+    return new_v
+
+
+class InvertedResidualV3(torch.nn.Module):
+    def __init__(self, inp, hidden, out, kernel, stride, use_se, use_hs):
+        super().__init__()
+        act = 'hs' if use_hs else 'relu'
+        self.use_res = stride == 1 and inp == out
+        layers = []
+        if hidden != inp:
+            layers.append(_cba(inp, hidden, 1, act=act))
+        layers.append(_cba(hidden, hidden, kernel, stride,
+                           groups=hidden, act=act))
+        if use_se:
+            layers.append(SqueezeExcitationTV(
+                hidden, _make_divisible(hidden // 4)))
+        layers.append(_cba(hidden, out, 1, act='none'))
+        self.block = torch.nn.Sequential(*layers)
+
+    def forward(self, x):
+        return x + self.block(x) if self.use_res else self.block(x)
+
+
+class MobileNetV3(torch.nn.Module):
+    """reference layout with stride removed from the input conv
+    (basenetworks.py:432-448)."""
+    config_large = (
+        (3, 16, 16, False, False, 1), (3, 64, 24, False, False, 2),
+        (3, 72, 24, False, False, 1), (5, 72, 40, True, False, 2),
+        (5, 120, 40, True, False, 1), (5, 120, 40, True, False, 1),
+        (3, 240, 80, False, True, 2), (3, 200, 80, False, True, 1),
+        (3, 184, 80, False, True, 1), (3, 184, 80, False, True, 1),
+        (3, 480, 112, True, True, 1), (3, 672, 112, True, True, 1),
+        (5, 672, 160, True, True, 2), (5, 960, 160, True, True, 1),
+        (5, 960, 160, True, True, 1),
+    )
+    config_small = (
+        (3, 16, 16, True, False, 2), (3, 72, 24, False, False, 2),
+        (3, 88, 24, False, False, 1), (5, 96, 40, True, True, 2),
+        (5, 240, 40, True, True, 1), (5, 240, 40, True, True, 1),
+        (5, 120, 48, True, True, 1), (5, 144, 48, True, True, 1),
+        (5, 288, 96, True, True, 2), (5, 576, 96, True, True, 1),
+        (5, 576, 96, True, True, 1),
+    )
+
+    def __init__(self, variant='large'):
+        super().__init__()
+        config = (self.config_large if variant == 'large'
+                  else self.config_small)
+        layers = [_cba(3, 16, 3, 1, act='hs')]  # stride surgery: 2 -> 1
+        inp = 16
+        for kernel, hidden, out, use_se, use_hs, stride in config:
+            layers.append(InvertedResidualV3(
+                inp, hidden, out, kernel, stride, use_se, use_hs))
+            inp = out
+        last = 960 if variant == 'large' else 576
+        layers.append(_cba(inp, last, 1, act='hs'))
+        self.backbone = torch.nn.Sequential(*layers)
+        self.out_features = last
+
+    def forward(self, x):
+        return self.backbone(x)
+
+
+class FireTV(torch.nn.Module):
+    def __init__(self, inp, squeeze, expand):
+        super().__init__()
+        self.squeeze = torch.nn.Conv2d(inp, squeeze, 1)
+        self.expand1x1 = torch.nn.Conv2d(squeeze, expand, 1)
+        self.expand3x3 = torch.nn.Conv2d(squeeze, expand, 3, padding=1)
+
+    def forward(self, x):
+        s = torch.relu(self.squeeze(x))
+        return torch.cat([torch.relu(self.expand1x1(s)),
+                          torch.relu(self.expand3x3(s))], dim=1)
+
+
+class SqueezeNetTV(torch.nn.Module):
+    """torchvision squeezenet1_1 features with the reference's padding
+    adjustments (basenetworks.py:461-488)."""
+    out_features = 512
+
+    def __init__(self):
+        super().__init__()
+        self.backbone = torch.nn.Sequential(
+            torch.nn.Conv2d(3, 64, 3, 2, 1),
+            torch.nn.ReLU(inplace=True),
+            torch.nn.MaxPool2d(3, 2, padding=1),
+            FireTV(64, 16, 64), FireTV(128, 16, 64),
+            torch.nn.MaxPool2d(3, 2, padding=1),
+            FireTV(128, 32, 128), FireTV(256, 32, 128),
+            torch.nn.MaxPool2d(3, 2, padding=1),
+            FireTV(256, 48, 192), FireTV(384, 48, 192),
+            FireTV(384, 64, 256), FireTV(512, 64, 256),
+        )
+
+    def forward(self, x):
+        return self.backbone(x)
