@@ -20,6 +20,11 @@ BN_EPS = 1e-3
 BN_MOMENTUM = 0.99  # flax "keep" rate == 1 - torch momentum (0.01)
 
 
+def _group_norm_groups(features: int) -> int:
+    """Reference's GroupNorm group count rule (basenetworks.py:398-400)."""
+    return (32 if features % 32 == 0 else 29) if features > 100 else 4
+
+
 class ConvNormAct(nn.Module):
     features: int
     kernel: int = 3
@@ -27,6 +32,8 @@ class ConvNormAct(nn.Module):
     groups: int = 1
     dilation: int = 1
     act: bool = True
+    norm: str = 'batch'  # 'batch' | 'group' | 'instance'
+    non_linearity: str = 'relu'  # 'relu' | 'leaky_relu'
 
     @nn.compact
     def __call__(self, x, *, train: bool):
@@ -37,10 +44,18 @@ class ConvNormAct(nn.Module):
                     feature_group_count=self.groups,
                     kernel_dilation=(self.dilation, self.dilation),
                     use_bias=False)(x)
-        x = nn.BatchNorm(use_running_average=not train,
-                         momentum=BN_MOMENTUM, epsilon=BN_EPS)(x)
+        if self.norm == 'batch':
+            x = nn.BatchNorm(use_running_average=not train,
+                             momentum=BN_MOMENTUM, epsilon=BN_EPS)(x)
+        elif self.norm == 'group':
+            x = nn.GroupNorm(num_groups=_group_norm_groups(self.features))(x)
+        elif self.norm == 'instance':
+            x = nn.GroupNorm(num_groups=None, group_size=1)(x)
+        else:
+            raise ValueError(f'unknown norm {self.norm!r}')
         if self.act:
-            x = nn.relu(x)
+            x = (nn.leaky_relu(x) if self.non_linearity == 'leaky_relu'
+                 else nn.relu(x))
         return x
 
 
@@ -62,17 +77,22 @@ class InvertedResidualK(nn.Module):
     stride: int = 1
     dilation: int = 1
     kernel: int = 5
+    norm: str = 'batch'
+    non_linearity: str = 'relu'
 
     @nn.compact
     def __call__(self, x, *, train: bool):
         branch_features = self.out_features // 2
+        style = dict(norm=self.norm, non_linearity=self.non_linearity)
 
         def branch2(inp):
-            y = ConvNormAct(branch_features, kernel=1)(inp, train=train)
+            y = ConvNormAct(branch_features, kernel=1, **style)(
+                inp, train=train)
             y = ConvNormAct(branch_features, kernel=self.kernel,
                             stride=self.stride, dilation=self.dilation,
-                            groups=branch_features, act=False)(y, train=train)
-            y = ConvNormAct(branch_features, kernel=1)(y, train=train)
+                            groups=branch_features, act=False, **style)(
+                                y, train=train)
+            y = ConvNormAct(branch_features, kernel=1, **style)(y, train=train)
             return y
 
         if not self.first_in_stage:
@@ -82,8 +102,10 @@ class InvertedResidualK(nn.Module):
             in_features = x.shape[-1]
             b1 = ConvNormAct(in_features, kernel=self.kernel,
                              stride=self.stride, dilation=self.dilation,
-                             groups=in_features, act=False)(x, train=train)
-            b1 = ConvNormAct(branch_features, kernel=1)(b1, train=train)
+                             groups=in_features, act=False, **style)(
+                                 x, train=train)
+            b1 = ConvNormAct(branch_features, kernel=1, **style)(
+                b1, train=train)
             out = jnp.concatenate([b1, branch2(x)], axis=-1)
 
         return channel_shuffle(out, 2)
@@ -97,6 +119,9 @@ class ShuffleNetV2K(nn.Module):
     stage4_dilation: int = 1
     input_conv2_stride: int = 0
     input_conv2_outchannels: Optional[int] = None
+    conv5_as_stage: bool = False  # two blocks in place of the 1x1 conv5
+    norm: str = 'batch'
+    non_linearity: str = 'relu'
 
     @property
     def stride(self) -> int:
@@ -113,25 +138,40 @@ class ShuffleNetV2K(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
-        x = ConvNormAct(self.stages_out_channels[0], kernel=3, stride=2)(
-            x, train=train)
+        style = dict(norm=self.norm, non_linearity=self.non_linearity)
+        x = ConvNormAct(self.stages_out_channels[0], kernel=3, stride=2,
+                        **style)(x, train=train)
         if self.input_conv2_stride:
             out_ch = self.input_conv2_outchannels or x.shape[-1]
             x = ConvNormAct(out_ch, kernel=3,
-                            stride=self.input_conv2_stride)(x, train=train)
+                            stride=self.input_conv2_stride, **style)(
+                                x, train=train)
 
         dilations = [1, 1, self.stage4_dilation]
         for repeats, out_ch, dilation in zip(
                 self.stages_repeats, self.stages_out_channels[1:4], dilations):
             stage_stride = 2 if dilation == 1 else 1
             x = InvertedResidualK(out_ch, True, stride=stage_stride,
-                                  dilation=dilation, kernel=self.kernel)(
-                                      x, train=train)
+                                  dilation=dilation, kernel=self.kernel,
+                                  **style)(x, train=train)
             for _ in range(repeats - 1):
                 x = InvertedResidualK(out_ch, False, dilation=dilation,
-                                      kernel=self.kernel)(x, train=train)
+                                      kernel=self.kernel, **style)(
+                                          x, train=train)
 
-        x = ConvNormAct(self.stages_out_channels[-1], kernel=1)(x, train=train)
+        out_ch = self.stages_out_channels[-1]
+        if self.conv5_as_stage:
+            # two stages cost about the same parameters as the 1x1 conv
+            # (reference basenetworks.py:317-334)
+            first = x.shape[-1] != out_ch
+            x = InvertedResidualK(out_ch, first,
+                                  dilation=self.stage4_dilation,
+                                  kernel=self.kernel, **style)(x, train=train)
+            x = InvertedResidualK(out_ch, False,
+                                  dilation=self.stage4_dilation,
+                                  kernel=self.kernel, **style)(x, train=train)
+        else:
+            x = ConvNormAct(out_ch, kernel=1, **style)(x, train=train)
         return x
 
 
@@ -195,6 +235,7 @@ class Resnet(nn.Module):
     basic_block: bool = False  # True for resnet18/34 (BasicBlock, 512 out)
     pool0_stride: int = 0
     input_conv_stride: int = 2
+    input_conv2_stride: int = 0  # optional conv replacing the max pool
     block5_dilation: int = 1
     remove_last_block: bool = False
     groups: int = 1  # >1 turns this into ResNeXt (network/factory.py:61-62)
@@ -209,6 +250,8 @@ class Resnet(nn.Module):
             s = int(s * 2 / self.pool0_stride)
         if self.input_conv_stride != 2:
             s = int(s * 2 / self.input_conv_stride)
+        if self.input_conv2_stride:
+            s *= 2
         if self.remove_last_block:
             s //= 2
         if self.block5_dilation != 1:
@@ -231,6 +274,9 @@ class Resnet(nn.Module):
             x = nn.max_pool(x, (3, 3),
                             strides=(self.pool0_stride,) * 2,
                             padding=[(1, 1), (1, 1)])
+        if self.input_conv2_stride:
+            x = ConvNormAct(x.shape[-1], kernel=3,
+                            stride=self.input_conv2_stride)(x, train=train)
 
         n_blocks = 3 if self.remove_last_block else 4
         for block_i in range(n_blocks):

@@ -19,17 +19,44 @@ from .shell import Shell, assign_strides
 LOG = logging.getLogger(__name__)
 
 
+#: family-level backbone options, mutated by ``cli``/``configure`` (the
+#: reference's class-attribute pattern, basenetworks.py:357-405 /
+#: 155-183, expressed as explicit dicts)
+SHUFFLENETV2K_OPTIONS = {
+    'kernel': 5,
+    'stage4_dilation': 1,
+    'input_conv2_stride': 0,
+    'input_conv2_outchannels': None,
+    'conv5_as_stage': False,
+    'norm': 'batch',
+    'non_linearity': 'relu',
+}
+RESNET_OPTIONS = {
+    'pool0_stride': 0,
+    'input_conv_stride': 2,
+    'input_conv2_stride': 0,
+    'block5_dilation': 1,
+    'remove_last_block': False,
+}
+
+
+def _snk(repeats, channels):
+    return lambda: basenetworks.ShuffleNetV2K(
+        stages_repeats=repeats, stages_out_channels=channels,
+        **SHUFFLENETV2K_OPTIONS)
+
+
+def _resnet(layers, **fixed):
+    return lambda: basenetworks.Resnet(layers=layers, **fixed,
+                                       **RESNET_OPTIONS)
+
+
 BASE_FACTORIES = {
-    'shufflenetv2k16': lambda: basenetworks.ShuffleNetV2K(
-        stages_repeats=[4, 8, 4], stages_out_channels=[24, 348, 696, 1392, 1392]),
-    'shufflenetv2k20': lambda: basenetworks.ShuffleNetV2K(
-        stages_repeats=[5, 10, 5], stages_out_channels=[32, 512, 1024, 2048, 2048]),
-    'shufflenetv2k30': lambda: basenetworks.ShuffleNetV2K(
-        stages_repeats=[8, 16, 6], stages_out_channels=[32, 512, 1024, 2048, 2048]),
-    'shufflenetv2k44': lambda: basenetworks.ShuffleNetV2K(
-        stages_repeats=[12, 24, 8], stages_out_channels=[32, 512, 1024, 2048, 2048]),
-    'shufflenetv2kx5': lambda: basenetworks.ShuffleNetV2K(
-        stages_repeats=[6, 13, 6], stages_out_channels=[42, 640, 1280, 2560, 2560]),
+    'shufflenetv2k16': _snk([4, 8, 4], [24, 348, 696, 1392, 1392]),
+    'shufflenetv2k20': _snk([5, 10, 5], [32, 512, 1024, 2048, 2048]),
+    'shufflenetv2k30': _snk([8, 16, 6], [32, 512, 1024, 2048, 2048]),
+    'shufflenetv2k44': _snk([12, 24, 8], [32, 512, 1024, 2048, 2048]),
+    'shufflenetv2kx5': _snk([6, 13, 6], [42, 640, 1280, 2560, 2560]),
     # original torchvision ShuffleNetV2 (k=3 blocks, max-pool removed ->
     # stride 16; network/basenetworks.py:36-56)
     'shufflenetv2x1': lambda: basenetworks.ShuffleNetV2K(
@@ -38,15 +65,12 @@ BASE_FACTORIES = {
     'shufflenetv2x2': lambda: basenetworks.ShuffleNetV2K(
         stages_repeats=[4, 8, 4], stages_out_channels=[24, 244, 488, 976, 2048],
         kernel=3),
-    'resnet18': lambda: basenetworks.Resnet(
-        layers=(2, 2, 2, 2), base_features=64, basic_block=True),
-    'resnet50': lambda: basenetworks.Resnet(layers=(3, 4, 6, 3)),
-    'resnet101': lambda: basenetworks.Resnet(layers=(3, 4, 23, 3)),
-    'resnet152': lambda: basenetworks.Resnet(layers=(3, 8, 36, 3)),
-    'resnext50': lambda: basenetworks.Resnet(
-        layers=(3, 4, 6, 3), groups=32, width_per_group=4),
-    'resnext101': lambda: basenetworks.Resnet(
-        layers=(3, 4, 23, 3), groups=32, width_per_group=8),
+    'resnet18': _resnet((2, 2, 2, 2), base_features=64, basic_block=True),
+    'resnet50': _resnet((3, 4, 6, 3)),
+    'resnet101': _resnet((3, 4, 23, 3)),
+    'resnet152': _resnet((3, 8, 36, 3)),
+    'resnext50': _resnet((3, 4, 6, 3), groups=32, width_per_group=4),
+    'resnext101': _resnet((3, 4, 23, 3), groups=32, width_per_group=8),
     'mobilenetv2': basenetworks.MobileNetV2,
     'mobilenetv3large': lambda: basenetworks.MobileNetV3(variant='large'),
     'mobilenetv3small': lambda: basenetworks.MobileNetV3(variant='small'),
@@ -77,6 +101,76 @@ CHECKPOINT_URLS = {}
 #: sentinel for checkpoint names whose pretrained weights are not published
 #: (reference network/factory.py:37)
 PRETRAINED_UNAVAILABLE = object()
+
+
+def cli(parser):
+    """Backbone configuration flags (reference basenetworks.py cli
+    classmethods: shufflenetv2k 357-390, resnet 152-176)."""
+    group = parser.add_argument_group('shufflenetv2k')
+    group.add_argument('--shufflenetv2k-input-conv2-stride',
+                       default=SHUFFLENETV2K_OPTIONS['input_conv2_stride'],
+                       type=int,
+                       help='stride of the optional 2nd input convolution')
+    group.add_argument('--shufflenetv2k-input-conv2-outchannels',
+                       default=SHUFFLENETV2K_OPTIONS['input_conv2_outchannels'],
+                       type=int,
+                       help='out channels of the optional 2nd input conv')
+    group.add_argument('--shufflenetv2k-stage4-dilation',
+                       default=SHUFFLENETV2K_OPTIONS['stage4_dilation'],
+                       type=int, help='dilation factor of stage 4')
+    group.add_argument('--shufflenetv2k-kernel',
+                       default=SHUFFLENETV2K_OPTIONS['kernel'], type=int,
+                       help='kernel width')
+    group.add_argument('--shufflenetv2k-conv5-as-stage',
+                       default=False, action='store_true')
+    norm_group = group.add_mutually_exclusive_group()
+    norm_group.add_argument('--shufflenetv2k-instance-norm',
+                            default=False, action='store_true')
+    norm_group.add_argument('--shufflenetv2k-group-norm',
+                            default=False, action='store_true')
+    group.add_argument('--shufflenetv2k-leaky-relu',
+                       default=False, action='store_true')
+
+    group = parser.add_argument_group('ResNet')
+    group.add_argument('--resnet-pool0-stride',
+                       default=RESNET_OPTIONS['pool0_stride'], type=int,
+                       help='stride of zero removes the pooling op')
+    group.add_argument('--resnet-input-conv-stride',
+                       default=RESNET_OPTIONS['input_conv_stride'], type=int,
+                       help='stride of the input convolution')
+    group.add_argument('--resnet-input-conv2-stride',
+                       default=RESNET_OPTIONS['input_conv2_stride'], type=int,
+                       help='stride of the optional 2nd input convolution')
+    group.add_argument('--resnet-block5-dilation',
+                       default=RESNET_OPTIONS['block5_dilation'], type=int,
+                       help='use dilated convs in block5')
+    group.add_argument('--resnet-remove-last-block',
+                       default=False, action='store_true',
+                       help='create a network without the last block')
+
+
+def configure(args):
+    SHUFFLENETV2K_OPTIONS.update(
+        input_conv2_stride=args.shufflenetv2k_input_conv2_stride,
+        input_conv2_outchannels=args.shufflenetv2k_input_conv2_outchannels,
+        stage4_dilation=args.shufflenetv2k_stage4_dilation,
+        kernel=args.shufflenetv2k_kernel,
+        conv5_as_stage=args.shufflenetv2k_conv5_as_stage,
+    )
+    if args.shufflenetv2k_instance_norm:
+        SHUFFLENETV2K_OPTIONS['norm'] = 'instance'
+    if args.shufflenetv2k_group_norm:
+        SHUFFLENETV2K_OPTIONS['norm'] = 'group'
+    if args.shufflenetv2k_leaky_relu:
+        SHUFFLENETV2K_OPTIONS['non_linearity'] = 'leaky_relu'
+
+    RESNET_OPTIONS.update(
+        pool0_stride=args.resnet_pool0_stride,
+        input_conv_stride=args.resnet_input_conv_stride,
+        input_conv2_stride=args.resnet_input_conv2_stride,
+        block5_dilation=args.resnet_block5_dilation,
+        remove_last_block=args.resnet_remove_last_block,
+    )
 
 
 class Factory:

@@ -56,6 +56,7 @@ def cli():
     logger.cli(parser)
     Trainer.cli(parser)
     optimize.cli(parser)
+    models_factory.cli(parser)
     losses.Factory.cli(parser)
     encoder.cli(parser)
     for dm in datasets.DATAMODULES.values():
@@ -65,6 +66,7 @@ def cli():
 
     logger.configure(args, LOG)
     Trainer.configure(args)
+    models_factory.configure(args)
     losses.Factory.configure(args)
     encoder.configure(args)
     for dm in datasets.DATAMODULES.values():

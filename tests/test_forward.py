@@ -93,3 +93,27 @@ def test_backbone_registry_variants(base_name, out_features):
     variables = net.init(jax.random.PRNGKey(0), x, train=False)
     out = net.apply(variables, x, train=False)
     assert out.shape == (1, 5, 5, out_features)
+
+
+def test_backbone_options_configure():
+    """Family-level backbone options (reference --shufflenetv2k-*/--resnet-*
+    stride surgery, basenetworks.py:357-405/152-183) rebuild the nets."""
+    from openpifpaf_tpu.models import factory
+
+    factory.SHUFFLENETV2K_OPTIONS.update(norm='group', conv5_as_stage=True)
+    factory.RESNET_OPTIONS.update(block5_dilation=2)
+    try:
+        net = factory.BASE_FACTORIES['shufflenetv2k16']()
+        variables = net.init(jax.random.PRNGKey(0),
+                             np.zeros((1, 33, 33, 3), np.float32), train=False)
+        assert 'batch_stats' not in variables  # group norm has no stats
+        out = net.apply(variables, np.zeros((1, 33, 33, 3), np.float32),
+                        train=False)
+        assert out.shape == (1, 3, 3, 1392)
+
+        res = factory.BASE_FACTORIES['resnet50']()
+        assert res.stride == 8  # pool removed (16) + dilated block5 (/2)
+    finally:
+        factory.SHUFFLENETV2K_OPTIONS.update(norm='batch',
+                                             conv5_as_stage=False)
+        factory.RESNET_OPTIONS.update(block5_dilation=1)
