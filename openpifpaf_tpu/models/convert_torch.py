@@ -437,6 +437,35 @@ def convert_base_net(flat: Dict[str, np.ndarray], base_name: str,
     return m.params, m.batch_stats, m.used
 
 
+def convert_tracking_heads(flat: Dict[str, np.ndarray]):
+    """TBaseSingleImage (head.conv) and Tcaf (feature_reduction/compute +
+    head.conv) heads of tracking checkpoints
+    (reference network/tracking_heads.py:6-103)."""
+    params = {}
+    used = set()
+    i = 0
+    while True:
+        t = f'head_nets.{i}'
+        if f'{t}.head.conv.weight' not in flat:
+            break
+        head = {}
+        if f'{t}.feature_reduction.0.weight' in flat:
+            for t_name, f_name in (('feature_reduction', 'feature_reduction'),
+                                   ('feature_compute', 'feature_compute')):
+                w = flat[f'{t}.{t_name}.0.weight']
+                b = flat[f'{t}.{t_name}.0.bias']
+                head[f_name] = {'kernel': w.transpose(2, 3, 1, 0), 'bias': b}
+                used.update({f'{t}.{t_name}.0.weight', f'{t}.{t_name}.0.bias'})
+        w = flat[f'{t}.head.conv.weight']
+        b = flat[f'{t}.head.conv.bias']
+        head['CompositeField4_0'] = {'Conv_0': {
+            'kernel': w.transpose(2, 3, 1, 0), 'bias': b}}
+        used.update({f'{t}.head.conv.weight', f'{t}.head.conv.bias'})
+        params[f'head_nets_{i}'] = head
+        i += 1
+    return params, used
+
+
 def convert_heads(flat: Dict[str, np.ndarray]):
     """CompositeField4/3 heads: head_nets.{i}.conv -> head_nets_{i}.Conv_0."""
     params = {}
@@ -516,8 +545,15 @@ def convert_checkpoint(torch_path: str, *, base_name: str = None,
     variables) ready for ``training.checkpoint.save_shell``."""
     flat, epoch, meta, model_stub = load_torch_checkpoint(torch_path)
 
+    tracking = any(k.startswith('base_net.single_image_backbone.')
+                   for k in flat)
+    base_prefix = ('base_net.single_image_backbone.' if tracking
+                   else 'base_net.')
+
     if base_name is None:
         base_name = detect_base_name(flat, meta)
+        if tracking and not base_name.startswith('t'):
+            base_name = 't' + base_name
     # the pickled model's own metas describe the checkpoint's heads; any
     # caller-supplied head_metas are only a fallback for bare state_dicts
     if model_stub is not None:
@@ -528,8 +564,12 @@ def convert_checkpoint(torch_path: str, *, base_name: str = None,
         raise ValueError('checkpoint has no recoverable head metas; '
                          'pass head_metas explicitly (e.g. via --dataset)')
 
-    params, batch_stats, used = convert_base_net(flat, base_name)
-    head_params, head_used = convert_heads(flat)
+    params, batch_stats, used = convert_base_net(
+        flat, base_name, torch_prefix=base_prefix)
+    if tracking:
+        head_params, head_used = convert_tracking_heads(flat)
+    else:
+        head_params, head_used = convert_heads(flat)
     used |= head_used
 
     variables = {

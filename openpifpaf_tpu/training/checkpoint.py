@@ -137,6 +137,16 @@ def load_shell(path, *, head_metas=None, head_consolidation='filter_and_extend')
         for i, m in enumerate(metas):
             m.head_index = i
             m.base_stride = base_net.stride
+        tracking = any(
+            isinstance(m, (headmeta.Tcaf, headmeta.TSingleImageCif,
+                           headmeta.TSingleImageCaf)) for m in metas)
+        if tracking:
+            from ..models.tracking import (TrackingShell, TBaseSingleImage,
+                                           Tcaf as TcafHead)
+            head_nets = tuple(
+                TcafHead(meta=m) if isinstance(m, headmeta.Tcaf)
+                else TBaseSingleImage(meta=m) for m in metas)
+            return TrackingShell(base_net=base_net, head_nets=head_nets)
         head_nets = tuple(
             models_factory.HEADS[type(m)](meta=m) for m in metas)
         return Shell(base_net=base_net, head_nets=head_nets)

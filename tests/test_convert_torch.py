@@ -154,3 +154,45 @@ def test_detect_base_name_from_shapes(tmp_path, base_name):
     torch.save({'model': shell_t, 'epoch': 0, 'meta': {}}, path)
     detected, _, _, _ = convert_torch.convert_checkpoint(path)
     assert detected == base_name
+
+
+def test_tracking_checkpoint_conversion(tmp_path):
+    """tshufflenetv2k tracking checkpoints (TrackingBase wrapper +
+    TBaseSingleImage/Tcaf heads) convert and forward-match in train mode."""
+    torch.manual_seed(11)
+    shell_t = torch_ref.build_tracking_shell()
+    shell_t.train()
+    path = str(tmp_path / 'tracking.pkl')
+    torch.save({'model': shell_t, 'epoch': 2, 'meta': {}}, path)
+
+    base_name, head_metas, variables, _ = \
+        convert_torch.convert_checkpoint(path)
+    assert base_name == 'tshufflenetv2k16'
+    assert [type(m).__name__ for m in head_metas] == \
+        ['TSingleImageCif', 'TSingleImageCaf', 'Tcaf']
+
+    from openpifpaf_tpu.models.tracking import (TrackingShell,
+                                                TBaseSingleImage,
+                                                Tcaf as TcafHead)
+    from openpifpaf_tpu import headmeta
+    base_net = models_factory.BASE_FACTORIES[base_name]()
+    assign_strides(head_metas, base_net.stride)
+    head_nets = tuple(
+        TcafHead(meta=m) if isinstance(m, headmeta.Tcaf)
+        else TBaseSingleImage(meta=m) for m in head_metas)
+    model_f = TrackingShell(base_net=base_net, head_nets=head_nets)
+
+    rng = np.random.RandomState(2)
+    imgs = rng.randn(2, 3, 65, 65).astype(np.float32)  # one frame pair
+    with torch.no_grad():
+        cif_t, caf_t, tcaf_t = shell_t(torch.from_numpy(imgs))
+
+    (cif_f, caf_f, tcaf_f), _ = model_f.apply(
+        variables, imgs.transpose(0, 2, 3, 1), train=True,
+        mutable=['batch_stats'])
+    np.testing.assert_allclose(np.asarray(cif_f), cif_t.numpy(),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(caf_f), caf_t.numpy(),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(tcaf_f), tcaf_t.numpy(),
+                               rtol=1e-3, atol=1e-3)

@@ -459,3 +459,113 @@ class SqueezeNetTV(torch.nn.Module):
 
     def forward(self, x):
         return self.backbone(x)
+
+
+class TrackingBase(torch.nn.Module):
+    """reference network/tracking_base.py:6-40 layout."""
+
+    def __init__(self, single_image_backbone):
+        super().__init__()
+        self.single_image_backbone = single_image_backbone
+        self.stride = single_image_backbone.stride
+        self.out_features = single_image_backbone.out_features
+
+    def forward(self, x):  # training path: no feature cache
+        return self.single_image_backbone(x)
+
+
+class TSingleImageCifMeta(Cif):
+    pass
+
+
+class TSingleImageCafMeta(Caf):
+    pass
+
+
+class TcafMeta:
+    def __init__(self, name, dataset, keypoints, sigmas):
+        self.name = name
+        self.dataset = dataset
+        self.keypoints_single_frame = keypoints
+        self.sigmas_single_frame = sigmas
+        self.pose_single_frame = None
+        self.draw_skeleton_single_frame = None
+        self.keypoints = keypoints + keypoints
+        self.sigmas = sigmas + sigmas
+        self.pose = None
+        self.draw_skeleton = None
+        self.only_in_field_of_view = False
+        self.upsample_stride = 1
+        self.n_confidences, self.n_vectors, self.n_scales = 1, 2, 2
+
+    @property
+    def n_fields(self):
+        return len(self.keypoints_single_frame)
+
+
+# the stub unpickler resolves classes by their pickled qualname; reference
+# tracking metas are named TSingleImageCif/TSingleImageCaf/Tcaf
+for _cls, _ref_name in ((TSingleImageCifMeta, 'TSingleImageCif'),
+                        (TSingleImageCafMeta, 'TSingleImageCaf'),
+                        (TcafMeta, 'Tcaf')):
+    _cls.__name__ = _ref_name
+    _cls.__qualname__ = _ref_name
+
+# pickle's save_global looks the qualname up in this module
+TSingleImageCif = TSingleImageCifMeta
+TSingleImageCaf = TSingleImageCafMeta
+Tcaf = TcafMeta
+
+
+class TBaseSingleImage(torch.nn.Module):
+    """reference tracking_heads.py:6-37 layout."""
+
+    def __init__(self, meta, in_features):
+        super().__init__()
+        self.meta = meta
+        self.head = CompositeField4(meta, in_features)
+
+    def forward(self, x):  # training: primary frames only
+        return self.head(x[::2])
+
+
+class TcafHead(torch.nn.Module):
+    """reference tracking_heads.py:40-103 layout."""
+
+    def __init__(self, meta, in_features, reduced=512):
+        super().__init__()
+        self.meta = meta
+        self.feature_reduction = torch.nn.Sequential(
+            torch.nn.Conv2d(in_features, reduced, 1, bias=True),
+            torch.nn.ReLU(inplace=True))
+        self.feature_compute = torch.nn.Sequential(
+            torch.nn.Conv2d(reduced * 2, reduced * 2, 1, bias=True),
+            torch.nn.ReLU(inplace=True))
+        self.head = CompositeField4(meta, reduced * 2)
+
+    def forward(self, x):
+        x = self.feature_reduction(x)
+        x = torch.cat([x[::2], x[1::2]], dim=1)
+        x = self.feature_compute(x)
+        return self.head(x)
+
+
+def build_tracking_shell(base_name='tshufflenetv2k16'):
+    base = ShuffleNetV2K([4, 8, 4], [24, 348, 696, 1392, 1392])
+    tbase = TrackingBase(base)
+
+    kps = [f'kp{i}' for i in range(17)]
+    sigmas = [0.05] * 17
+    skeleton = [(i + 1, i + 2) for i in range(16)] + [(1, 17), (2, 16), (3, 15)]
+    cif = TSingleImageCifMeta('cif', 'cocokpst', kps, sigmas)
+    caf = TSingleImageCafMeta('caf', 'cocokpst', kps, sigmas, skeleton)
+    tcaf = TcafMeta('tcaf', 'cocokpst', kps, sigmas)
+    heads = [TBaseSingleImage(cif, tbase.out_features),
+             TBaseSingleImage(caf, tbase.out_features),
+             TcafHead(tcaf, tbase.out_features)]
+    shell = Shell(tbase, heads)
+    for m in shell.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.eps = 1e-3
+            m.momentum = 0.01
+    return shell
