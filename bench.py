@@ -92,6 +92,15 @@ def main():
     decode_time, decoded = time_fn(decoder, cif_syn, caf_syn)
     n_poses = int(np.sum(np.asarray(decoded[1])))
 
+    # batched serving throughput: batch 8 through forward + decode
+    batch = 8
+    images8 = jnp.asarray(rng.randn(batch, h, w, 3).astype(np.float32))
+    cif8 = jnp.asarray(np.repeat(np.asarray(cif_syn), batch, axis=0))
+    caf8 = jnp.asarray(np.repeat(np.asarray(caf_syn), batch, axis=0))
+    nn8_time, _ = time_fn(forward, variables, images8, n_iters=10)
+    dec8_time, _ = time_fn(decoder, cif8, caf8, n_iters=10)
+    batched_img_per_sec = batch / (nn8_time + dec8_time)
+
     e2e = nn_time + decode_time
     img_per_sec = 1.0 / e2e
     result = {
@@ -109,6 +118,9 @@ def main():
                 1.0 / (nn_bf16_time + decode_time), 1),
             'decode_ms': round(decode_time * 1e3, 3),
             'decoded_poses': n_poses,
+            'batch8_img_per_sec': round(batched_img_per_sec, 1),
+            'batch8_nn_ms': round(nn8_time * 1e3, 3),
+            'batch8_decode_ms': round(dec8_time * 1e3, 3),
         }}), file=sys.stderr)
 
 

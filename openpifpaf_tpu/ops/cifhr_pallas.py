@@ -66,26 +66,54 @@ def _kernel(x_ref, y_ref, sig_ref, w_ref, out_ref, *, n_cells, tile_h, tile_w):
     out_ref[0] = jnp.minimum(acc, 1.0)
 
 
+@functools.lru_cache(maxsize=32)
+def _build_call(hr_h, hr_w, tile_h, tile_w):
+    """pallas_call wrapped with a custom vmap rule that folds a batch axis
+    into the (independent) fields axis, keeping the SMEM parameter arrays
+    flat — direct vmap of the call would produce blocked SMEM layouts the
+    TPU lowering rejects."""
+
+    @jax.custom_batching.custom_vmap
+    def call(x, y, sigma, weight):
+        n_fields, n_cells = x.shape
+        grid = (n_fields, pl.cdiv(hr_h, tile_h), pl.cdiv(hr_w, tile_w))
+        # full (unblocked) flat parameter arrays in SMEM: avoids
+        # blocked-layout constraints; the kernel indexes by field via
+        # program_id(0)
+        cell_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+        return pl.pallas_call(
+            functools.partial(_kernel, n_cells=n_cells,
+                              tile_h=tile_h, tile_w=tile_w),
+            out_shape=jax.ShapeDtypeStruct((n_fields, hr_h, hr_w),
+                                           jnp.float32),
+            grid=grid,
+            in_specs=[cell_spec, cell_spec, cell_spec, cell_spec],
+            out_specs=pl.BlockSpec((1, tile_h, tile_w),
+                                   lambda f, i, j: (f, i, j),
+                                   memory_space=pltpu.VMEM),
+        )(x.reshape(-1), y.reshape(-1), sigma.reshape(-1),
+          weight.reshape(-1))
+
+    @call.def_vmap
+    def _call_vmap(axis_size, in_batched, x, y, sigma, weight):
+        def bat(v, batched):
+            if not batched:
+                return jnp.broadcast_to(v[None], (axis_size,) + v.shape)
+            return v
+
+        args = [bat(v, b) for v, b in
+                zip((x, y, sigma, weight), in_batched)]
+        n_fields = args[0].shape[1]
+        flat = [a.reshape(axis_size * n_fields, -1) for a in args]
+        out = call(*flat)
+        return out.reshape(axis_size, n_fields, hr_h, hr_w), True
+
+    return call
+
+
 def accumulate_pallas(x, y, sigma, w, *, hr_h, hr_w, neighbors=16, factor=1.0,
                       tile_h=128, tile_w=256):
     """Pallas CifHr accumulation. Same contract as
     :func:`cifhr.accumulate_dense`."""
-    n_fields, n_cells = x.shape
     weight = w / neighbors * factor
-
-    grid = (n_fields, pl.cdiv(hr_h, tile_h), pl.cdiv(hr_w, tile_w))
-    # full (unblocked) flat parameter arrays in SMEM: avoids blocked-layout
-    # constraints; the kernel indexes by field via program_id(0)
-    cell_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
-
-    out = pl.pallas_call(
-        functools.partial(_kernel, n_cells=n_cells,
-                          tile_h=tile_h, tile_w=tile_w),
-        out_shape=jax.ShapeDtypeStruct((n_fields, hr_h, hr_w), jnp.float32),
-        grid=grid,
-        in_specs=[cell_spec, cell_spec, cell_spec, cell_spec],
-        out_specs=pl.BlockSpec((1, tile_h, tile_w),
-                               lambda f, i, j: (f, i, j),
-                               memory_space=pltpu.VMEM),
-    )(x.reshape(-1), y.reshape(-1), sigma.reshape(-1), weight.reshape(-1))
-    return out
+    return _build_call(hr_h, hr_w, tile_h, tile_w)(x, y, sigma, weight)

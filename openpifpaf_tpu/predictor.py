@@ -175,7 +175,38 @@ class Predictor:
                 pred = [ann.json_data() for ann in pred]
             yield pred, gt_anns, meta
 
+    #: use the native C++ threaded JPEG loader when possible
+    native_io = True
+
+    def _native_loader(self, file_names):
+        if not (self.native_io and self.long_edge
+                and not self.visualize_image):
+            return None
+        if not all(f.lower().endswith(('.jpg', '.jpeg'))
+                   for f in file_names):
+            return None
+        from .io import native
+        if not native.native_available():
+            return None
+        try:
+            return native.NativeImageLoader(long_edge=self.long_edge)
+        except RuntimeError:
+            return None
+
+    def _images_native(self, file_names, loader):
+        for start in range(0, len(file_names), self.batch_size):
+            paths = file_names[start:start + self.batch_size]
+            images, metas = loader.load_batch(paths)
+            gt = [[] for _ in metas]
+            yield from self._run_batch((images, gt, metas))
+
     def images(self, file_names, **kwargs):
+        file_names = list(file_names)
+        native_loader = self._native_loader(file_names)
+        if native_loader is not None:
+            LOG.debug('using native io for %d images', len(file_names))
+            yield from self._images_native(file_names, native_loader)
+            return
         data = datasets.ImageList(
             file_names, preprocess=self.preprocess,
             with_raw_image=self.visualize_image)

@@ -1,7 +1,12 @@
 """Video stream source (reference ``stream.py:28-157``): OpenCV capture of
-webcam/url/file/screen with scale/rotate/crop and start-frame options."""
+webcam/url/file/screen with scale/rotate/crop and start-frame options.
+
+Without OpenCV, still-image sources (single files or comma-separated lists)
+are decoded with PIL, mirroring the reference's use of a still image as a
+1-frame video in tests (``tests/test_clis.py`` video test)."""
 
 import logging
+import os
 import time
 
 import numpy as np
@@ -14,12 +19,20 @@ except ImportError:
 
 LOG = logging.getLogger(__name__)
 
+_IMAGE_EXTENSIONS = ('.jpg', '.jpeg', '.png', '.bmp', '.ppm', '.webp')
+
 
 class Stream:
     def __init__(self, source, *, preprocess=None, scale=1.0, start_frame=None,
                  start_msec=None, crop=None, rotate=None, max_frames=None,
                  with_raw_image=True):
-        if cv2 is None:
+        self.image_sources = None
+        if isinstance(source, str):
+            parts = source.split(',')
+            if all(p.lower().endswith(_IMAGE_EXTENSIONS) and os.path.exists(p)
+                   for p in parts):
+                self.image_sources = parts
+        if cv2 is None and self.image_sources is None:
             raise ImportError('opencv is required for video streams')
 
         self.source = source
@@ -35,7 +48,46 @@ class Stream:
         if isinstance(source, str) and source.isdigit():
             self.source = int(source)
 
+    def _iter_images(self):
+        for frame_i, path in enumerate(self.image_sources):
+            if self.max_frames is not None and frame_i >= self.max_frames:
+                break
+            with open(path, 'rb') as f:
+                pil_image = PIL.Image.open(f).convert('RGB')
+            if self.scale != 1.0:
+                pil_image = pil_image.resize(
+                    (int(pil_image.size[0] * self.scale),
+                     int(pil_image.size[1] * self.scale)))
+            if self.rotate:
+                pil_image = pil_image.rotate(self.rotate, expand=True)
+            if self.crop:
+                left, top, right, bottom = self.crop
+                pil_image = pil_image.crop(
+                    (left, top, pil_image.size[0] - right,
+                     pil_image.size[1] - bottom))
+            image = np.asarray(pil_image)
+
+            meta = {
+                'frame_i': frame_i + 1,
+                'time': time.time(),
+                'dataset_index': frame_i + 1,
+                'file_name': path,
+            }
+            anns = []
+            if self.preprocess is not None:
+                processed, anns, meta = self.preprocess(pil_image, anns, meta)
+            else:
+                processed = image
+
+            if self.with_raw_image:
+                yield image, processed, anns, meta
+            else:
+                yield processed, anns, meta
+
     def __iter__(self):
+        if self.image_sources is not None:
+            yield from self._iter_images()
+            return
         capture = cv2.VideoCapture(self.source)
         if self.start_frame:
             capture.set(cv2.CAP_PROP_POS_FRAMES, self.start_frame)

@@ -15,7 +15,13 @@ from .preprocess import Preprocess
 class NormalizeAnnotations(Preprocess):
     @staticmethod
     def normalize_annotations(anns):
+        from ..annotation import Base as AnnotationBase
+
         for ann in anns:
+            if isinstance(ann, AnnotationBase):
+                # already a converted annotation object
+                # (reference transforms/annotations.py:19-21)
+                continue
             if 'keypoints' in ann:
                 ann['keypoints'] = np.asarray(
                     ann['keypoints'], dtype=np.float32).reshape(-1, 3)

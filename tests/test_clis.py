@@ -53,3 +53,41 @@ def test_predict_json(tmp_path):
     with open(out_file) as f:
         predictions = json.load(f)
     assert isinstance(predictions, list)
+
+
+@pytest.mark.skipif(not os.path.exists(TEST_IMAGE),
+                    reason='reference fixture not available')
+def test_video_still_image(tmp_path):
+    """Video CLI on a still image as a 1-frame stream (reference
+    tests/test_clis.py video test)."""
+    json_out = str(tmp_path / 'video.json')
+    out = subprocess.run(
+        [PYTHON, '-m', 'openpifpaf_tpu.video',
+         '--source', TEST_IMAGE, '--long-edge', '161',
+         '--json-output', json_out],
+        capture_output=True, env=ENV, timeout=500)
+    assert out.returncode == 0, out.stderr.decode()
+    with open(json_out) as f:
+        lines = [json.loads(line) for line in f if line.strip()]
+    assert len(lines) == 1
+    assert lines[0]['frame'] == 1
+    assert isinstance(lines[0]['predictions'], list)
+
+
+@pytest.mark.slow
+def test_eval_fixture_dataset(tmp_path):
+    """Eval CLI end-to-end on the 1-image fixture dataset: writes the
+    stats json with AP and timing fields (reference eval.py:177-214)."""
+    output = str(tmp_path / 'evalout')
+    out = subprocess.run(
+        [PYTHON, '-m', 'openpifpaf_tpu.eval',
+         '--dataset', 'cocokp',
+         '--cocokp-val-annotations', '/root/reference/tests/coco/train1.json',
+         '--cocokp-val-image-dir', '/root/reference/tests/coco/images',
+         '--coco-eval-long-edge', '161',
+         '--output', output, '--write-predictions'],
+        capture_output=True, env=ENV, timeout=500)
+    assert out.returncode == 0, out.stderr.decode()
+    with open(output + '.stats.json') as f:
+        stats = json.load(f)
+    assert 'stats' in stats or 'AP' in str(stats)

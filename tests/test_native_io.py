@@ -57,3 +57,38 @@ def test_close_to_pil():
     # PIL downsampling is antialiased, the native path is pure bilinear:
     # close but not identical
     assert float(diff.mean()) < 0.5
+
+
+@requires_native
+@requires_fixture
+def test_predictor_native_path_meta_parity():
+    """Predictor.images via the native loader produces the same inverse-
+    transform meta as the PIL preprocessing pipeline."""
+    from openpifpaf_tpu.predictor import Predictor
+
+    p_native = Predictor()
+    p_native.long_edge = 161
+    p_native.preprocess = p_native._build_preprocess()
+    assert p_native._native_loader([TEST_IMAGE]) is not None
+    _, _, meta_native = next(iter(p_native.images([TEST_IMAGE])))
+
+    p_pil = Predictor()
+    p_pil.long_edge = 161
+    p_pil.native_io = False
+    p_pil.preprocess = p_pil._build_preprocess()
+    _, _, meta_pil = next(iter(p_pil.images([TEST_IMAGE])))
+
+    np.testing.assert_allclose(meta_native['scale'], meta_pil['scale'],
+                               rtol=1e-6)
+    # the two pipelines pad differently (top-left vs centered), so offsets
+    # differ; what must agree is the inverse mapping: a network-coordinate
+    # point forward-mapped from the same original pixel must invert back.
+    from openpifpaf_tpu.annotation import Annotation
+
+    orig = np.array((160.0, 90.0))  # image center of the 320x180 fixture
+    for meta in (meta_native, meta_pil):
+        net = orig * meta['scale'] - meta['offset']
+        ann = Annotation([f'kp{i}' for i in range(17)], [(1, 2)])
+        ann.add(0, (net[0], net[1], 1.0))
+        back = ann.inverse_transform(meta)
+        np.testing.assert_allclose(back.data[0, :2], orig, atol=1e-3)
