@@ -35,13 +35,15 @@ def synthetic_fields(h_cells, w_cells, stride):
     return cif, caf
 
 
-def time_fn(fn, *args, n_iters=30):
+def time_fn(fn, *args, n_iters=30, sync_each=False):
     import jax
     out = fn(*args)
     jax.block_until_ready(out)
     start = time.perf_counter()
     for _ in range(n_iters):
         out = fn(*args)
+        if sync_each:
+            jax.block_until_ready(out)
     jax.block_until_ready(out)
     return (time.perf_counter() - start) / n_iters, out
 
@@ -97,8 +99,12 @@ def main():
     images8 = jnp.asarray(rng.randn(batch, h, w, 3).astype(np.float32))
     cif8 = jnp.asarray(np.repeat(np.asarray(cif_syn), batch, axis=0))
     caf8 = jnp.asarray(np.repeat(np.asarray(caf_syn), batch, axis=0))
-    nn8_time, _ = time_fn(forward, variables, images8, n_iters=10)
-    dec8_time, _ = time_fn(decoder, cif8, caf8, n_iters=10)
+    # re-time with per-call sync: through the remote-TPU tunnel, batched
+    # enqueue without per-call blocking has shown order-of-magnitude
+    # artifacts late in the process; per-call sync bounds real latency
+    nn8_time, _ = time_fn(forward, variables, images8, n_iters=10,
+                          sync_each=True)
+    dec8_time, _ = time_fn(decoder, cif8, caf8, n_iters=10, sync_each=True)
     batched_img_per_sec = batch / (nn8_time + dec8_time)
 
     e2e = nn_time + decode_time
