@@ -13,6 +13,23 @@ import sys
 LOG = logging.getLogger(__name__)
 
 
+#: named ablation suites (reference benchmark.py:215-250): each entry is a
+#: (suffix, extra eval args) pair applied to every checkpoint
+ABLATION_SUITES = {
+    'v012': [
+        ('.greedy', ['--greedy']),
+        ('.greedy.dense', ['--greedy', '--cocokp-with-dense',
+                           '--dense-connections']),
+        ('.dense', ['--cocokp-with-dense', '--dense-connections']),
+        ('.dense.hierarchy', ['--cocokp-with-dense',
+                              '--dense-connections=0.1']),
+    ],
+    'force-complete': [
+        ('.force-complete', ['--force-complete-pose']),
+    ],
+}
+
+
 class Benchmark:
     def __init__(self, checkpoints, output_folder, *, reference=None,
                  dataset='cocokp', eval_args=None):
@@ -90,6 +107,10 @@ def main():
     parser.add_argument('--reference', default=None)
     parser.add_argument('-o', '--output', default=None)
     parser.add_argument('--n-images', type=int, default=None)
+    parser.add_argument('--suite', default=None,
+                        choices=sorted(ABLATION_SUITES),
+                        help='run a named ablation suite on top of the '
+                             'default configuration')
     args, eval_args = parser.parse_known_args()
 
     logging.basicConfig(level=logging.INFO)
@@ -100,10 +121,15 @@ def main():
     if args.n_images is not None:
         eval_args += ['--n-images', str(args.n_images)]
 
-    Benchmark(args.checkpoints, args.output,
-              reference=args.reference,
-              dataset=args.dataset,
-              eval_args=eval_args).run().print_results()
+    ablations = [('', eval_args)]
+    if args.suite:
+        ablations += [(suffix, eval_args + extra)
+                      for suffix, extra in ABLATION_SUITES[args.suite]]
+    for suffix, ablation_args in ablations:
+        Benchmark(args.checkpoints, args.output + suffix,
+                  reference=args.reference,
+                  dataset=args.dataset,
+                  eval_args=ablation_args).run().print_results()
 
 
 if __name__ == '__main__':

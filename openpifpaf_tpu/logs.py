@@ -62,8 +62,10 @@ def plot_logs(log_files, *, output_prefix=None, show=False):
 
     fig.tight_layout()
     if output_prefix:
-        fig.savefig(output_prefix + '.png', dpi=150)
-        print(f'wrote {output_prefix}.png')
+        out = output_prefix if output_prefix.endswith('.png') \
+            else output_prefix + '.png'
+        fig.savefig(out, dpi=150)
+        print(f'wrote {out}')
     if show:
         plt.show()
     plt.close(fig)
