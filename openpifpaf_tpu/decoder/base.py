@@ -22,8 +22,14 @@ class Decoder:
         raise NotImplementedError
 
     def batch_decode(self, fields_batch):
-        """Decode a batch; default falls back to per-image calls."""
+        """Decode a batch; default falls back to per-image calls.
+
+        fields_batch: per-head list of (B, ...) arrays (the Predictor's
+        contract); each image gets the per-head slices.
+        """
         start = time.perf_counter()
-        result = [self(f) for f in fields_batch]
+        n_images = len(fields_batch[0])
+        result = [self([f[i] for f in fields_batch])
+                  for i in range(n_images)]
         self.last_decoder_time = time.perf_counter() - start
         return result

@@ -64,6 +64,19 @@ class Predictor:
         self.total_images = 0
 
         self._forward_fn = None
+        self._backbone_fn = None
+        self._heads_fn = None
+        self._prev_feats = None
+        from .models.tracking import TrackingShell
+        self._tracking = isinstance(self.model, TrackingShell)
+        if self._tracking:
+            # reference: RunningCache resets on sequence change
+            # (network/tracking_base.py:19-22 via the eval_reset Signal)
+            from .signal_ import Signal
+            Signal.subscribe('eval_reset', self.reset_tracking)
+
+    def reset_tracking(self):
+        self._prev_feats = None
 
     def _build_preprocess(self):
         rescale_t = None
@@ -138,10 +151,36 @@ class Predictor:
         out[:, :h, :w] = image_batch
         return out
 
+    def _tracking_fields(self, image_batch):
+        """Per-frame tracking forward: backbone on the new frame, feature
+        cache of the previous frame, heads on the interleaved pair
+        (functional replacement of the reference's stateful RunningCache,
+        ``network/tracking_base.py:24-34``)."""
+        assert image_batch.shape[0] == 1, \
+            'tracking models process one frame at a time'
+        model = self.model
+        if self._backbone_fn is None:
+            self._backbone_fn = jax.jit(
+                lambda v, im: model.apply(v, im, train=False,
+                                          method=model.backbone))
+            self._heads_fn = jax.jit(
+                lambda v, feats: model.apply(v, feats, train=False,
+                                             method=model.heads))
+        feats = self._backbone_fn(self.variables, image_batch)
+        prev = self._prev_feats if self._prev_feats is not None else feats
+        if prev.shape != feats.shape:
+            prev = feats  # resolution change: drop the stale cache
+        pair = jnp.concatenate([feats, prev], axis=0)
+        self._prev_feats = feats
+        return self._heads_fn(self.variables, pair)
+
     def fields_batch(self, image_batch):
         start = time.perf_counter()
         image_batch = self._bucket_pad(np.asarray(image_batch))
-        fields = self.forward_fn(self.variables, jnp.asarray(image_batch))
+        if self._tracking:
+            fields = self._tracking_fields(jnp.asarray(image_batch))
+        else:
+            fields = self.forward_fn(self.variables, jnp.asarray(image_batch))
         fields = [np.asarray(f) if f is not None else None for f in fields]
         self.last_nn_time = time.perf_counter() - start
         return fields

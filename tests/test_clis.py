@@ -91,3 +91,30 @@ def test_eval_fixture_dataset(tmp_path):
     with open(output + '.stats.json') as f:
         stats = json.load(f)
     assert 'stats' in stats or 'AP' in str(stats)
+
+
+@pytest.mark.skipif(not os.path.exists(TEST_IMAGE),
+                    reason='reference fixture not available')
+def test_video_tracking_checkpoint(tmp_path):
+    """Video CLI with a (converted) tracking checkpoint runs the full
+    TrackingShell + feature-cache + TCAF + TrackingPose path."""
+    import torch
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__)))
+    import torch_ref
+
+    torch.manual_seed(0)
+    ckpt = str(tmp_path / 'tracking.pkl')
+    torch.save({'model': torch_ref.build_tracking_shell(), 'epoch': 0,
+                'meta': {}}, ckpt)
+
+    json_out = str(tmp_path / 'track.json')
+    out = subprocess.run(
+        [PYTHON, '-m', 'openpifpaf_tpu.video',
+         '--source', f'{TEST_IMAGE},{TEST_IMAGE}',
+         '--checkpoint', ckpt, '--long-edge', '161',
+         '--json-output', json_out],
+        capture_output=True, env=ENV, timeout=500)
+    assert out.returncode == 0, out.stderr.decode()[-2000:]
+    with open(json_out) as f:
+        lines = [json.loads(line) for line in f if line.strip()]
+    assert [l['frame'] for l in lines] == [1, 2]
