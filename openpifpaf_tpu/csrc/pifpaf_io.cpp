@@ -263,6 +263,82 @@ int pifpaf_load_batch(const char** paths, int n,
     return n_failures;
 }
 
+// Like pifpaf_load_batch, but writes raw uint8 pixels (long-edge resized,
+// top-left zero-padded) without normalization: the float conversion and
+// ImageNet normalization then run fused into the accelerator graph, and
+// the host->device transfer is 4x smaller.
+int pifpaf_load_batch_u8(const char** paths, int n,
+                         int long_edge, int out_h, int out_w,
+                         uint8_t* out, int* scaled_sizes, int n_threads) {
+    ThreadPool* p = get_pool(n_threads);
+    std::vector<int> failures(n, 0);
+
+    for (int i = 0; i < n; ++i) {
+        const char* path = paths[i];
+        uint8_t* slot = out + size_t(i) * out_h * out_w * 3;
+        int* size_slot = scaled_sizes + size_t(i) * 4;
+        p->submit([path, slot, size_slot, long_edge, out_h, out_w,
+                   &failures, i] {
+            FILE* f = std::fopen(path, "rb");
+            if (f == nullptr) { failures[i] = 1; return; }
+            std::fseek(f, 0, SEEK_END);
+            const long len = std::ftell(f);
+            std::fseek(f, 0, SEEK_SET);
+            std::vector<uint8_t> bytes(len);
+            const size_t n_read = std::fread(bytes.data(), 1, len, f);
+            std::fclose(f);
+            if (long(n_read) != len) { failures[i] = 1; return; }
+
+            Image img;
+            if (!decode_jpeg(bytes.data(), bytes.size(), &img)) {
+                failures[i] = 1;
+                return;
+            }
+
+            int dst_h = img.height;
+            int dst_w = img.width;
+            if (long_edge > 0) {
+                const float s = float(long_edge)
+                    / std::max(img.height, img.width);
+                if (img.height > img.width) {
+                    dst_h = long_edge;
+                    dst_w = int(img.width * s);
+                } else {
+                    dst_w = long_edge;
+                    dst_h = int(img.height * s);
+                }
+            }
+            dst_h = std::min(dst_h, out_h);
+            dst_w = std::min(dst_w, out_w);
+
+            std::vector<uint8_t> resized;
+            const std::vector<uint8_t>* pixels = &img.data;
+            int src_w = img.width;
+            if (dst_h != img.height || dst_w != img.width) {
+                resize_bilinear(img, dst_h, dst_w, &resized);
+                pixels = &resized;
+                src_w = dst_w;
+            }
+
+            std::memset(slot, 0, size_t(out_h) * out_w * 3);
+            for (int y = 0; y < dst_h; ++y) {
+                std::memcpy(slot + size_t(y) * out_w * 3,
+                            pixels->data() + size_t(y) * src_w * 3,
+                            size_t(dst_w) * 3);
+            }
+            size_slot[0] = dst_h;
+            size_slot[1] = dst_w;
+            size_slot[2] = img.height;
+            size_slot[3] = img.width;
+        });
+    }
+    p->wait_all();
+
+    int n_failures = 0;
+    for (int i = 0; i < n; ++i) n_failures += failures[i];
+    return n_failures;
+}
+
 // Decode a single JPEG from memory into a preallocated uint8 HWC buffer
 // of capacity cap_h * cap_w * 3; writes actual (h, w) into size_out.
 int pifpaf_decode_jpeg(const uint8_t* bytes, long len,

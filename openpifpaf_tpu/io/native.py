@@ -26,12 +26,16 @@ def _load_library():
     global _lib, _build_attempted
     if _lib is not None:
         return _lib
-    if not os.path.exists(LIB_PATH):
+    src_path = os.path.join(CSRC_DIR, 'pifpaf_io.cpp')
+    stale = (not os.path.exists(LIB_PATH)
+             or (os.path.exists(src_path)
+                 and os.path.getmtime(src_path) > os.path.getmtime(LIB_PATH)))
+    if stale:
         if _build_attempted:
             return None
         _build_attempted = True
         try:
-            subprocess.run(['make', '-C', CSRC_DIR], check=True,
+            subprocess.run(['make', '-B', '-C', CSRC_DIR], check=True,
                            capture_output=True)
         except (subprocess.CalledProcessError, FileNotFoundError) as e:
             LOG.warning('could not build native io library: %s', e)
@@ -47,6 +51,13 @@ def _load_library():
         ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int),
+        ctypes.c_int,
+    ]
+    lib.pifpaf_load_batch_u8.restype = ctypes.c_int
+    lib.pifpaf_load_batch_u8.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_ubyte), ctypes.POINTER(ctypes.c_int),
         ctypes.c_int,
     ]
     _lib = lib
@@ -95,6 +106,32 @@ class NativeImageLoader:
         if failures:
             LOG.warning('%d images failed to load', failures)
 
+        return images, self._metas(paths, sizes)
+
+    def load_batch_uint8(self, paths):
+        """Like load_batch but returns raw uint8 pixels (no
+        normalization): the float conversion + ImageNet normalization are
+        meant to run in-graph on the device, and the host->device transfer
+        is 4x smaller."""
+        n = len(paths)
+        out_h = self._padded(self.long_edge)
+        out_w = out_h
+        images = np.zeros((n, out_h, out_w, 3), dtype=np.uint8)
+        sizes = np.zeros((n, 4), dtype=np.int32)
+
+        c_paths = (ctypes.c_char_p * n)(
+            *[p.encode('utf-8') for p in paths])
+        failures = self.lib.pifpaf_load_batch_u8(
+            c_paths, n, self.long_edge, out_h, out_w,
+            images.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+            sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            self.n_threads)
+        if failures:
+            LOG.warning('%d images failed to load', failures)
+
+        return images, self._metas(paths, sizes)
+
+    def _metas(self, paths, sizes):
         metas = []
         for i, path in enumerate(paths):
             scaled_h, scaled_w, orig_h, orig_w = (int(v) for v in sizes[i])
@@ -114,4 +151,4 @@ class NativeImageLoader:
                 'width_height': np.array((orig_w, orig_h)),
                 'scaled_wh': (scaled_w, scaled_h),
             })
-        return images, metas
+        return metas

@@ -64,6 +64,7 @@ class Predictor:
         self.total_images = 0
 
         self._forward_fn = None
+        self._forward_u8_fn = None
         self._backbone_fn = None
         self._heads_fn = None
         self._prev_feats = None
@@ -147,9 +148,31 @@ class Predictor:
             return image_batch
         out = np.zeros(
             (image_batch.shape[0], target_h, target_w, image_batch.shape[3]),
-            dtype=np.float32)
+            dtype=image_batch.dtype)
         out[:, :h, :w] = image_batch
         return out
+
+    _IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+    _IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+    @property
+    def forward_u8_fn(self):
+        """Forward taking raw uint8 pixels; the float conversion and
+        ImageNet normalization run in-graph (fused by XLA into the input
+        convolution), so the host->device transfer is uint8 (4x smaller)."""
+        if self._forward_u8_fn is None:
+            float_forward = self.forward_fn
+            mean = jnp.asarray(self._IMAGENET_MEAN)
+            std = jnp.asarray(self._IMAGENET_STD)
+
+            @jax.jit
+            def forward_u8(variables, image_u8):
+                x = image_u8.astype(jnp.float32) / 255.0
+                x = (x - mean) / std
+                return float_forward(variables, x)
+
+            self._forward_u8_fn = forward_u8
+        return self._forward_u8_fn
 
     def _tracking_fields(self, image_batch):
         """Per-frame tracking forward: backbone on the new frame, feature
@@ -179,6 +202,9 @@ class Predictor:
         image_batch = self._bucket_pad(np.asarray(image_batch))
         if self._tracking:
             fields = self._tracking_fields(jnp.asarray(image_batch))
+        elif image_batch.dtype == np.uint8:
+            fields = self.forward_u8_fn(self.variables,
+                                        jnp.asarray(image_batch))
         else:
             fields = self.forward_fn(self.variables, jnp.asarray(image_batch))
         fields = [np.asarray(f) if f is not None else None for f in fields]
@@ -235,7 +261,7 @@ class Predictor:
     def _images_native(self, file_names, loader):
         for start in range(0, len(file_names), self.batch_size):
             paths = file_names[start:start + self.batch_size]
-            images, metas = loader.load_batch(paths)
+            images, metas = loader.load_batch_uint8(paths)
             gt = [[] for _ in metas]
             yield from self._run_batch((images, gt, metas))
 
