@@ -36,6 +36,7 @@ class CifCaf(Decoder):
     keypoint_threshold_nms = 0.15
     force_complete_caf_th = 0.001
     cifhr_threshold = 0.3
+    connection_method = 'blend'
     n_seeds = 256
     n_poses = 96
     n_hr_cells = 256
@@ -54,6 +55,7 @@ class CifCaf(Decoder):
             keypoint_threshold=self.keypoint_threshold,
             keypoint_threshold_rel=self.keypoint_threshold_rel,
             reverse_match=self.reverse_match,
+            connection_method=self.connection_method,
             greedy=self.greedy,
             force_complete=self.force_complete,
             force_complete_caf_th=self.force_complete_caf_th,
@@ -82,6 +84,10 @@ class CifCaf(Decoder):
         group.add_argument('--seed-threshold', type=float,
                            default=cls.seed_threshold)
         group.add_argument('--greedy', default=cls.greedy, action='store_true')
+        group.add_argument('--connection-method',
+                           default=cls.connection_method,
+                           choices=('blend', 'max'),
+                           help='connection blending (cifcaf.cpp:32-113)')
         assert cls.reverse_match
         group.add_argument('--no-reverse-match', dest='reverse_match',
                            default=True, action='store_false')
@@ -107,6 +113,7 @@ class CifCaf(Decoder):
         cls.instance_threshold = args.instance_threshold
         cls.seed_threshold = args.seed_threshold
         cls.greedy = args.greedy
+        cls.connection_method = args.connection_method
         cls.reverse_match = args.reverse_match
         cls.n_seeds = args.decoder_seeds
         cls.n_poses = args.decoder_poses

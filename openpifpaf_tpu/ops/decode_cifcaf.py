@@ -45,6 +45,9 @@ class CifCafDecoderConfig:
     keypoint_threshold_rel: float = 0.5
     reverse_match: bool = True
     filter_sigmas: float = 1.0
+    #: 'blend' (default, top-2 within-sigma blend) or 'max'
+    #: (--connection-method, reference cifcaf.cpp:32-113)
+    connection_method: str = 'blend'
     greedy: bool = False
     force_complete: bool = False
     force_complete_caf_th: float = 0.001
@@ -100,6 +103,7 @@ def decode_cifcaf_single(cif, caf, initial_poses=None, *, stride, skeleton,
         rescore=cfg.caf_rescore)
 
     grow_kwargs = dict(
+        only_max=cfg.connection_method == 'max',
         keypoint_threshold=cfg.keypoint_threshold,
         keypoint_threshold_rel=cfg.keypoint_threshold_rel,
         reverse_match=cfg.reverse_match,

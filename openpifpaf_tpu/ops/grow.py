@@ -117,7 +117,7 @@ def grow_connection_blend(caf, d, x, y, s, *, filter_sigmas=1.0, only_max=False)
 
 def connection_value(caf, graph_arrays, pose, d, *, keypoint_threshold=0.15,
                      keypoint_threshold_rel=0.5, reverse_match=True,
-                     filter_sigmas=1.0):
+                     filter_sigmas=1.0, only_max=False):
     """Connection value for directed edge ``d`` given a pose.
 
     Mirrors ``CifCaf::_connection_value`` (``cifcaf.cpp:349-411``): forward
@@ -133,14 +133,15 @@ def connection_value(caf, graph_arrays, pose, d, *, keypoint_threshold=0.15,
     ss = pose[start_i, 3]
 
     nv, nx, ny, ns = grow_connection_blend(
-        caf, d, sx, sy, ss, filter_sigmas=filter_sigmas)
+        caf, d, sx, sy, ss, filter_sigmas=filter_sigmas, only_max=only_max)
 
     v = jnp.sqrt(nv * sv)
     ok = (nv > 0.0) & (v >= keypoint_threshold) & (v >= sv * keypoint_threshold_rel)
 
     if reverse_match:
         rv, rx, ry, _ = grow_connection_blend(
-            caf, dir_reverse[d], nx, ny, ns, filter_sigmas=filter_sigmas)
+            caf, dir_reverse[d], nx, ny, ns, filter_sigmas=filter_sigmas,
+            only_max=only_max)
         rev_ok = (rv > 0.0) & (jnp.abs(sx - rx) + jnp.abs(sy - ry) <= ss)
         ok = ok & rev_ok
 
@@ -150,7 +151,8 @@ def connection_value(caf, graph_arrays, pose, d, *, keypoint_threshold=0.15,
 
 def grow_from_pose(caf, graph: SkeletonGraph, pose0, *,
                    keypoint_threshold=0.15, keypoint_threshold_rel=0.5,
-                   reverse_match=True, filter_sigmas=1.0, greedy=False):
+                   reverse_match=True, filter_sigmas=1.0, greedy=False,
+                   only_max=False):
     """Grow a (partially filled) pose to completion.
 
     pose0: (n_keypoints, 4) [v, x, y, s]; joints with v > 0 are fixed and
@@ -173,7 +175,8 @@ def grow_from_pose(caf, graph: SkeletonGraph, pose0, *,
                 caf, graph_arrays, pose, jnp.minimum(d, n_dir - 1),
                 keypoint_threshold=keypoint_threshold,
                 keypoint_threshold_rel=keypoint_threshold_rel,
-                reverse_match=reverse_match, filter_sigmas=filter_sigmas)
+                reverse_match=reverse_match, filter_sigmas=filter_sigmas,
+                only_max=only_max)
             v = jnp.where(is_valid, v, 0.0)
             return jnp.stack([v, x, y, s])
         return jax.vmap(one)(edges, valid)
@@ -183,7 +186,8 @@ def grow_from_pose(caf, graph: SkeletonGraph, pose0, *,
             caf, graph_arrays, pose, d,
             keypoint_threshold=keypoint_threshold,
             keypoint_threshold_rel=keypoint_threshold_rel,
-            reverse_match=reverse_match, filter_sigmas=filter_sigmas)
+            reverse_match=reverse_match, filter_sigmas=filter_sigmas,
+            only_max=only_max)
         return jnp.stack([v, x, y, s])
 
     def update_cache(cache, pose, joint):

@@ -230,9 +230,14 @@ class Trainer:
     def _prepare_targets(self, targets, metas):
         """Order per-head targets by meta['head_indices']."""
         n_heads = len(self.model.head_nets)
-        out = [None] * n_heads
         head_indices = metas[0].get('head_indices',
                                     list(range(len(targets))))
+        if len(targets) == n_heads and len(head_indices) < n_heads:
+            # already expanded into global head slots by MultiLoader
+            # (None marks heads of the other datasets)
+            return tuple(jnp.asarray(t) if t is not None else None
+                         for t in targets)
+        out = [None] * n_heads
         for t, head_i in zip(targets, head_indices):
             out[head_i] = jnp.asarray(t)
         return tuple(out)

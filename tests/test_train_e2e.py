@@ -3,6 +3,8 @@
 prediction with the trained model."""
 
 import os
+import subprocess
+import sys
 import types
 
 import jax
@@ -72,3 +74,37 @@ def test_train_one_epoch(tmp_path):
         os.path.join(FIXTURE_IMAGES, 'puppy_dog.jpg'))
     assert isinstance(pred, list)
     assert meta['file_name'].endswith('puppy_dog.jpg')
+
+
+PYTHON = sys.executable
+ENV = dict(os.environ, JAX_PLATFORMS='cpu', PYTHONPATH=os.getcwd())
+
+
+@pytest.mark.slow
+def test_train_multidataset(tmp_path):
+    """MultiDataModule training (reference 'cocokp-crowdpose' hyphen
+    syntax, datasets/factory.py:5-15): weighted round-robin MultiLoader
+    with per-dataset targets mapped into global head slots."""
+    out = str(tmp_path / 'multi')
+    ann = '/root/reference/tests/coco/train1.json'
+    img_dir = '/root/reference/tests/coco/images'
+    result = subprocess.run(
+        [PYTHON, '-m', 'openpifpaf_tpu.train', '--dataset', 'cocokp-cocodet',
+         '--cocokp-train-annotations', ann,
+         '--cocokp-val-annotations', ann,
+         '--cocokp-train-image-dir', img_dir,
+         '--cocokp-val-image-dir', img_dir,
+         '--cocodet-train-annotations', ann,
+         '--cocodet-val-annotations', ann,
+         '--cocodet-train-image-dir', img_dir,
+         '--cocodet-val-image-dir', img_dir,
+         '--cocokp-square-edge', '97', '--cocodet-square-edge', '97',
+         '--basenet', 'resnet18', '--batch-size', '1', '--n-devices', '1',
+         '--epochs', '1', '--lr', '1e-4', '--output', out],
+        env=ENV, capture_output=True, timeout=900)
+    assert result.returncode == 0, result.stderr.decode()[-2000:]
+    assert os.path.exists(out + '.json')
+    import json
+    meta = json.load(open(out + '.json'))
+    # three global heads: cocokp cif+caf and cocodet cifdet
+    assert len(meta['head_metas']) == 3
