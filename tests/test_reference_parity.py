@@ -1,0 +1,177 @@
+"""Parity against the REAL reference C++ decoder.
+
+Compiles the reference's TorchScript decoder classes from the read-only
+mount (``/root/reference/src/openpifpaf/csrc``) as a torch extension and
+runs identical synthetic composite fields through both decoders. This is
+the strongest equivalence evidence available without pretrained weights:
+the sequential priority-queue C++ implementation and this repo's batched
+fixed-shape XLA reformulation must find the same people with the same
+keypoint locations.
+
+Numerical notes: CifHr here is an order-independent clamped sum
+(min(sum, 1)) while the reference does a per-pixel ``min(max+v, max+1)``
+clamp; seed scores can therefore differ slightly, so pose-level comparison
+uses a sub-pixel tolerance rather than bit equality.
+"""
+
+import glob
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import field_fixtures  # noqa: E402
+
+CSRC = '/root/reference/src/openpifpaf/csrc'
+BUILD_DIR = '/tmp/ref_decoder_build'
+
+
+def _load_reference_decoder():
+    import torch
+    import torch.utils.cpp_extension as ce
+
+    if not os.path.isdir(CSRC):
+        pytest.skip('reference csrc not available')
+    os.makedirs(BUILD_DIR, exist_ok=True)
+    try:
+        ce.load(
+            name='openpifpaf_ref_decoder',
+            sources=sorted(glob.glob(os.path.join(CSRC, 'src', '*.cpp'))),
+            extra_include_paths=[os.path.join(CSRC, 'include')],
+            extra_cflags=['-std=c++17', '-O2'],
+            build_directory=BUILD_DIR,
+            is_python_module=False,
+            verbose=False)
+    except Exception as e:  # toolchain missing etc.
+        pytest.skip(f'could not build reference decoder: {e}')
+    return torch
+
+
+def _synthetic_scene(n_people, stride, hw, seed=0):
+    rng = np.random.RandomState(seed)
+    h, w = hw
+    anns = []
+    for i in range(n_people):
+        cx = 60 + (i % 3) * (w - 140) / 2.0
+        cy = 70 + (i // 3) * max(1.0, (h - 160))
+        anns.append(field_fixtures.annotation_dict(
+            field_fixtures.synthetic_person(cx, cy, 90.0, rng)))
+    cif, caf, _ = field_fixtures.fields_from_annotations(
+        anns, hw, stride=stride)
+    return cif, caf
+
+
+def _match_poses(ref_poses, our_poses):
+    """Greedy one-to-one matching by mean visible-joint distance."""
+    used = set()
+    pairs = []
+    for rp in ref_poses:
+        best, best_d = None, None
+        for i, op in enumerate(our_poses):
+            if i in used:
+                continue
+            vis = (rp[:, 0] > 0) & (op[:, 0] > 0)
+            if not np.any(vis):
+                continue
+            d = float(np.linalg.norm(rp[vis, 1:3] - op[vis, 1:3],
+                                     axis=1).mean())
+            if best_d is None or d < best_d:
+                best, best_d = i, d
+        assert best is not None, 'no matching pose found'
+        used.add(best)
+        pairs.append((rp, our_poses[best], best_d))
+    return pairs
+
+
+@pytest.mark.parametrize('n_people', [1, 3, 6])
+def test_cifcaf_parity_with_reference_cpp(n_people):
+    torch = _load_reference_decoder()
+
+    import openpifpaf_tpu
+    from openpifpaf_tpu.ops import build_cifcaf_decoder
+
+    datamodule = openpifpaf_tpu.datasets.factory('cocokp')
+    cif_meta, caf_meta = datamodule.head_metas
+    skeleton = np.asarray(caf_meta.skeleton, dtype=np.int64)
+    stride = 8
+    cif, caf = _synthetic_scene(n_people, stride, (169, 217))
+
+    # reference sequential C++ decode (zero-based skeleton like the
+    # reference python wrapper, decoder/cifcaf.py:119-122)
+    ref = torch.classes.openpifpaf_decoder.CifCaf(
+        17, torch.from_numpy(skeleton) - 1)
+    ref_anns, _ = ref.call(torch.from_numpy(cif), stride,
+                           torch.from_numpy(caf), stride)
+    ref_poses = ref_anns.numpy()  # (N, 17, 4) [v, x, y, s]
+
+    # this repo's batched device decode
+    decoder = build_cifcaf_decoder(
+        stride=stride, skeleton=caf_meta.skeleton, n_keypoints=17)
+    poses, keep, _ = (np.asarray(a) for a in
+                      decoder(cif[None], caf[None]))
+    our_poses = poses[0][keep[0] > 0]
+
+    assert len(ref_poses) == n_people
+    assert len(our_poses) == len(ref_poses)
+
+    for rp, op, mean_d in _match_poses(list(ref_poses), list(our_poses)):
+        vis_ref = rp[:, 0] > 0
+        vis_our = op[:, 0] > 0
+        # same visibility pattern
+        np.testing.assert_array_equal(vis_ref, vis_our)
+        # sub-pixel agreement of keypoint locations (hi-res pixels)
+        np.testing.assert_allclose(op[vis_ref, 1:3], rp[vis_ref, 1:3],
+                                   atol=0.75)
+        # confidences close
+        np.testing.assert_allclose(op[vis_ref, 0], rp[vis_ref, 0], atol=0.1)
+
+
+def test_grow_connection_blend_parity():
+    """The standalone blend kernel matches the reference's
+    ``grow_connection_blend`` op bit-closely on random candidates."""
+    torch = _load_reference_decoder()
+
+    import jax.numpy as jnp
+    from openpifpaf_tpu.ops.grow import grow_connection_blend
+
+    rng = np.random.RandomState(1)
+    # reference candidate layout: (N, 7) rows [c, x1, y1, x2, y2, s1, s2]
+    # (caf_scored.cpp association tuples)
+    n = 40
+    cand = np.zeros((n, 7), dtype=np.float32)
+    cand[:, 0] = rng.uniform(0.1, 1.0, n)            # score
+    cand[:, 1] = rng.uniform(18.0, 26.0, n)          # x1 near query
+    cand[:, 2] = rng.uniform(18.0, 26.0, n)          # y1
+    cand[:, 3] = rng.uniform(0.0, 64.0, n)           # x2
+    cand[:, 4] = rng.uniform(0.0, 64.0, n)           # y2
+    cand[:, 5] = rng.uniform(1.0, 4.0, n)            # s1
+    cand[:, 6] = rng.uniform(1.0, 4.0, n)            # s2
+
+    for only_max in (False, True):
+        for xy in ((22.0, 21.0, 4.0), (20.0, 24.0, 2.0), (50.0, 50.0, 3.0)):
+            ref = np.asarray(
+                torch.ops.openpifpaf_decoder.grow_connection_blend(
+                    torch.from_numpy(cand), xy[0], xy[1], xy[2], 1.0,
+                    only_max))
+
+            # our kernel consumes per-directed-edge planes as a dict of
+            # (D, N) arrays; wrap the candidates as edge 0
+            caf_planes = {
+                'c': jnp.asarray(cand[None, :, 0]),
+                'sx': jnp.asarray(cand[None, :, 1]),
+                'sy': jnp.asarray(cand[None, :, 2]),
+                'tx': jnp.asarray(cand[None, :, 3]),
+                'ty': jnp.asarray(cand[None, :, 4]),
+                'ts': jnp.asarray(cand[None, :, 6]),
+            }
+            v, x, y, s = (float(a) for a in grow_connection_blend(
+                caf_planes, 0, xy[0], xy[1], xy[2], only_max=only_max))
+
+            # reference returns [x, y, sigma, v]
+            if ref[3] == 0.0:
+                assert v == 0.0
+                continue
+            np.testing.assert_allclose([x, y, s, v], ref,
+                                       rtol=1e-5, atol=1e-5)
