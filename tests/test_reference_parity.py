@@ -175,3 +175,103 @@ def test_grow_connection_blend_parity():
                 continue
             np.testing.assert_allclose([x, y, s, v], ref,
                                        rtol=1e-5, atol=1e-5)
+
+
+def _synthetic_cifdet(n_categories, dets, hw, stride):
+    """dets: list of (category0, cx, cy, w, h) in image pixels.
+    Builds (F, 6, H, W) fields [logb, c, x, y, w, h] with a 4x4 stamp."""
+    h_cells = (hw[0] - 1) // stride + 1
+    w_cells = (hw[1] - 1) // stride + 1
+    field = np.zeros((n_categories, 6, h_cells, w_cells), dtype=np.float32)
+    for cat, cx, cy, w, hgt in dets:
+        ci, cj = cx / stride, cy / stride
+        j0, i0 = int(cj), int(ci)
+        for dj in range(-1, 3):
+            for di in range(-1, 3):
+                j, i = j0 + dj, i0 + di
+                if not (0 <= j < h_cells and 0 <= i < w_cells):
+                    continue
+                field[cat, 1, j, i] = 1.0
+                field[cat, 2, j, i] = ci
+                field[cat, 3, j, i] = cj
+                field[cat, 4, j, i] = w / stride
+                field[cat, 5, j, i] = hgt / stride
+    return field
+
+
+def test_cifdet_parity_with_reference_cpp():
+    torch = _load_reference_decoder()
+
+    from openpifpaf_tpu.ops.decode_cifdet import build_cifdet_decoder
+
+    stride = 8
+    dets = [(0, 60.0, 70.0, 50.0, 80.0),
+            (1, 150.0, 80.0, 40.0, 30.0),
+            (0, 160.0, 150.0, 60.0, 40.0)]
+    field = _synthetic_cifdet(2, dets, (169, 217), stride)
+
+    ref = torch.classes.openpifpaf_decoder.CifDet()
+    cats_t, scores_t, boxes_t = ref.call(torch.from_numpy(field), stride)
+    ref_dets = sorted(
+        zip(cats_t.numpy().tolist(), scores_t.numpy(), boxes_t.numpy()),
+        key=lambda d: (d[2][0], d[2][1]))
+
+    decoder = build_cifdet_decoder(stride=stride)
+    out = decoder(field[None])
+    keep = np.asarray(out['score'][0]) > 0.05
+    our_dets = sorted(
+        zip((np.asarray(out['category'][0])[keep]).tolist(),
+            np.asarray(out['score'][0])[keep],
+            np.asarray(out['box'][0])[keep]),
+        key=lambda d: (d[2][0], d[2][1]))
+
+    assert len(ref_dets) == len(dets)
+    assert len(our_dets) == len(ref_dets)
+    for (rc, rs, rb), (oc, os_, ob) in zip(ref_dets, our_dets):
+        assert int(rc) == int(oc)
+        np.testing.assert_allclose(ob, rb, atol=1.0)
+        np.testing.assert_allclose(os_, rs, atol=0.1)
+
+
+def test_initial_annotations_parity_with_reference_cpp():
+    """Tracking path: both decoders grow the same initial (partial) pose
+    (reference ``cifcaf.cpp:177-201``)."""
+    torch = _load_reference_decoder()
+
+    import openpifpaf_tpu
+    from openpifpaf_tpu.ops import build_cifcaf_decoder
+
+    datamodule = openpifpaf_tpu.datasets.factory('cocokp')
+    _, caf_meta = datamodule.head_metas
+    skeleton = np.asarray(caf_meta.skeleton, dtype=np.int64)
+    stride = 8
+    cif, caf = _synthetic_scene(1, stride, (169, 217), seed=4)
+
+    # partial initial pose: the true nose joint only
+    nose = None
+    import field_fixtures as ff
+    rng = np.random.RandomState(4)
+    kps = ff.synthetic_person(60 + 0 * (217 - 140) / 2.0, 70.0, 90.0, rng)
+    init = np.zeros((1, 17, 4), dtype=np.float32)
+    init[0, 0] = (2.0, kps[0, 0], kps[0, 1], 4.0)
+
+    ref = torch.classes.openpifpaf_decoder.CifCaf(
+        17, torch.from_numpy(skeleton) - 1)
+    ref_anns, ref_ids = ref.call_with_initial_annotations(
+        torch.from_numpy(cif), stride, torch.from_numpy(caf), stride,
+        torch.from_numpy(init), torch.LongTensor([7]))
+    ref_poses = ref_anns.numpy()
+    assert 7 in ref_ids.numpy().tolist()
+
+    decoder = build_cifcaf_decoder(
+        stride=stride, skeleton=caf_meta.skeleton, n_keypoints=17,
+        with_initial_annotations=True)
+    poses, keep, _ = (np.asarray(a) for a in
+                      decoder(cif[None], caf[None], init[None]))
+    our_poses = poses[0][keep[0] > 0]
+
+    assert len(our_poses) == len(ref_poses)
+    for rp, op, _ in _match_poses(list(ref_poses), list(our_poses)):
+        vis = (rp[:, 0] > 0) & (op[:, 0] > 0)
+        assert vis.sum() >= 15
+        np.testing.assert_allclose(op[vis, 1:3], rp[vis, 1:3], atol=0.75)
