@@ -35,17 +35,23 @@ def synthetic_fields(h_cells, w_cells, stride):
     return cif, caf
 
 
-def time_fn(fn, *args, n_iters=30, sync_each=False):
+def time_fn(fn, *args, n_iters=30, sync_each=False, repeats=3):
+    """min-of-repeats pipelined timing (the remote-TPU tunnel shows large
+    run-to-run interference; min is the least-interference estimate)."""
     import jax
     out = fn(*args)
     jax.block_until_ready(out)
-    start = time.perf_counter()
-    for _ in range(n_iters):
-        out = fn(*args)
-        if sync_each:
-            jax.block_until_ready(out)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - start) / n_iters, out
+    best = None
+    for _ in range(repeats):
+        start = time.perf_counter()
+        for _ in range(n_iters):
+            out = fn(*args)
+            if sync_each:
+                jax.block_until_ready(out)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - start) / n_iters
+        best = dt if best is None else min(best, dt)
+    return best, out
 
 
 def main():
@@ -76,6 +82,14 @@ def main():
     forward = jax.jit(lambda v, im: model.apply(v, im, train=False))
 
     nn_time, fields = time_fn(forward, variables, image)
+
+    # model FLOPs via XLA cost analysis -> effective compute utilization
+    try:
+        cost = jax.jit(lambda v, im: model.apply(v, im, train=False)) \
+            .lower(variables, image).compile().cost_analysis()
+        nn_gflops = float(cost.get('flops', 0.0)) / 1e9 if cost else 0.0
+    except Exception:
+        nn_gflops = 0.0
 
     # bfloat16 backbone path (what `predict --bf16` runs): conv/BN on the
     # MXU in bf16, heads in f32 for full-precision regressions
@@ -124,6 +138,9 @@ def main():
                 1.0 / (nn_bf16_time + decode_time), 1),
             'decode_ms': round(decode_time * 1e3, 3),
             'decoded_poses': n_poses,
+            'nn_gflops': round(nn_gflops, 2),
+            'nn_tflops_per_sec': round(nn_gflops / max(nn_time, 1e-9) / 1e3,
+                                       1),
             'batch8_img_per_sec': round(batched_img_per_sec, 1),
             'batch8_nn_ms': round(nn8_time * 1e3, 3),
             'batch8_decode_ms': round(dec8_time * 1e3, 3),
