@@ -20,7 +20,8 @@ from .configurable import Configurable
 from .signal_ import Signal
 
 # registries (must exist before plugins are imported)
-from .models.factory import BASE_FACTORIES, BASE_TYPES, HEADS, CHECKPOINT_URLS
+from .models.factory import (BASE_FACTORIES, BASE_TYPES, HEADS,
+                             CHECKPOINT_URLS, PRETRAINED_UNAVAILABLE)
 from .datasets.factory import DATAMODULES
 from .decoder.factory import DECODERS
 from .training.losses import LOSSES
@@ -33,6 +34,7 @@ from . import datasets
 from . import transforms
 from . import training
 from . import metric
+from . import parallel
 from . import show
 from . import visualizer
 from .predictor import Predictor
