@@ -91,3 +91,34 @@ def test_resolve_checkpoint(tmp_path):
     # unknown names pass through for the loader to error with context
     assert models_factory.resolve_checkpoint('/nonexistent/path') == \
         '/nonexistent/path'
+
+
+def test_external_plugin_discovery(tmp_path):
+    """Any installed ``openpifpaf_tpu_*`` package with a register() is
+    auto-discovered (reference tests/test_plugin.py + plugin.py:17-41)."""
+    import os
+    import subprocess
+    import sys
+    import textwrap
+
+    pkg = tmp_path / 'openpifpaf_tpu_testplugin'
+    pkg.mkdir()
+    (pkg / '__init__.py').write_text(textwrap.dedent('''
+        import openpifpaf_tpu
+
+        class FakeDataModule(openpifpaf_tpu.datasets.DataModule):
+            pass
+
+        def register():
+            openpifpaf_tpu.DATAMODULES['testplugin'] = FakeDataModule
+    '''))
+
+    env = dict(os.environ, JAX_PLATFORMS='cpu',
+               PYTHONPATH=os.getcwd() + os.pathsep + str(tmp_path))
+    out = subprocess.run(
+        [sys.executable, '-c',
+         'import openpifpaf_tpu; '
+         'print("testplugin" in openpifpaf_tpu.DATAMODULES)'],
+        capture_output=True, text=True, env=env, timeout=300)
+    assert out.returncode == 0, out.stderr
+    assert out.stdout.strip() == 'True'
