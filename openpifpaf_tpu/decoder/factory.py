@@ -14,15 +14,32 @@ LOG = logging.getLogger(__name__)
 DECODERS = {CifCaf, CifCafDense, CifDet, TrackingPose, PoseSimilarity}
 
 
+#: wrap every built decoder's __call__ in a cProfile dump
+#: (reference decoder/factory.py:153-158)
+profile_decoder = None
+
+
 def cli(parser: argparse.ArgumentParser, *, workers=None):
     group = parser.add_argument_group('decoder configuration')
     group.add_argument('--decoder', default=None, nargs='+',
                        help='decoders to be considered, e.g. "cifcaf:0"')
+    group.add_argument('--decoder-workers', default=None, type=int,
+                       help='compat flag: the reference fans decoding out '
+                            'over a process pool; here decode is a batched '
+                            'device op, so this is accepted and ignored')
+    group.add_argument('--profile-decoder', default=None, nargs='?',
+                       const='profile_decoder.prof',
+                       help='profile the decoder and write a pstats file')
     for decoder in DECODERS:
         decoder.cli(parser)
 
 
 def configure(args: argparse.Namespace):
+    global profile_decoder
+    profile_decoder = args.profile_decoder
+    if args.decoder_workers:
+        LOG.info('decoder workers requested (%d): decoding is a batched '
+                 'device op here, no worker pool needed', args.decoder_workers)
     for decoder in DECODERS:
         decoder.configure(args)
 
@@ -48,6 +65,11 @@ def decoders(head_metas, requested=None):
 
 def factory(head_metas, requested=None) -> Multi:
     built = decoders(head_metas, requested)
+    if profile_decoder:
+        from ..profiler import Profiler
+        for d in built:
+            d.batch_decode = Profiler(d.batch_decode,
+                                      out_name=profile_decoder)
     if not built:
         raise ValueError('no decoders found for head metas '
                          f'{[type(m).__name__ for m in head_metas]}')

@@ -88,7 +88,14 @@ def main():
     if args.checkpoint:
         model, variables = ckpt_mod.load_shell(
             args.checkpoint, head_metas=datamodule.head_metas)
+        # resume from the checkpoint's epoch (reference factory.py:268-274)
         start_epoch = 0
+        try:
+            import json as _json
+            with open(args.checkpoint + '.json') as f:
+                start_epoch = int(_json.load(f).get('epoch', 0))
+        except (OSError, ValueError):
+            pass
     else:
         net_factory = models_factory.Factory(
             base_name=args.basenet, upsample_stride=args.upsample)
