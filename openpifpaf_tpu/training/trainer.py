@@ -268,6 +268,12 @@ class Trainer:
                     'loss': round(loss_v, 3),
                     'head_losses': [round(float(l), 3) if l is not None else None
                                     for l in head_losses],
+                    **({'mtl_sigmas': [
+                        round(float(v), 3)
+                        for v in np.asarray(
+                            self.state.loss_params['log_sigmas'])]}
+                       if 'log_sigmas' in (self.state.loss_params or {})
+                       else {}),
                 })
             epoch_loss += float(loss)
             n += 1
