@@ -320,7 +320,15 @@ int pifpaf_load_batch_u8(const char** paths, int n,
                 src_w = dst_w;
             }
 
-            std::memset(slot, 0, size_t(out_h) * out_w * 3);
+            // pad with the ImageNet mean color so that after the
+            // in-graph normalization the padding is 0 (same as the
+            // float path's post-normalization zero fill)
+            const uint8_t mean_u8[3] = {124, 116, 104};
+            for (size_t p = 0; p < size_t(out_h) * out_w; ++p) {
+                slot[p * 3 + 0] = mean_u8[0];
+                slot[p * 3 + 1] = mean_u8[1];
+                slot[p * 3 + 2] = mean_u8[2];
+            }
             for (int y = 0; y < dst_h; ++y) {
                 std::memcpy(slot + size_t(y) * out_w * 3,
                             pixels->data() + size_t(y) * src_w * 3,

@@ -245,7 +245,7 @@ class Predictor:
 
     def _native_loader(self, file_names):
         if not (self.native_io and self.long_edge
-                and not self.visualize_image):
+                and not self.visualize_image and not self._tracking):
             return None
         if not all(f.lower().endswith(('.jpg', '.jpeg'))
                    for f in file_names):
