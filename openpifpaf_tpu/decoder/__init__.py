@@ -17,3 +17,4 @@ from .pose_similarity import PoseSimilarity
 from . import pose_distance
 from . import factory
 from .factory import DECODERS
+from . import utils
