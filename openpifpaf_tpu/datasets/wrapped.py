@@ -21,9 +21,12 @@ class WrappedDataset:
 
     def __getitem__(self, index):
         parent_data = self.parent[index]
+        # classification-style parents return (image, label) tuples
+        image = parent_data[0] if isinstance(parent_data, (tuple, list)) \
+            else parent_data
 
         meta = {'dataset_index': index}
-        image, anns, meta = self.preprocess(parent_data, [], meta)
+        image, anns, meta = self.preprocess(image, [], meta)
         LOG.debug(meta)
         return image, anns, meta
 

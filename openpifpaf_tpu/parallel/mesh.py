@@ -20,8 +20,8 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
     auto-detects the cluster environment (SLURM, GKE, Cloud TPU metadata).
     Safe to call when already initialized or single-host.
     """
-    if jax.process_count() > 1:
-        return  # already initialized
+    # do NOT touch jax.process_count()/devices() first: any backend query
+    # initializes XLA and makes jax.distributed.initialize() fail
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
@@ -30,7 +30,16 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
         LOG.info('jax.distributed initialized: process %d/%d',
                  jax.process_index(), jax.process_count())
     except (ValueError, RuntimeError) as e:
-        LOG.debug('single-process run (jax.distributed not initialized: %s)', e)
+        msg = str(e).lower()
+        if 'already initialized' in msg:
+            return
+        if 'backend' in msg or 'initialize' in msg:
+            # initialize() was called too late (XLA already up): that is a
+            # real bug on a multi-host cluster — make it visible
+            LOG.warning('jax.distributed.initialize failed: %s', e)
+            return
+        LOG.debug('single-process run (jax.distributed not initialized: %s)',
+                  e)
 
 
 def data_mesh(n_devices: Optional[int] = None, *, axis: str = 'data') -> Mesh:

@@ -146,9 +146,17 @@ class Predictor:
         target_w = ((max(w - 1, 1) + b - 1) // b) * b + 1
         if (target_h, target_w) == (h, w):
             return image_batch
-        out = np.zeros(
-            (image_batch.shape[0], target_h, target_w, image_batch.shape[3]),
-            dtype=image_batch.dtype)
+        if image_batch.dtype == np.uint8:
+            # pad with the ImageNet mean color so in-graph normalization
+            # turns the padding into 0, like the float path's zero fill
+            out = np.empty(
+                (image_batch.shape[0], target_h, target_w,
+                 image_batch.shape[3]), dtype=np.uint8)
+            out[...] = np.array([124, 116, 104], dtype=np.uint8)
+        else:
+            out = np.zeros(
+                (image_batch.shape[0], target_h, target_w,
+                 image_batch.shape[3]), dtype=image_batch.dtype)
         out[:, :h, :w] = image_batch
         return out
 

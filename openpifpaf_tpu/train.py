@@ -86,6 +86,7 @@ def main():
     datamodule.loader_workers = args.loader_workers
 
     if args.checkpoint:
+        args.checkpoint = models_factory.resolve_checkpoint(args.checkpoint)
         model, variables = ckpt_mod.load_shell(
             args.checkpoint, head_metas=datamodule.head_metas)
         # resume from the checkpoint's epoch (reference factory.py:268-274)
@@ -122,6 +123,10 @@ def main():
         mesh=mesh,
         model_meta_data={
             'base_name': args.basenet,
+            'backbone_options': {
+                'shufflenetv2k': dict(models_factory.SHUFFLENETV2K_OPTIONS),
+                'resnet': dict(models_factory.RESNET_OPTIONS),
+            },
             'head_metas': [ckpt_mod.headmeta_to_dict(m)
                            for m in datamodule.head_metas],
             'args': vars(args),

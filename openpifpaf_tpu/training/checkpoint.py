@@ -132,6 +132,15 @@ def load_shell(path, *, head_metas=None, head_consolidation='filter_and_extend')
         arrays, meta = load(path)
         ckpt_metas = [headmeta_from_dict(d) for d in meta['head_metas']]
 
+    # models trained with backbone surgery flags (--shufflenetv2k-*,
+    # --resnet-*) record the options; re-apply them so the rebuilt
+    # architecture matches the stored parameter tree
+    for family, options in (meta.get('backbone_options') or {}).items():
+        target = {'shufflenetv2k': models_factory.SHUFFLENETV2K_OPTIONS,
+                  'resnet': models_factory.RESNET_OPTIONS}.get(family)
+        if target is not None:
+            target.update(options)
+
     def build(metas, base_stride_from=None):
         base_net = models_factory.BASE_FACTORIES[meta['base_name']]()
         for i, m in enumerate(metas):

@@ -269,7 +269,9 @@ class Trainer:
                     'head_losses': [round(float(l), 3) if l is not None else None
                                     for l in head_losses],
                     **({'mtl_sigmas': [
-                        round(float(v), 3)
+                        # effective clamped log-sigmas (losses.py applies
+                        # 3*tanh(x/3) before use)
+                        round(float(3.0 * np.tanh(v / 3.0)), 3)
                         for v in np.asarray(
                             self.state.loss_params['log_sigmas'])]}
                        if 'log_sigmas' in (self.state.loss_params or {})

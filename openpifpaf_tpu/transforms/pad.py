@@ -67,12 +67,6 @@ class CenterPadTight(Preprocess):
 
 
 class SquarePad(Preprocess):
-    def __call__(self, image, anns, meta):
-        center_pad = CenterPad(max(image.size))
-        return center_pad(image, anns, meta)
-
-
-class SquarePad(Preprocess):
     """Center-pad to a square of the image's long edge
     (reference ``transforms/pad.py:113-116``)."""
 

@@ -121,7 +121,7 @@ class ScaleMix(Preprocess):
     def __call__(self, image, anns, meta):
         scales = np.array([
             np.sqrt(ann['bbox'][2] * ann['bbox'][3])
-            for ann in anns if (not getattr(ann, 'iscrowd', False)
+            for ann in anns if (not ann.get('iscrowd', False)
                                 and np.any(ann['keypoints'][:, 2] > 0.0))
         ])
         if not scales.shape[0]:
