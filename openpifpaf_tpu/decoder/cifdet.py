@@ -18,6 +18,8 @@ LOG = logging.getLogger(__name__)
 class CifDet(Decoder):
     iou_threshold = 0.5
     instance_threshold = 0.15
+    seed_threshold = 0.2
+    cifhr_threshold = 0.3
     nms_by_category = True
     suppression = 0.1
     n_detections = 120
@@ -27,6 +29,8 @@ class CifDet(Decoder):
         self.metas = head_metas
         self.config = CifDetDecoderConfig(
             iou_threshold=self.iou_threshold,
+            seed_threshold=self.seed_threshold,
+            cifhr_threshold=self.cifhr_threshold,
             instance_threshold=self.instance_threshold,
             nms_by_category=self.nms_by_category,
             suppression=self.suppression,
@@ -43,6 +47,11 @@ class CifDet(Decoder):
     @classmethod
     def configure(cls, args: argparse.Namespace):
         cls.iou_threshold = args.cifdet_iou_threshold
+        # shared decoder thresholds (reference decoder/factory.py:52-82)
+        if getattr(args, 'seed_threshold', None) is not None:
+            cls.seed_threshold = args.seed_threshold
+        if getattr(args, 'instance_threshold', None) is not None:
+            cls.instance_threshold = args.instance_threshold
 
     @classmethod
     def factory(cls, head_metas):
