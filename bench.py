@@ -54,6 +54,73 @@ def time_fn(fn, *args, n_iters=30, sync_each=False, repeats=3):
     return best, out
 
 
+def bench_train():
+    """Training throughput: one jitted train step, batch 8 at 385px
+    (the reference's training crop size), shufflenetv2k16 + cocokp heads."""
+    import types
+    import jax
+    import jax.numpy as jnp
+    import openpifpaf_tpu
+    from openpifpaf_tpu.models import factory as models_factory
+    from openpifpaf_tpu.training import losses, optimize
+    from openpifpaf_tpu.training.trainer import (TrainState, build_train_step,
+                                                 make_mesh)
+
+    datamodule = openpifpaf_tpu.datasets.factory('cocokp')
+    net_factory = models_factory.Factory(base_name='shufflenetv2k16')
+    model, init_fn = net_factory.from_scratch(datamodule.head_metas)
+    variables = init_fn(jax.random.PRNGKey(0), (1, 97, 129, 3))
+
+    args = types.SimpleNamespace(
+        momentum=0.95, beta2=0.999, adam_eps=1e-6, nesterov=True,
+        weight_decay=0.0, adam=False, amsgrad=False,
+        lr=1e-3, lr_decay=[], lr_decay_factor=0.1, lr_decay_epochs=1.0,
+        lr_warm_up_start_epoch=0, lr_warm_up_epochs=1,
+        lr_warm_up_factor=0.001, lr_warm_restarts=[],
+        lr_warm_restart_duration=0.5)
+    optimizer, schedule = optimize.factory_optimizer(args)
+    loss_fn = losses.Factory().factory(datamodule.head_metas)
+
+    mesh = make_mesh()
+    train_step = build_train_step(model, loss_fn, optimizer, schedule,
+                                  clip_grad_norm=1.0, mesh=mesh)
+    params = variables['params']
+    loss_params = loss_fn.init_params()
+    state = TrainState(
+        params=params,
+        batch_stats=variables.get('batch_stats', {}),
+        opt_state=optimizer.init({'model': params, 'loss': loss_params}),
+        ema_params=jax.tree_util.tree_map(jnp.copy, params),
+        step=jnp.zeros((), dtype=jnp.int32),
+        loss_params=loss_params,
+        loss_state=loss_fn.init_state(),
+    )
+
+    batch = 8
+    h = w = 385
+    fh = fw = (h - 1) // 16 + 1
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.randn(batch, h, w, 3).astype(np.float32))
+    cif_t = jnp.zeros((batch, 17, 5, fh, fw), jnp.float32)
+    caf_t = jnp.zeros((batch, 19, 9, fh, fw), jnp.float32)
+
+    # train_step donates state: time by chaining steps
+    state, loss, _ = train_step(state, images, (cif_t, caf_t))
+    jax.block_until_ready(loss)
+    n = 10
+    start = time.perf_counter()
+    for _ in range(n):
+        state, loss, _ = train_step(state, images, (cif_t, caf_t))
+    jax.block_until_ready(loss)
+    dt = (time.perf_counter() - start) / n
+    print(json.dumps({
+        'metric': 'train_images_per_sec_385px_b8',
+        'value': round(batch / dt, 2),
+        'unit': 'img/s',
+        'step_ms': round(dt * 1e3, 2),
+    }))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -148,4 +215,7 @@ def main():
 
 
 if __name__ == '__main__':
-    main()
+    if '--train' in sys.argv:
+        bench_train()
+    else:
+        main()
