@@ -2,5 +2,5 @@
 
 from .base import Base
 from .fields_vis import (Cif, Caf, CifHr, CifDet, Seeds, Occupancy,
-                         MultiTracking)
+                         Tcaf, MultiTracking)
 from .cli import cli, configure

@@ -178,3 +178,11 @@ class MultiTracking(Base):
         from ..show.painters import AnnotationPainter
         with self.image_canvas(self._processed_image) as ax:
             AnnotationPainter().annotations(ax, annotations)
+
+
+class Tcaf(Caf):
+    """Temporal-association field overlay (reference ``visualizer/tcaf.py``):
+    identical field composition to Caf, drawn on the primary frame."""
+
+    def __init__(self, meta):
+        super().__init__(meta)
