@@ -142,10 +142,14 @@ class CifCaf(Decoder):
         return self._decoders[key]
 
     def _fields(self, fields_batch):
-        cif = np.asarray(fields_batch[self.cif_meta.head_index],
-                         dtype=np.float32)
-        caf = np.asarray(fields_batch[self.caf_meta.head_index],
-                         dtype=np.float32)
+        # keep device arrays on device (no host round trip between the
+        # forward pass and the jitted decode); numpy inputs pass through
+        def as_f32(x):
+            if isinstance(x, np.ndarray):
+                return x.astype(np.float32, copy=False)
+            return x
+        cif = as_f32(fields_batch[self.cif_meta.head_index])
+        caf = as_f32(fields_batch[self.caf_meta.head_index])
         stride = self.cif_meta.stride
         assert stride == self.caf_meta.stride
         return cif, caf, stride

@@ -215,9 +215,10 @@ class Predictor:
                                         jnp.asarray(image_batch))
         else:
             fields = self.forward_fn(self.variables, jnp.asarray(image_batch))
-        fields = [np.asarray(f) if f is not None else None for f in fields]
+        # keep fields on device: the device decoders consume them directly
+        # (host-side decoders convert on demand)
         self.last_nn_time = time.perf_counter() - start
-        return fields
+        return list(fields)
 
     def dataset(self, data):
         """Iterate a dataset (objects with __getitem__/__len__)."""
