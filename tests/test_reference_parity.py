@@ -275,3 +275,45 @@ def test_initial_annotations_parity_with_reference_cpp():
         vis = (rp[:, 0] > 0) & (op[:, 0] > 0)
         assert vis.sum() >= 15
         np.testing.assert_allclose(op[vis, 1:3], rp[vis, 1:3], atol=0.75)
+
+
+@pytest.mark.parametrize('greedy,force_complete', [
+    (True, False), (False, True), (True, True)])
+def test_cifcaf_config_parity_with_reference_cpp(greedy, force_complete):
+    """Decoder config variants (--greedy, --force-complete-pose) match the
+    reference C++ statics (module.cpp:26-33)."""
+    torch = _load_reference_decoder()
+
+    import openpifpaf_tpu
+    from openpifpaf_tpu.ops import build_cifcaf_decoder, CifCafDecoderConfig
+
+    datamodule = openpifpaf_tpu.datasets.factory('cocokp')
+    _, caf_meta = datamodule.head_metas
+    skeleton = np.asarray(caf_meta.skeleton, dtype=np.int64)
+    stride = 8
+    cif, caf = _synthetic_scene(3, stride, (169, 217), seed=7)
+
+    CppCifCaf = torch.classes.openpifpaf_decoder.CifCaf
+    CppCifCaf.set_greedy(greedy)
+    CppCifCaf.set_force_complete(force_complete)
+    try:
+        ref = CppCifCaf(17, torch.from_numpy(skeleton) - 1)
+        ref_anns, _ = ref.call(torch.from_numpy(cif), stride,
+                               torch.from_numpy(caf), stride)
+        ref_poses = ref_anns.numpy()
+    finally:
+        CppCifCaf.set_greedy(False)
+        CppCifCaf.set_force_complete(False)
+
+    decoder = build_cifcaf_decoder(
+        stride=stride, skeleton=caf_meta.skeleton, n_keypoints=17,
+        config=CifCafDecoderConfig(greedy=greedy,
+                                   force_complete=force_complete))
+    poses, keep, _ = (np.asarray(a) for a in decoder(cif[None], caf[None]))
+    our_poses = poses[0][keep[0] > 0]
+
+    assert len(our_poses) == len(ref_poses) == 3
+    for rp, op, _ in _match_poses(list(ref_poses), list(our_poses)):
+        vis = (rp[:, 0] > 0) & (op[:, 0] > 0)
+        assert vis.sum() >= 0.9 * (rp[:, 0] > 0).sum()
+        np.testing.assert_allclose(op[vis, 1:3], rp[vis, 1:3], atol=0.75)
