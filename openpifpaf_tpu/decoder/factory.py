@@ -67,9 +67,10 @@ def factory(head_metas, requested=None) -> Multi:
     built = decoders(head_metas, requested)
     if profile_decoder:
         from ..profiler import Profiler
-        for d in built:
+        for i, d in enumerate(built):
+            suffix = f'.{type(d).__name__.lower()}{i}' if len(built) > 1 else ''
             d.batch_decode = Profiler(d.batch_decode,
-                                      out_name=profile_decoder)
+                                      out_name=profile_decoder + suffix)
     if not built:
         raise ValueError('no decoders found for head metas '
                          f'{[type(m).__name__ for m in head_metas]}')

@@ -31,7 +31,7 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
                  jax.process_index(), jax.process_count())
     except (ValueError, RuntimeError) as e:
         msg = str(e).lower()
-        if 'already initialized' in msg:
+        if 'already initialized' in msg or 'only be called once' in msg:
             return
         if 'backend' in msg or 'initialize' in msg:
             # initialize() was called too late (XLA already up): that is a

@@ -152,7 +152,8 @@ class Predictor:
             out = np.empty(
                 (image_batch.shape[0], target_h, target_w,
                  image_batch.shape[3]), dtype=np.uint8)
-            out[...] = np.array([124, 116, 104], dtype=np.uint8)
+            out[...] = np.asarray(transforms.IMAGENET_MEAN_U8,
+                                  dtype=np.uint8)
         else:
             out = np.zeros(
                 (image_batch.shape[0], target_h, target_w,
@@ -216,7 +217,9 @@ class Predictor:
         else:
             fields = self.forward_fn(self.variables, jnp.asarray(image_batch))
         # keep fields on device: the device decoders consume them directly
-        # (host-side decoders convert on demand)
+        # (host-side decoders convert on demand); sync so nn time is not
+        # misattributed to the decoder
+        jax.block_until_ready(fields)
         self.last_nn_time = time.perf_counter() - start
         return list(fields)
 

@@ -89,14 +89,19 @@ def main():
         args.checkpoint = models_factory.resolve_checkpoint(args.checkpoint)
         model, variables = ckpt_mod.load_shell(
             args.checkpoint, head_metas=datamodule.head_metas)
+        loaded_meta = ckpt_mod.LAST_META or {}
         # resume from the checkpoint's epoch (reference factory.py:268-274)
-        start_epoch = 0
-        try:
-            import json as _json
-            with open(args.checkpoint + '.json') as f:
-                start_epoch = int(_json.load(f).get('epoch', 0))
-        except (OSError, ValueError):
-            pass
+        start_epoch = int(loaded_meta.get('epoch') or 0)
+        # the checkpoint's architecture wins over the --basenet default so
+        # that checkpoints written by this run remain loadable
+        if loaded_meta.get('base_name'):
+            args.basenet = loaded_meta['base_name']
+        for family, options in (loaded_meta.get('backbone_options')
+                                or {}).items():
+            target = {'shufflenetv2k': models_factory.SHUFFLENETV2K_OPTIONS,
+                      'resnet': models_factory.RESNET_OPTIONS}.get(family)
+            if target is not None:
+                target.update(options)
     else:
         net_factory = models_factory.Factory(
             base_name=args.basenet, upsample_stride=args.upsample)

@@ -19,6 +19,11 @@ from .. import headmeta
 
 LOG = logging.getLogger(__name__)
 
+#: meta dict of the checkpoint most recently loaded by load_shell
+#: (base_name, epoch, backbone_options, ...) — lets callers (train resume)
+#: reuse it without re-reading or re-converting
+LAST_META = None
+
 HEADMETA_CLASSES = {
     cls.__name__: cls
     for cls in (headmeta.Cif, headmeta.Caf, headmeta.CifDet,
@@ -119,6 +124,8 @@ def load_shell(path, *, head_metas=None, head_consolidation='filter_and_extend')
     from ..models import factory as models_factory
     from ..models.shell import Shell
 
+    global LAST_META
+
     if os.path.isfile(path) and not os.path.exists(path + '.json'):
         # a single file is a reference (PyTorch) checkpoint: convert in place
         from ..models import convert_torch
@@ -131,13 +138,18 @@ def load_shell(path, *, head_metas=None, head_consolidation='filter_and_extend')
     else:
         arrays, meta = load(path)
         ckpt_metas = [headmeta_from_dict(d) for d in meta['head_metas']]
+    LAST_META = meta
 
     # models trained with backbone surgery flags (--shufflenetv2k-*,
-    # --resnet-*) record the options; re-apply them so the rebuilt
-    # architecture matches the stored parameter tree
+    # --resnet-*) record the options; apply them only while building so the
+    # rebuilt architecture matches the stored parameter tree — the flax
+    # modules bind their options at construction, so the globals can be
+    # restored afterwards without affecting the returned model
+    _option_targets = {'shufflenetv2k': models_factory.SHUFFLENETV2K_OPTIONS,
+                       'resnet': models_factory.RESNET_OPTIONS}
+    _option_snapshot = {k: dict(v) for k, v in _option_targets.items()}
     for family, options in (meta.get('backbone_options') or {}).items():
-        target = {'shufflenetv2k': models_factory.SHUFFLENETV2K_OPTIONS,
-                  'resnet': models_factory.RESNET_OPTIONS}.get(family)
+        target = _option_targets.get(family)
         if target is not None:
             target.update(options)
 
@@ -160,13 +172,20 @@ def load_shell(path, *, head_metas=None, head_consolidation='filter_and_extend')
             models_factory.HEADS[type(m)](meta=m) for m in metas)
         return Shell(base_net=base_net, head_nets=head_nets)
 
+    def _restore_options():
+        for k, snap in _option_snapshot.items():
+            _option_targets[k].clear()
+            _option_targets[k].update(snap)
+
     if head_metas is None or head_consolidation == 'keep':
         model = build(ckpt_metas)
+        _restore_options()
         variables = {'params': arrays['params'],
                      'batch_stats': arrays['batch_stats']}
         return model, variables
 
     model = build(head_metas)
+    _restore_options()
     import jax.numpy as jnp
     dummy = jnp.zeros((1, 97, 129, 3), dtype=jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), dummy, train=True)

@@ -217,6 +217,12 @@ class Trainer:
         cls.cross_talk = args.cross_talk
 
     def loop(self, train_loader, val_loader, start_epoch=0):
+        if start_epoch and int(self.state.step) == 0:
+            # resumed run: the lr schedule is driven by the step counter
+            self.state = dataclasses.replace(
+                self.state,
+                step=jnp.asarray(start_epoch * len(train_loader),
+                                 dtype=jnp.int32))
         for epoch in range(start_epoch, self.epochs):
             if epoch == 0:
                 self.write_model(0, final=False)

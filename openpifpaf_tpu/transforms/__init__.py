@@ -23,4 +23,6 @@ from .toannotations import (ToAnnotations, ToKpAnnotations, ToDetAnnotations,
                             ToCrowdAnnotations)
 from .encoders import Encoders
 from .misc import Assert, Deinterlace, MultiScale, AddCrowdForIncompleteHead
-from .normalize import EVAL_TRANSFORM, TRAIN_TRANSFORM, NormalizeImage, ToNumpy
+from .normalize import (EVAL_TRANSFORM, TRAIN_TRANSFORM, NormalizeImage,
+                        ToNumpy, IMAGENET_MEAN, IMAGENET_STD,
+                        IMAGENET_MEAN_U8)

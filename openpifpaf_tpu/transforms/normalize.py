@@ -15,6 +15,8 @@ from .random import RandomApply
 
 IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], dtype=np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], dtype=np.float32)
+#: the mean as uint8 pixels — the pad fill color that normalizes to ~0
+IMAGENET_MEAN_U8 = tuple(int(round(float(m) * 255)) for m in IMAGENET_MEAN)
 
 
 class ToNumpy(Preprocess):

@@ -6,6 +6,7 @@ import math
 import numpy as np
 import PIL.ImageOps
 
+from . import normalize
 from .preprocess import Preprocess
 
 
@@ -63,7 +64,7 @@ class CenterPadTight(Preprocess):
         target_w = math.ceil((w - 1) / self.multiple) * self.multiple + 1
         target_h = math.ceil((h - 1) / self.multiple) * self.multiple + 1
         return _apply_pad(image, anns, meta, target_w, target_h,
-                          (124, 116, 104))
+                          normalize.IMAGENET_MEAN_U8)
 
 
 class SquarePad(Preprocess):

@@ -5,6 +5,7 @@ import copy
 
 import numpy as np
 
+from .. import normalize
 from ..preprocess import Preprocess
 from ..pad import _pad_image
 
@@ -43,7 +44,7 @@ class Pad(Preprocess):
         bottom = max(0, self.target_size[1] - h - top)
         ltrb = (left, top, right, bottom)
 
-        image = _pad_image(image, ltrb, (124, 116, 104))
+        image = _pad_image(image, ltrb, normalize.IMAGENET_MEAN_U8)
         for ann in anns:
             ann['keypoints'][:, 0] += ltrb[0]
             ann['keypoints'][:, 1] += ltrb[1]

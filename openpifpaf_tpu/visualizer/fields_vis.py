@@ -183,6 +183,3 @@ class MultiTracking(Base):
 class Tcaf(Caf):
     """Temporal-association field overlay (reference ``visualizer/tcaf.py``):
     identical field composition to Caf, drawn on the primary frame."""
-
-    def __init__(self, meta):
-        super().__init__(meta)
