@@ -135,3 +135,25 @@ def test_tracking_pose_decoder():
     anns4 = decoder(fields)
     assert len(anns4) == 1
     assert anns4[0].id_ == id3
+
+
+def test_loader_with_reset_signal():
+    """LoaderWithReset emits eval_reset on sequence change and the
+    Predictor's tracking feature cache resets (reference
+    datasets/loader_with_reset.py:4-32 + signal.py:7-26)."""
+    from openpifpaf_tpu.datasets import LoaderWithReset
+    from openpifpaf_tpu.signal_ import Signal
+
+    batches = [
+        ('im0', [], [{'video_id': 'a'}]),
+        ('im1', [], [{'video_id': 'a'}]),
+        ('im2', [], [{'video_id': 'b'}]),
+        ('im3', [], [{'video_id': 'b'}]),
+    ]
+    resets = []
+    Signal.subscribe('eval_reset', lambda: resets.append(True))
+    wrapped = LoaderWithReset(batches, 'video_id')
+    assert len(wrapped) == 4
+    seen = [b[0] for b in wrapped]
+    assert seen == ['im0', 'im1', 'im2', 'im3']
+    assert len(resets) == 1
