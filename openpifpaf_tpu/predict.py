@@ -32,6 +32,9 @@ def cli():
     parser.add_argument('--bf16', default=False, action='store_true',
                         help='run the backbone in bfloat16 (MXU-native); '
                              'heads and decode stay float32')
+    parser.add_argument('--hflip-tta', default=False, action='store_true',
+                        help='average fields with the mirrored-image '
+                             'forward pass (test-time augmentation)')
     parser.add_argument('-o', '--image-output', default=None, nargs='?',
                         const=True, help='image output file or directory')
     parser.add_argument('--json-output', default=None, nargs='?',
@@ -70,6 +73,7 @@ def main():
     predictor = Predictor(checkpoint=args.checkpoint)
     predictor.batch_size = args.batch_size
     predictor.bf16 = args.bf16
+    predictor.hflip_tta = args.hflip_tta
     predictor.long_edge = args.long_edge
     predictor.preprocess = predictor._build_preprocess()
 

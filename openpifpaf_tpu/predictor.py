@@ -30,6 +30,10 @@ class Predictor:
     #: run the backbone in bfloat16 (MXU-native). Heads and decode stay
     #: float32 so regression coordinates keep full precision.
     bf16 = False
+    #: horizontal-flip test-time augmentation: forward the mirrored image,
+    #: map the fields back (models.heads.pif_hflip/paf_hflip) and average
+    #: with the direct fields before the single decode. One jitted graph.
+    hflip_tta = False
 
     def __init__(self, checkpoint=None, head_metas=None, *,
                  model=None, variables=None,
@@ -65,6 +69,7 @@ class Predictor:
 
         self._forward_fn = None
         self._forward_u8_fn = None
+        self._forward_hflip_fn = None
         self._backbone_fn = None
         self._heads_fn = None
         self._prev_feats = None
@@ -183,6 +188,61 @@ class Predictor:
             self._forward_u8_fn = forward_u8
         return self._forward_u8_fn
 
+    @staticmethod
+    def _hflip_mapping(keypoints):
+        """left_*/right_* name swap (the convention of every built-in
+        dataset; reference plugins ship explicit HFLIP dicts)."""
+        mapping = {}
+        for name in keypoints:
+            if name.startswith('left_'):
+                other = 'right_' + name[len('left_'):]
+            elif name.startswith('right_'):
+                other = 'left_' + name[len('right_'):]
+            else:
+                continue
+            if other in keypoints:
+                mapping[name] = other
+        return mapping
+
+    @property
+    def forward_hflip_tta_fn(self):
+        """Average direct fields with mirrored-image fields mapped back."""
+        if self._forward_hflip_fn is None:
+            from .models.heads import pif_hflip, paf_hflip
+            from . import headmeta as headmeta_mod
+
+            float_forward = self.forward_fn
+            metas = self.head_metas
+
+            @jax.jit
+            def forward_tta(variables, image_batch):
+                fields = float_forward(variables, image_batch)
+                mirrored = float_forward(variables, image_batch[:, :, ::-1])
+                out = []
+                for field, flipped, meta in zip(fields, mirrored, metas):
+                    hflip = self._hflip_mapping(list(meta.keypoints))
+                    w_cells = field.shape[-1]
+                    # pif/paf_hflip negate the x regressions (offset-style
+                    # fields); inference fields carry absolute cell
+                    # coordinates, so shift by (W-1) after the negation:
+                    # x_back = (W-1) - x
+                    if isinstance(meta, headmeta_mod.Caf):
+                        back = paf_hflip(flipped, list(meta.keypoints),
+                                         list(meta.skeleton), hflip)
+                        back = back.at[:, :, 2].add(w_cells - 1.0)
+                        back = back.at[:, :, 4].add(w_cells - 1.0)
+                    elif isinstance(meta, headmeta_mod.Cif):
+                        back = pif_hflip(flipped, list(meta.keypoints), hflip)
+                        back = back.at[:, :, 2].add(w_cells - 1.0)
+                    else:
+                        out.append(field)
+                        continue
+                    out.append(0.5 * (field + back))
+                return tuple(out)
+
+            self._forward_hflip_fn = forward_tta
+        return self._forward_hflip_fn
+
     def _tracking_fields(self, image_batch):
         """Per-frame tracking forward: backbone on the new frame, feature
         cache of the previous frame, heads on the interleaved pair
@@ -211,6 +271,13 @@ class Predictor:
         image_batch = self._bucket_pad(np.asarray(image_batch))
         if self._tracking:
             fields = self._tracking_fields(jnp.asarray(image_batch))
+        elif self.hflip_tta:
+            images = jnp.asarray(image_batch)
+            if image_batch.dtype == np.uint8:
+                images = ((images.astype(jnp.float32) / 255.0
+                           - jnp.asarray(self._IMAGENET_MEAN))
+                          / jnp.asarray(self._IMAGENET_STD))
+            fields = self.forward_hflip_tta_fn(self.variables, images)
         elif image_batch.dtype == np.uint8:
             fields = self.forward_u8_fn(self.variables,
                                         jnp.asarray(image_batch))
