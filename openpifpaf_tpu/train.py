@@ -119,7 +119,12 @@ def main():
     optimizer, schedule = optimize.factory_optimizer(
         args, training_batches_per_epoch=len(train_loader))
 
-    mesh = make_mesh(args.n_devices)
+    n_devices = args.n_devices or len(jax.devices())
+    if args.batch_size < n_devices:
+        LOG.warning('batch size %d < %d devices: shrinking the data mesh',
+                    args.batch_size, n_devices)
+        n_devices = max(1, args.batch_size)
+    mesh = make_mesh(n_devices)
     LOG.info('mesh: %s', mesh)
 
     trainer = Trainer(

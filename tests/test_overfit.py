@@ -34,7 +34,7 @@ def test_overfit_and_detect(tmp_path):
          '--cocokp-train-image-dir', IMG_DIR,
          '--cocokp-val-image-dir', IMG_DIR,
          '--cocokp-square-edge', '161', '--cocokp-no-augmentation',
-         '--basenet', 'resnet18', '--batch-size', '1',
+         '--basenet', 'resnet18', '--batch-size', '1', '--n-devices', '1',
          '--epochs', '1800', '--lr', '1e-3', '--lr-warm-up-epochs', '10',
          '--val-interval', '600', '--output', out],
         env=ENV, capture_output=True, timeout=3000)
