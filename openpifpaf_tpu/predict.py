@@ -35,6 +35,9 @@ def cli():
     parser.add_argument('--hflip-tta', default=False, action='store_true',
                         help='average fields with the mirrored-image '
                              'forward pass (test-time augmentation)')
+    parser.add_argument('--multi-scale', default=False, action='store_true',
+                        help='decode at multiple scales and merge with '
+                             'OKS suppression (test-time augmentation)')
     parser.add_argument('-o', '--image-output', default=None, nargs='?',
                         const=True, help='image output file or directory')
     parser.add_argument('--json-output', default=None, nargs='?',
@@ -74,6 +77,7 @@ def main():
     predictor.batch_size = args.batch_size
     predictor.bf16 = args.bf16
     predictor.hflip_tta = args.hflip_tta
+    predictor.multi_scale = args.multi_scale
     predictor.long_edge = args.long_edge
     predictor.preprocess = predictor._build_preprocess()
 

@@ -34,6 +34,12 @@ class Predictor:
     #: map the fields back (models.heads.pif_hflip/paf_hflip) and average
     #: with the direct fields before the single decode. One jitted graph.
     hflip_tta = False
+    #: multi-scale test-time augmentation: decode at several long-edge
+    #: scales and merge the annotations with OKS-greedy suppression
+    #: (the reference's iccv2019 multi-scale ablation, benchmark.py:224-231)
+    multi_scale = False
+    multi_scale_factors = (1.0, 0.75, 1.5)
+    multi_scale_oks_threshold = 0.8
 
     def __init__(self, checkpoint=None, head_metas=None, *,
                  model=None, variables=None,
@@ -344,8 +350,78 @@ class Predictor:
             gt = [[] for _ in metas]
             yield from self._run_batch((images, gt, metas))
 
+    @staticmethod
+    def _pose_oks(ann_a, ann_b, sigmas):
+        """Object keypoint similarity between two annotations in the same
+        (original image) coordinate frame."""
+        a, b = ann_a.data, ann_b.data
+        vis = (a[:, 2] > 0) & (b[:, 2] > 0)
+        if not np.any(vis):
+            return 0.0
+        ref = b[b[:, 2] > 0]
+        area = ((ref[:, 0].max() - ref[:, 0].min())
+                * (ref[:, 1].max() - ref[:, 1].min()))
+        scale2 = max(float(area), 1.0)
+        k = 2.0 * np.asarray(sigmas, dtype=np.float32)[vis]
+        d2 = np.sum((a[vis, :2] - b[vis, :2]) ** 2, axis=1)
+        return float(np.mean(np.exp(-d2 / (2.0 * scale2 * k ** 2))))
+
+    def _merge_annotations(self, annotations):
+        """Greedy OKS suppression across TTA scales: keep highest scores,
+        drop near-duplicates."""
+        if not annotations:
+            return []
+        sigmas = getattr(self.head_metas[0], 'sigmas', None)
+        if sigmas is None:
+            sigmas = [0.05] * annotations[0].data.shape[0]
+        kept = []
+        for ann in sorted(annotations, key=lambda a: a.score, reverse=True):
+            if all(self._pose_oks(ann, k, sigmas)
+                   < self.multi_scale_oks_threshold for k in kept):
+                kept.append(ann)
+        return kept
+
+    def _images_multiscale(self, file_names):
+        base_long_edge = self.long_edge or 641
+        saved_json_data, self.json_data = self.json_data, False
+        try:
+            yield from self._images_multiscale_raw(file_names,
+                                                   base_long_edge,
+                                                   saved_json_data)
+        finally:
+            self.json_data = saved_json_data
+
+    def _images_multiscale_raw(self, file_names, base_long_edge, json_data):
+        for file_name in file_names:
+            merged_input = []
+            last_meta = None
+            for factor in self.multi_scale_factors:
+                long_edge = max(
+                    33, int(round(base_long_edge * factor / 16)) * 16 + 1)
+                preprocess = transforms.Compose([
+                    transforms.NormalizeAnnotations(),
+                    transforms.RescaleAbsolute(long_edge),
+                    transforms.CenterPadTight(16),
+                    transforms.EVAL_TRANSFORM,
+                ])
+                data = datasets.ImageList(
+                    [file_name], preprocess=preprocess, with_raw_image=False)
+                for pred, _, meta in self.dataset(data):
+                    # pred is already inverse-transformed to original coords
+                    merged_input.extend(pred)
+                    last_meta = meta
+            keypointed = [a for a in merged_input if hasattr(a, 'data')]
+            others = [a for a in merged_input if not hasattr(a, 'data')]
+            merged = self._merge_annotations(keypointed) + others
+            if json_data:
+                merged = [ann.json_data() for ann in merged]
+            yield merged, [], last_meta
+
     def images(self, file_names, **kwargs):
         file_names = list(file_names)
+        if self.multi_scale:
+            yield from self._images_multiscale(file_names)
+            return
         native_loader = self._native_loader(file_names)
         if native_loader is not None:
             LOG.debug('using native io for %d images', len(file_names))

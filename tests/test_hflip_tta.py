@@ -116,3 +116,33 @@ def test_tta_decode_unchanged_for_equivariant_fields():
     assert len(pa) == len(pb) == 1
     vis = (pa[0][:, 0] > 0) & (pb[0][:, 0] > 0)
     np.testing.assert_allclose(pb[0][vis, 1:3], pa[0][vis, 1:3], atol=0.6)
+
+
+def test_multiscale_oks_merge():
+    """OKS-greedy merge keeps the best-scoring duplicate and distinct
+    poses."""
+    from openpifpaf_tpu.annotation import Annotation
+
+    datamodule = openpifpaf_tpu.datasets.factory('cocokp')
+    cif_meta, caf_meta = datamodule.head_metas
+    keypoints = list(cif_meta.keypoints)
+    rng = np.random.RandomState(0)
+    kps = field_fixtures.synthetic_person(80.0, 64.0, 90.0, rng)
+
+    def make_ann(offset, conf):
+        ann = Annotation(keypoints, list(caf_meta.skeleton))
+        ann.data[:, 0] = kps[:, 0] + offset
+        ann.data[:, 1] = kps[:, 1]
+        ann.data[:, 2] = conf
+        return ann
+
+    dup_a = make_ann(0.0, 0.9)
+    dup_b = make_ann(0.8, 0.7)   # near-duplicate from another scale
+    distinct = make_ann(120.0, 0.8)
+
+    p = Predictor.__new__(Predictor)  # merge logic only
+    p.head_metas = [cif_meta, caf_meta]
+    merged = p._merge_annotations([dup_b, distinct, dup_a])
+    assert len(merged) == 2
+    scores = sorted(round(a.score, 2) for a in merged)
+    assert scores == [0.8, 0.9]  # the 0.7 duplicate was suppressed
