@@ -38,6 +38,9 @@ def cli():
     parser.add_argument('--multi-scale', default=False, action='store_true',
                         help='decode at multiple scales and merge with '
                              'OKS suppression (test-time augmentation)')
+    parser.add_argument('--n-devices', default=None, type=int,
+                        help='shard the forward batch over the first N '
+                             'devices (batch size must be divisible)')
     parser.add_argument('-o', '--image-output', default=None, nargs='?',
                         const=True, help='image output file or directory')
     parser.add_argument('--json-output', default=None, nargs='?',
@@ -78,6 +81,7 @@ def main():
     predictor.bf16 = args.bf16
     predictor.hflip_tta = args.hflip_tta
     predictor.multi_scale = args.multi_scale
+    predictor.n_devices = args.n_devices
     predictor.long_edge = args.long_edge
     predictor.preprocess = predictor._build_preprocess()
 

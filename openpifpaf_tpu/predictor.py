@@ -40,6 +40,9 @@ class Predictor:
     multi_scale = False
     multi_scale_factors = (1.0, 0.75, 1.5)
     multi_scale_oks_threshold = 0.8
+    #: shard the forward batch over the first N devices (multi-chip
+    #: serving; batch size must be divisible by N)
+    n_devices = None
 
     def __init__(self, checkpoint=None, head_metas=None, *,
                  model=None, variables=None,
@@ -138,6 +141,21 @@ class Predictor:
                 @jax.jit
                 def forward(variables, image_batch):
                     return model.apply(variables, image_batch, train=False)
+
+            if self.n_devices and self.n_devices > 1:
+                # multi-chip serving: batch sharded over the data axis,
+                # parameters replicated (replaces the reference's
+                # DataParallel wrap, predictor.py:33-37)
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                from .parallel import data_mesh
+
+                mesh = data_mesh(self.n_devices)
+                inner = forward
+                forward = jax.jit(
+                    lambda v, im: inner(v, im),
+                    in_shardings=(NamedSharding(mesh, P()),
+                                  NamedSharding(mesh, P('data'))),
+                    out_shardings=NamedSharding(mesh, P('data')))
 
             self._forward_fn = forward
         return self._forward_fn

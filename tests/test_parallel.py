@@ -59,3 +59,21 @@ def test_sharded_forward_with_decoder():
     assert poses.shape[0] == 8
     assert poses.shape[2:] == (17, 4)
     assert keep.shape[:2] == poses.shape[:2]
+
+
+def test_predictor_sharded_forward():
+    """Predictor --n-devices shards the forward batch over the mesh."""
+    from openpifpaf_tpu.predictor import Predictor
+
+    datamodule = openpifpaf_tpu.datasets.factory('cocokp')
+    f = models_factory.Factory(base_name='resnet18')
+    model, init_fn = f.from_scratch(datamodule.head_metas)
+    variables = init_fn(jax.random.PRNGKey(0), (1, 65, 65, 3))
+
+    p = Predictor(model=model, variables=variables)
+    p.n_devices = 8
+    p.size_bucket = 0
+    images = np.zeros((8, 65, 65, 3), np.float32)
+    cif, caf = p.forward_fn(variables, images)
+    assert cif.shape == (8, 17, 5, 5, 5)
+    assert len(cif.sharding.device_set) == 8
