@@ -23,6 +23,8 @@ class Evaluator:
     show_final_image = False
     n_images = None
     loader_warmup = 3.0
+    bf16 = False
+    hflip_tta = False
 
     def __init__(self, dataset_name: str):
         self.dataset_name = dataset_name
@@ -54,6 +56,8 @@ class Evaluator:
         predictor = Predictor(
             checkpoint=checkpoint, model=model, variables=variables,
             head_metas=self.datamodule.head_metas)
+        predictor.bf16 = self.bf16
+        predictor.hflip_tta = self.hflip_tta
         metrics = self.datamodule.metrics()
 
         total_time = self.accumulate(predictor, metrics)
@@ -108,6 +112,11 @@ def cli():
     parser.add_argument('--batch-size', default=1, type=int)
     parser.add_argument('--loader-workers', default=0, type=int)
     parser.add_argument('--n-images', default=None, type=int)
+    parser.add_argument('--bf16', default=False, action='store_true',
+                        help='run the backbone in bfloat16')
+    parser.add_argument('--hflip-tta', default=False, action='store_true',
+                        help='average fields with the mirrored-image '
+                             'forward pass')
     parser.add_argument('--write-predictions', default=False,
                         action='store_true')
     parser.add_argument('--watch', default=False, nargs='?', const=60,
@@ -136,6 +145,8 @@ def main():
 
     evaluator = Evaluator(args.dataset)
     evaluator.n_images = args.n_images
+    evaluator.bf16 = args.bf16
+    evaluator.hflip_tta = args.hflip_tta
 
     if args.output is None:
         args.output = (args.checkpoint or 'eval') + '.eval-' + args.dataset
@@ -156,6 +167,8 @@ def main():
                 LOG.info('watch: evaluating %s', checkpoint)
                 evaluator = Evaluator(args.dataset)
                 evaluator.n_images = args.n_images
+                evaluator.bf16 = args.bf16
+                evaluator.hflip_tta = args.hflip_tta
                 evaluator.evaluate(
                     checkpoint + '.eval-' + args.dataset,
                     checkpoint=checkpoint,
