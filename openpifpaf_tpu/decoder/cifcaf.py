@@ -158,6 +158,15 @@ class CifCaf(Decoder):
         """fields_batch: list over head indices of (B, F, C, H, W) arrays."""
         cif, caf, stride = self._fields(fields_batch)
 
+        from ..visualizer import Base as VisualizerBase
+        if VisualizerBase.all_indices:
+            from .. import visualizer as visualizer_mod
+            cif_np = np.asarray(cif)
+            caf_np = np.asarray(caf)
+            for i in range(cif_np.shape[0]):
+                visualizer_mod.Cif(self.cif_meta).predicted(cif_np[i])
+                visualizer_mod.Caf(self.caf_meta).predicted(caf_np[i])
+
         start = time.perf_counter()
         if initial_annotations_batch is None:
             poses, keep, order = self._decoder(stride)(cif, caf)

@@ -45,14 +45,19 @@ def cli():
                         const=True, help='image output file or directory')
     parser.add_argument('--json-output', default=None, nargs='?',
                         const=True, help='json output file or directory')
-    parser.add_argument('--show', default=False, action='store_true')
     parser.add_argument('--debug', default=False, action='store_true')
     logger.cli(parser)
     decoder.factory.cli(parser)
+    from . import visualizer as visualizer_mod
+    from .show import cli as show_cli_fn, configure as show_configure_fn
+    visualizer_mod.cli(parser)
+    show_cli_fn(parser)
 
     args = parser.parse_args()
     logger.configure(args, LOG)
     decoder.factory.configure(args)
+    visualizer_mod.configure(args)
+    show_configure_fn(args)
 
     if args.glob:
         args.images += glob.glob(args.glob)

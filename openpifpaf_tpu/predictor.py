@@ -328,6 +328,14 @@ class Predictor:
         else:
             image_batch, gt_anns_batch, meta_batch = batch
 
+        from .visualizer import Base as VisualizerBase
+        if VisualizerBase.all_indices and len(image_batch):
+            img = np.asarray(image_batch[0])
+            if img.dtype == np.uint8:
+                img = ((img.astype(np.float32) / 255.0 - self._IMAGENET_MEAN)
+                       / self._IMAGENET_STD)
+            VisualizerBase.processed_image(img)
+
         fields = self.fields_batch(image_batch)
         pred_batch = self.processor.batch_decode(fields)
         self.last_decoder_time = self.processor.last_decoder_time

@@ -2,7 +2,9 @@
 
 from .painters import (KeypointPainter, DetectionPainter, CrowdPainter,
                        AnnotationPainter)
-from .canvas import Canvas, image_canvas, canvas
+from . import canvas as canvas_module
+from .canvas import Canvas, image_canvas
+from .canvas import canvas as canvas_fn
 from .animation_frame import AnimationFrame
 from . import fields
 from .fields import white_screen, quiver, boxes, circles

@@ -12,10 +12,27 @@ except ImportError:
     plt = None
 
 
+#: when set (--save-all), every canvas without an explicit fig_file is
+#: saved here with a running index (reference show/canvas.py all_images)
+save_all_dir = None
+_save_counter = [0]
+
+
+def _auto_fig_file():
+    if save_all_dir is None:
+        return None
+    import os
+    os.makedirs(save_all_dir, exist_ok=True)
+    _save_counter[0] += 1
+    return os.path.join(save_all_dir, f'{_save_counter[0]:04d}.jpeg')
+
+
 @contextmanager
 def canvas(fig_file=None, show=True, dpi=100, nomargin=False, **kwargs):
     if plt is None:
         raise ImportError('matplotlib is not installed')
+    if fig_file is None:
+        fig_file = _auto_fig_file()
     if nomargin:
         fig = plt.figure(**kwargs)
         ax = plt.Axes(fig, [0.0, 0.0, 1.0, 1.0])
@@ -37,6 +54,8 @@ def image_canvas(image, fig_file=None, show=True, dpi_factor=1.0,
                  fig_width=10.0, **kwargs):
     if plt is None:
         raise ImportError('matplotlib is not installed')
+    if fig_file is None:
+        fig_file = _auto_fig_file()
     image = np.asarray(image)
     if 'figsize' not in kwargs:
         kwargs['figsize'] = (fig_width,

@@ -118,3 +118,20 @@ def test_video_tracking_checkpoint(tmp_path):
     with open(json_out) as f:
         lines = [json.loads(line) for line in f if line.strip()]
     assert [l['frame'] for l in lines] == [1, 2]
+
+
+@pytest.mark.skipif(not os.path.exists(TEST_IMAGE),
+                    reason='reference fixture not available')
+def test_predict_debug_indices(tmp_path):
+    """--debug-indices + --save-all produce field overlay plots
+    (reference visualizer/cli.py + --debug-indices)."""
+    out_dir = str(tmp_path / 'plots')
+    result = subprocess.run(
+        [PYTHON, '-m', 'openpifpaf_tpu.predict', TEST_IMAGE,
+         '--long-edge', '161', '--debug-indices', 'cif:5', 'caf:3',
+         '--save-all', out_dir,
+         '--json-output', str(tmp_path / 'p.json')],
+        capture_output=True, env=dict(ENV, MPLBACKEND='Agg'), timeout=500)
+    assert result.returncode == 0, result.stderr.decode()[-2000:]
+    plots = os.listdir(out_dir)
+    assert len(plots) >= 2  # confidence + regression per requested field
