@@ -161,11 +161,12 @@ class CifCaf(Decoder):
         from ..visualizer import Base as VisualizerBase
         if VisualizerBase.all_indices:
             from .. import visualizer as visualizer_mod
-            cif_np = np.asarray(cif)
-            caf_np = np.asarray(caf)
-            for i in range(cif_np.shape[0]):
-                visualizer_mod.Cif(self.cif_meta).predicted(cif_np[i])
-                visualizer_mod.Caf(self.caf_meta).predicted(caf_np[i])
+            # only batch element 0: it is the image the visualizer base
+            # stashed as the backdrop
+            cif_np = np.asarray(cif[:1])
+            caf_np = np.asarray(caf[:1])
+            visualizer_mod.Cif(self.cif_meta).predicted(cif_np[0])
+            visualizer_mod.Caf(self.caf_meta).predicted(caf_np[0])
 
         start = time.perf_counter()
         if initial_annotations_batch is None:

@@ -93,10 +93,12 @@ class Predictor:
     def reset_tracking(self):
         self._prev_feats = None
 
-    def _build_preprocess(self):
+    def _build_preprocess(self, long_edge=None):
         rescale_t = None
-        if self.long_edge:
-            rescale_t = transforms.RescaleAbsolute(self.long_edge)
+        if long_edge is None:
+            long_edge = self.long_edge
+        if long_edge:
+            rescale_t = transforms.RescaleAbsolute(long_edge)
         pad_t = transforms.CenterPadTight(16)
         return transforms.Compose([
             transforms.NormalizeAnnotations(),
@@ -193,39 +195,61 @@ class Predictor:
     _IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
     _IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
+    @classmethod
+    def _normalized_np(cls, img):
+        if img.dtype == np.uint8:
+            return ((img.astype(np.float32) / 255.0 - cls._IMAGENET_MEAN)
+                    / cls._IMAGENET_STD)
+        return img
+
+    @staticmethod
+    def _u8_wrap(float_forward):
+        """Wrap a float-image forward to take raw uint8 pixels; the float
+        conversion and ImageNet normalization run in-graph (fused by XLA
+        into the input convolution), so the host->device transfer is uint8
+        (4x smaller)."""
+        mean = jnp.asarray(Predictor._IMAGENET_MEAN)
+        std = jnp.asarray(Predictor._IMAGENET_STD)
+
+        @jax.jit
+        def forward_u8(variables, image_u8):
+            x = image_u8.astype(jnp.float32) / 255.0
+            x = (x - mean) / std
+            return float_forward(variables, x)
+
+        return forward_u8
+
     @property
     def forward_u8_fn(self):
-        """Forward taking raw uint8 pixels; the float conversion and
-        ImageNet normalization run in-graph (fused by XLA into the input
-        convolution), so the host->device transfer is uint8 (4x smaller)."""
         if self._forward_u8_fn is None:
-            float_forward = self.forward_fn
-            mean = jnp.asarray(self._IMAGENET_MEAN)
-            std = jnp.asarray(self._IMAGENET_STD)
-
-            @jax.jit
-            def forward_u8(variables, image_u8):
-                x = image_u8.astype(jnp.float32) / 255.0
-                x = (x - mean) / std
-                return float_forward(variables, x)
-
-            self._forward_u8_fn = forward_u8
+            self._forward_u8_fn = self._u8_wrap(self.forward_fn)
         return self._forward_u8_fn
+
+    #: explicit keypoint hflip mapping for --hflip-tta (e.g. a plugin's
+    #: HFLIP dict); when None, a naming heuristic is used
+    hflip_mapping = None
 
     @staticmethod
     def _hflip_mapping(keypoints):
-        """left_*/right_* name swap (the convention of every built-in
-        dataset; reference plugins ship explicit HFLIP dicts)."""
+        """Left/right name swap by convention (left_/right_ and L_/R_
+        prefixes, _left/_right suffixes). Plugins with other conventions
+        should set ``Predictor.hflip_mapping`` to their HFLIP dict."""
+        pairs = (('left_', 'right_', 'prefix'), ('L_', 'R_', 'prefix'),
+                 ('_left', '_right', 'suffix'), ('_l', '_r', 'suffix'))
         mapping = {}
         for name in keypoints:
-            if name.startswith('left_'):
-                other = 'right_' + name[len('left_'):]
-            elif name.startswith('right_'):
-                other = 'left_' + name[len('right_'):]
-            else:
-                continue
-            if other in keypoints:
-                mapping[name] = other
+            for a, b, kind in pairs:
+                for src, dst in ((a, b), (b, a)):
+                    if kind == 'prefix' and name.startswith(src):
+                        other = dst + name[len(src):]
+                    elif kind == 'suffix' and name.endswith(src):
+                        other = name[:-len(src)] + dst
+                    else:
+                        continue
+                    if other in keypoints:
+                        mapping[name] = other
+                if name in mapping:
+                    break
         return mapping
 
     @property
@@ -244,7 +268,18 @@ class Predictor:
                 mirrored = float_forward(variables, image_batch[:, :, ::-1])
                 out = []
                 for field, flipped, meta in zip(fields, mirrored, metas):
-                    hflip = self._hflip_mapping(list(meta.keypoints))
+                    if getattr(meta, 'keypoints', None) is None:
+                        out.append(field)  # e.g. CifDet: no TTA mapback
+                        continue
+                    hflip = self.hflip_mapping or \
+                        self._hflip_mapping(list(meta.keypoints))
+                    if not hflip:
+                        LOG.warning(
+                            'no left/right mapping derivable for head %s: '
+                            'skipping hflip TTA for it (set '
+                            'Predictor.hflip_mapping explicitly)', meta.name)
+                        out.append(field)
+                        continue
                     w_cells = field.shape[-1]
                     # pif/paf_hflip negate the x regressions (offset-style
                     # fields); inference fields carry absolute cell
@@ -293,20 +328,29 @@ class Predictor:
     def fields_batch(self, image_batch):
         start = time.perf_counter()
         image_batch = self._bucket_pad(np.asarray(image_batch))
+        true_batch = image_batch.shape[0]
+        if self.n_devices and self.n_devices > 1 \
+                and true_batch % self.n_devices:
+            # sharded serving needs batch divisible by the mesh: replicate
+            # the last image and trim the fields below
+            pad = self.n_devices - true_batch % self.n_devices
+            image_batch = np.concatenate(
+                [image_batch] + [image_batch[-1:]] * pad, axis=0)
         if self._tracking:
             fields = self._tracking_fields(jnp.asarray(image_batch))
         elif self.hflip_tta:
-            images = jnp.asarray(image_batch)
             if image_batch.dtype == np.uint8:
-                images = ((images.astype(jnp.float32) / 255.0
-                           - jnp.asarray(self._IMAGENET_MEAN))
-                          / jnp.asarray(self._IMAGENET_STD))
-            fields = self.forward_hflip_tta_fn(self.variables, images)
+                fields = self._u8_wrap(self.forward_hflip_tta_fn)(
+                    self.variables, jnp.asarray(image_batch))
+            else:
+                fields = self.forward_hflip_tta_fn(
+                    self.variables, jnp.asarray(image_batch))
         elif image_batch.dtype == np.uint8:
             fields = self.forward_u8_fn(self.variables,
                                         jnp.asarray(image_batch))
         else:
             fields = self.forward_fn(self.variables, jnp.asarray(image_batch))
+        fields = [f[:true_batch] if f is not None else None for f in fields]
         # keep fields on device: the device decoders consume them directly
         # (host-side decoders convert on demand); sync so nn time is not
         # misattributed to the decoder
@@ -330,11 +374,8 @@ class Predictor:
 
         from .visualizer import Base as VisualizerBase
         if VisualizerBase.all_indices and len(image_batch):
-            img = np.asarray(image_batch[0])
-            if img.dtype == np.uint8:
-                img = ((img.astype(np.float32) / 255.0 - self._IMAGENET_MEAN)
-                       / self._IMAGENET_STD)
-            VisualizerBase.processed_image(img)
+            VisualizerBase.processed_image(
+                self._normalized_np(np.asarray(image_batch[0])))
 
         fields = self.fields_batch(image_batch)
         pred_batch = self.processor.batch_decode(fields)
@@ -407,6 +448,25 @@ class Predictor:
                 kept.append(ann)
         return kept
 
+    @staticmethod
+    def _merge_detections(dets, iou_threshold=0.7):
+        """Greedy IoU suppression of per-scale detection duplicates."""
+        def iou(a, b):
+            ax, ay, aw, ah = a.bbox
+            bx, by, bw, bh = b.bbox
+            ix = max(0.0, min(ax + aw, bx + bw) - max(ax, bx))
+            iy = max(0.0, min(ay + ah, by + bh) - max(ay, by))
+            inter = ix * iy
+            union = aw * ah + bw * bh - inter
+            return inter / union if union > 0 else 0.0
+
+        kept = []
+        for det in sorted(dets, key=lambda d: d.score or 0.0, reverse=True):
+            if all(det.category_id != k.category_id
+                   or iou(det, k) < iou_threshold for k in kept):
+                kept.append(det)
+        return kept
+
     def _images_multiscale(self, file_names):
         base_long_edge = self.long_edge or 641
         saved_json_data, self.json_data = self.json_data, False
@@ -424,12 +484,7 @@ class Predictor:
             for factor in self.multi_scale_factors:
                 long_edge = max(
                     33, int(round(base_long_edge * factor / 16)) * 16 + 1)
-                preprocess = transforms.Compose([
-                    transforms.NormalizeAnnotations(),
-                    transforms.RescaleAbsolute(long_edge),
-                    transforms.CenterPadTight(16),
-                    transforms.EVAL_TRANSFORM,
-                ])
+                preprocess = self._build_preprocess(long_edge)
                 data = datasets.ImageList(
                     [file_name], preprocess=preprocess, with_raw_image=False)
                 for pred, _, meta in self.dataset(data):
@@ -438,7 +493,8 @@ class Predictor:
                     last_meta = meta
             keypointed = [a for a in merged_input if hasattr(a, 'data')]
             others = [a for a in merged_input if not hasattr(a, 'data')]
-            merged = self._merge_annotations(keypointed) + others
+            merged = (self._merge_annotations(keypointed)
+                      + self._merge_detections(others))
             if json_data:
                 merged = [ann.json_data() for ann in merged]
             yield merged, [], last_meta

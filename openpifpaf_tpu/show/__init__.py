@@ -2,9 +2,7 @@
 
 from .painters import (KeypointPainter, DetectionPainter, CrowdPainter,
                        AnnotationPainter)
-from . import canvas as canvas_module
-from .canvas import Canvas, image_canvas
-from .canvas import canvas as canvas_fn
+from .canvas import Canvas, image_canvas, canvas
 from .animation_frame import AnimationFrame
 from . import fields
 from .fields import white_screen, quiver, boxes, circles

@@ -12,19 +12,21 @@ except ImportError:
     plt = None
 
 
-#: when set (--save-all), every canvas without an explicit fig_file is
-#: saved here with a running index (reference show/canvas.py all_images)
-save_all_dir = None
-_save_counter = [0]
+#: --save-all state: when 'dir' is set, every canvas without an explicit
+#: fig_file is saved there with a running index. A dict (not a bare module
+#: global) so `from .canvas import SAVE_ALL` keeps working even though
+#: show/__init__ re-exports the `canvas` function under the same name as
+#: this module.
+SAVE_ALL = {'dir': None, 'count': 0}
 
 
 def _auto_fig_file():
-    if save_all_dir is None:
+    if SAVE_ALL['dir'] is None:
         return None
     import os
-    os.makedirs(save_all_dir, exist_ok=True)
-    _save_counter[0] += 1
-    return os.path.join(save_all_dir, f'{_save_counter[0]:04d}.jpeg')
+    os.makedirs(SAVE_ALL['dir'], exist_ok=True)
+    SAVE_ALL['count'] += 1
+    return os.path.join(SAVE_ALL['dir'], f"{SAVE_ALL['count']:04d}.jpeg")
 
 
 @contextmanager

@@ -34,9 +34,8 @@ def cli(parser):
 
 
 def configure(args):
-    import sys
-    canvas_mod = sys.modules['openpifpaf_tpu.show.canvas']
-    canvas_mod.save_all_dir = args.save_all
+    from .canvas import SAVE_ALL
+    SAVE_ALL['dir'] = args.save_all
     KeypointPainter.show_box = args.show_box
     KeypointPainter.show_joint_scales = args.show_joint_scales
     KeypointPainter.show_joint_confidences = args.show_joint_confidences
