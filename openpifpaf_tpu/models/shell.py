@@ -14,8 +14,13 @@ class Shell(nn.Module):
         return [hn.meta for hn in self.head_nets]
 
     @nn.compact
-    def __call__(self, image_batch, *, train: bool = False, head_mask=None):
-        x = self.base_net(image_batch, train=train)
+    def __call__(self, image_batch, *, train: bool = False, head_mask=None,
+                 bn_train=None):
+        # bn_train overrides the batch-norm mode of the base net only
+        # (reference --fix-batch-norm puts BN modules in eval mode while
+        # the rest of the model stays in train mode, trainer.py:273-279)
+        x = self.base_net(
+            image_batch, train=train if bn_train is None else bn_train)
         if head_mask is not None:
             return tuple(
                 hn(x, train=train) if m else None

@@ -81,6 +81,8 @@ class TrackingShell(nn.Module):
         return tuple(hn(feats, train=train) for hn in self.head_nets)
 
     @nn.compact
-    def __call__(self, image_batch, *, train: bool = False, head_mask=None):
-        feats = self.backbone(image_batch, train=train)
+    def __call__(self, image_batch, *, train: bool = False, head_mask=None,
+                 bn_train=None):
+        feats = self.backbone(
+            image_batch, train=train if bn_train is None else bn_train)
         return self.heads(feats, train=train, head_mask=head_mask)

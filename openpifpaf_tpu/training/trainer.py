@@ -32,12 +32,13 @@ class TrainState:
     step: Any
     loss_params: Any = dataclasses.field(default_factory=dict)
     loss_state: Any = dataclasses.field(default_factory=dict)
+    grad_accum: Any = dataclasses.field(default_factory=dict)
 
 
 jax.tree_util.register_dataclass(
     TrainState,
     ['params', 'batch_stats', 'opt_state', 'ema_params', 'step',
-     'loss_params', 'loss_state'],
+     'loss_params', 'loss_state', 'grad_accum'],
     [])
 
 
@@ -50,11 +51,18 @@ def make_mesh(n_devices: Optional[int] = None) -> Mesh:
 
 def build_train_step(model, loss_fn, optimizer, schedule, *,
                      clip_grad_norm=0.0, clip_grad_value=0.0, ema_decay=0.01,
-                     cross_talk=0.0, mesh: Optional[Mesh] = None):
+                     cross_talk=0.0, stride_apply=1, fix_bn=False,
+                     mesh: Optional[Mesh] = None):
     """Returns jitted fn(state, images, targets) -> (state, loss, head_losses).
 
     images: (B, H, W, 3); targets: tuple of per-head target arrays
     (B, F, C, H, W) (or None for heads without targets).
+
+    stride_apply > 1 accumulates gradient *sums* across micro-batches in
+    ``state.grad_accum`` and applies them every ``stride_apply`` steps
+    (reference --stride-apply, trainer.py:293). fix_bn runs batch norm on
+    running statistics without updating them (reference --fix-batch-norm,
+    trainer.py:273-279).
     """
 
     def step_fn(state: TrainState, images, targets):
@@ -69,6 +77,7 @@ def build_train_step(model, loss_fn, optimizer, schedule, *,
                 {'params': opt_params['model'],
                  'batch_stats': state.batch_stats},
                 images, train=True, head_mask=head_mask,
+                bn_train=False if fix_bn else None,
                 mutable=['batch_stats'])
             total, head_losses, new_loss_state = loss_fn(
                 outputs, targets, opt_params['loss'], state.loss_state)
@@ -78,6 +87,14 @@ def build_train_step(model, loss_fn, optimizer, schedule, *,
         opt_params = {'model': state.params, 'loss': state.loss_params}
         (total, (head_losses, new_batch_stats, new_loss_state)), grads = \
             jax.value_and_grad(compute_loss, has_aux=True)(opt_params)
+
+        if stride_apply > 1:
+            grads = jax.tree_util.tree_map(
+                lambda a, g: a + g, state.grad_accum, grads)
+            grads_raw = grads  # accumulator keeps unclipped sums
+            apply_flag = (state.step + 1) % stride_apply == 0
+        else:
+            apply_flag = None
 
         lr = schedule(state.step)
         if clip_grad_norm:
@@ -97,11 +114,31 @@ def build_train_step(model, loss_fn, optimizer, schedule, *,
             grads, state.opt_state, opt_params)
         import optax
         new_opt_params = optax.apply_updates(opt_params, updates)
+
+        if apply_flag is not None:
+            # select between the applied and the deferred update; the
+            # optimizer state and params only advance on apply steps
+            def select(new, old):
+                return jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(apply_flag, a, b), new, old)
+            new_opt_params = select(
+                new_opt_params,
+                {'model': state.params, 'loss': state.loss_params})
+            new_opt_state = select(new_opt_state, state.opt_state)
+            new_grad_accum = jax.tree_util.tree_map(
+                lambda g: jnp.where(apply_flag, jnp.zeros_like(g), g),
+                grads_raw)
+        else:
+            new_grad_accum = state.grad_accum
         new_params = new_opt_params['model']
 
         new_ema = jax.tree_util.tree_map(
             lambda e, p: (1.0 - ema_decay) * e + ema_decay * p,
             state.ema_params, new_params)
+        if apply_flag is not None:
+            new_ema = jax.tree_util.tree_map(
+                lambda n, o: jnp.where(apply_flag, n, o),
+                new_ema, state.ema_params)
 
         new_state = TrainState(
             params=new_params,
@@ -111,6 +148,7 @@ def build_train_step(model, loss_fn, optimizer, schedule, *,
             step=state.step + 1,
             loss_params=new_opt_params['loss'],
             loss_state=new_loss_state,
+            grad_accum=new_grad_accum,
         )
         return new_state, total, head_losses
 
@@ -125,13 +163,15 @@ def build_train_step(model, loss_fn, optimizer, schedule, *,
     return jax.jit(step_fn, donate_argnums=(0,))
 
 
-def build_val_step(model, loss_fn, *, mesh: Optional[Mesh] = None):
+def build_val_step(model, loss_fn, *, fix_bn=False,
+                   mesh: Optional[Mesh] = None):
     def val_fn(state: TrainState, images, targets):
         head_mask = tuple(t is not None for t in targets)
         # reference validates in train mode without grad (trainer.py:345-358)
         outputs, _ = model.apply(
             {'params': state.params, 'batch_stats': state.batch_stats},
-            images, train=True, head_mask=head_mask, mutable=['batch_stats'])
+            images, train=True, head_mask=head_mask,
+            bn_train=False if fix_bn else None, mutable=['batch_stats'])
         total, head_losses, _ = loss_fn(
             outputs, targets, state.loss_params, state.loss_state)
         return total, head_losses
@@ -152,15 +192,16 @@ class Trainer:
     log_interval = 11
     val_interval = 1
     ema_decay = 0.01
+    stride_apply = 1
+    fix_batch_norm = False  # False | True | epoch number
     n_train_batches = None
     n_val_batches = None
 
     def __init__(self, model, loss_fn, optimizer, schedule, out, *,
                  variables, mesh=None, model_meta_data=None):
-        import optax  # local: optional heavy import
-
         self.model = model
         self.loss_fn = loss_fn
+        self.optimizer = optimizer
         self.out = out
         self.mesh = mesh
         self.model_meta_data = model_meta_data or {}
@@ -168,6 +209,10 @@ class Trainer:
         params = variables['params']
         batch_stats = variables.get('batch_stats', {})
         loss_params = loss_fn.init_params()
+        grad_accum = {}
+        if self.stride_apply > 1:
+            grad_accum = jax.tree_util.tree_map(
+                jnp.zeros_like, {'model': params, 'loss': loss_params})
         self.state = TrainState(
             params=params,
             batch_stats=batch_stats,
@@ -176,17 +221,37 @@ class Trainer:
             step=jnp.zeros((), dtype=jnp.int32),
             loss_params=loss_params,
             loss_state=loss_fn.init_state(),
+            grad_accum=grad_accum,
         )
 
+        self.schedule = schedule
+        self._built_fix_bn = None
+        self._build_steps(fix_bn=self._fix_bn_active(0))
+
+    def _fix_bn_active(self, epoch):
+        if self.fix_batch_norm is True:
+            return True
+        if self.fix_batch_norm is not False:
+            return self.fix_batch_norm <= epoch
+        return False
+
+    def _build_steps(self, *, fix_bn):
+        if self._built_fix_bn == fix_bn:
+            return
+        if fix_bn:
+            LOG.info('fix batchnorm')
         self.train_step = build_train_step(
-            model, loss_fn, optimizer, schedule,
+            self.model, self.loss_fn, self.optimizer, self.schedule,
             clip_grad_norm=self.clip_grad_norm,
             clip_grad_value=self.clip_grad_value,
             ema_decay=self.ema_decay,
             cross_talk=self.cross_talk,
-            mesh=mesh)
-        self.val_step = build_val_step(model, loss_fn, mesh=mesh)
-        self.schedule = schedule
+            stride_apply=self.stride_apply,
+            fix_bn=fix_bn,
+            mesh=self.mesh)
+        self.val_step = build_val_step(
+            self.model, self.loss_fn, fix_bn=fix_bn, mesh=self.mesh)
+        self._built_fix_bn = fix_bn
 
     @classmethod
     def cli(cls, parser):
@@ -203,6 +268,13 @@ class Trainer:
         group.add_argument('--ema', default=cls.ema_decay, type=float)
         group.add_argument('--cross-talk', default=cls.cross_talk, type=float,
                            help='[experimental] input cross-talk strength')
+        group.add_argument('--stride-apply', default=cls.stride_apply,
+                           type=int,
+                           help='apply and reset gradients every n batches')
+        group.add_argument('--fix-batch-norm',
+                           default=False, const=True, type=int, nargs='?',
+                           help='fix batch norm running statistics '
+                                '(optionally specify start epoch)')
 
     @classmethod
     def configure(cls, args):
@@ -215,6 +287,8 @@ class Trainer:
         cls.val_interval = args.val_interval
         cls.ema_decay = args.ema
         cls.cross_talk = args.cross_talk
+        cls.stride_apply = args.stride_apply
+        cls.fix_batch_norm = args.fix_batch_norm
 
     def loop(self, train_loader, val_loader, start_epoch=0):
         if start_epoch and int(self.state.step) == 0:
@@ -249,6 +323,7 @@ class Trainer:
         return tuple(out)
 
     def train(self, loader, epoch):
+        self._build_steps(fix_bn=self._fix_bn_active(epoch))
         start_time = time.time()
         epoch_loss = 0.0
         n = 0
@@ -294,6 +369,8 @@ class Trainer:
         })
 
     def val(self, loader, epoch):
+        # reference: fix-BN check in val uses epoch-1 (trainer.py:358-359)
+        self._build_steps(fix_bn=self._fix_bn_active(epoch - 1))
         start_time = time.time()
         epoch_loss = 0.0
         n = 0
