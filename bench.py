@@ -86,15 +86,21 @@ def bench_train():
                                   clip_grad_norm=1.0, mesh=mesh)
     params = variables['params']
     loss_params = loss_fn.init_params()
-    state = TrainState(
-        params=params,
-        batch_stats=variables.get('batch_stats', {}),
-        opt_state=optimizer.init({'model': params, 'loss': loss_params}),
-        ema_params=jax.tree_util.tree_map(jnp.copy, params),
-        step=jnp.zeros((), dtype=jnp.int32),
-        loss_params=loss_params,
-        loss_state=loss_fn.init_state(),
-    )
+
+    def fresh_state():
+        # every leaf copied: timed steps donate their input state
+        return TrainState(
+            params=jax.tree_util.tree_map(jnp.copy, params),
+            batch_stats=jax.tree_util.tree_map(
+                jnp.copy, variables.get('batch_stats', {})),
+            opt_state=optimizer.init({'model': params, 'loss': loss_params}),
+            ema_params=jax.tree_util.tree_map(jnp.copy, params),
+            step=jnp.zeros((), dtype=jnp.int32),
+            loss_params=jax.tree_util.tree_map(jnp.copy, loss_params),
+            loss_state=loss_fn.init_state(),
+        )
+
+    state = fresh_state()
 
     batch = 8
     h = w = 385
@@ -104,20 +110,32 @@ def bench_train():
     cif_t = jnp.zeros((batch, 17, 5, fh, fw), jnp.float32)
     caf_t = jnp.zeros((batch, 19, 9, fh, fw), jnp.float32)
 
-    # train_step donates state: time by chaining steps
-    state, loss, _ = train_step(state, images, (cif_t, caf_t))
-    jax.block_until_ready(loss)
-    n = 10
-    start = time.perf_counter()
-    for _ in range(n):
-        state, loss, _ = train_step(state, images, (cif_t, caf_t))
-    jax.block_until_ready(loss)
-    dt = (time.perf_counter() - start) / n
+    def time_steps(step_fn, state0):
+        # train steps donate state: time by chaining steps
+        st, loss, _ = step_fn(state0, images, (cif_t, caf_t))
+        jax.block_until_ready(loss)
+        n = 10
+        start = time.perf_counter()
+        for _ in range(n):
+            st, loss, _ = step_fn(st, images, (cif_t, caf_t))
+        jax.block_until_ready(loss)
+        return (time.perf_counter() - start) / n
+
+    dt = time_steps(train_step, state)
+
+    # mixed-precision step (--bf16): backbone fwd+bwd in bfloat16
+    train_step_bf16 = build_train_step(model, loss_fn, optimizer, schedule,
+                                       clip_grad_norm=1.0, bf16=True,
+                                       mesh=mesh)
+    dt_bf16 = time_steps(train_step_bf16, fresh_state())
+
     print(json.dumps({
         'metric': 'train_images_per_sec_385px_b8',
         'value': round(batch / dt, 2),
         'unit': 'img/s',
         'step_ms': round(dt * 1e3, 2),
+        'bf16_img_per_sec': round(batch / dt_bf16, 2),
+        'bf16_step_ms': round(dt_bf16 * 1e3, 2),
     }))
 
 

@@ -49,10 +49,38 @@ def make_mesh(n_devices: Optional[int] = None) -> Mesh:
     return Mesh(np.asarray(devices), ('data',))
 
 
+def _bf16_split_forward(model, model_params, batch_stats, images, *,
+                        head_mask, bn_train):
+    """Mixed-precision forward: backbone compute in bfloat16 (MXU-native)
+    against f32 master params, heads in f32 for full-precision regressions.
+
+    flax BatchNorm reduces mean/var in f32 (force_float32_reductions) and
+    the running stats stay in the f32 ``batch_stats`` collection, so
+    mixed-precision training does not drift the BN buffers.
+    """
+    base_params = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16), model_params['base_net'])
+    feats, new_base_state = model.base_net.apply(
+        {'params': base_params,
+         'batch_stats': batch_stats.get('base_net', {})},
+        images.astype(jnp.bfloat16),
+        train=bn_train if bn_train is not None else True,
+        mutable=['batch_stats'])
+    feats = feats.astype(jnp.float32)
+    outputs = tuple(
+        hn.apply({'params': model_params[f'head_nets_{i}']},
+                 feats, train=True)
+        if head_mask is None or head_mask[i] else None
+        for i, hn in enumerate(model.head_nets))
+    new_batch_stats = dict(batch_stats)
+    new_batch_stats['base_net'] = new_base_state['batch_stats']
+    return outputs, new_batch_stats
+
+
 def build_train_step(model, loss_fn, optimizer, schedule, *,
                      clip_grad_norm=0.0, clip_grad_value=0.0, ema_decay=0.01,
                      cross_talk=0.0, stride_apply=1, fix_bn=False,
-                     mesh: Optional[Mesh] = None):
+                     bf16=False, mesh: Optional[Mesh] = None):
     """Returns jitted fn(state, images, targets) -> (state, loss, head_losses).
 
     images: (B, H, W, 3); targets: tuple of per-head target arrays
@@ -73,15 +101,22 @@ def build_train_step(model, loss_fn, optimizer, schedule, *,
             images = images + jnp.roll(images, 1, axis=0) * cross_talk
 
         def compute_loss(opt_params):
-            outputs, new_model_state = model.apply(
-                {'params': opt_params['model'],
-                 'batch_stats': state.batch_stats},
-                images, train=True, head_mask=head_mask,
-                bn_train=False if fix_bn else None,
-                mutable=['batch_stats'])
+            if bf16:
+                outputs, new_batch_stats = _bf16_split_forward(
+                    model, opt_params['model'], state.batch_stats, images,
+                    head_mask=head_mask,
+                    bn_train=False if fix_bn else None)
+            else:
+                outputs, new_model_state = model.apply(
+                    {'params': opt_params['model'],
+                     'batch_stats': state.batch_stats},
+                    images, train=True, head_mask=head_mask,
+                    bn_train=False if fix_bn else None,
+                    mutable=['batch_stats'])
+                new_batch_stats = new_model_state['batch_stats']
             total, head_losses, new_loss_state = loss_fn(
                 outputs, targets, opt_params['loss'], state.loss_state)
-            return total, (head_losses, new_model_state['batch_stats'],
+            return total, (head_losses, new_batch_stats,
                            new_loss_state)
 
         opt_params = {'model': state.params, 'loss': state.loss_params}
@@ -194,6 +229,7 @@ class Trainer:
     ema_decay = 0.01
     stride_apply = 1
     fix_batch_norm = False  # False | True | epoch number
+    bf16 = False
     n_train_batches = None
     n_val_batches = None
 
@@ -248,6 +284,7 @@ class Trainer:
             cross_talk=self.cross_talk,
             stride_apply=self.stride_apply,
             fix_bn=fix_bn,
+            bf16=self.bf16 and hasattr(self.model, 'base_net'),
             mesh=self.mesh)
         self.val_step = build_val_step(
             self.model, self.loss_fn, fix_bn=fix_bn, mesh=self.mesh)
@@ -275,6 +312,10 @@ class Trainer:
                            default=False, const=True, type=int, nargs='?',
                            help='fix batch norm running statistics '
                                 '(optionally specify start epoch)')
+        group.add_argument('--bf16', default=False, action='store_true',
+                           help='mixed-precision training: backbone compute '
+                                'in bfloat16 (MXU-native), f32 master '
+                                'weights, heads and loss in f32')
 
     @classmethod
     def configure(cls, args):
@@ -289,6 +330,7 @@ class Trainer:
         cls.cross_talk = args.cross_talk
         cls.stride_apply = args.stride_apply
         cls.fix_batch_norm = args.fix_batch_norm
+        cls.bf16 = args.bf16
 
     def loop(self, train_loader, val_loader, start_epoch=0):
         if start_epoch and int(self.state.step) == 0:

@@ -161,6 +161,77 @@ def test_fix_batch_norm_freezes_running_stats():
     assert moved
 
 
+def test_bf16_train_step():
+    """Mixed-precision train step: bf16 backbone compute, f32 master
+    weights; params/batch_stats stay f32 and the loss tracks the f32 step."""
+    import openpifpaf_tpu
+    from openpifpaf_tpu.models import factory as models_factory
+    from openpifpaf_tpu.training import losses
+
+    datamodule = openpifpaf_tpu.datasets.factory('cocokp')
+    net_factory = models_factory.Factory(base_name='resnet18')
+    model, init_fn = net_factory.from_scratch(datamodule.head_metas)
+    variables = init_fn(jax.random.PRNGKey(0), (1, 97, 129, 3))
+    loss_fn = losses.Factory().factory(datamodule.head_metas)
+    optimizer = optax.sgd(1e-3)
+    schedule = lambda step: 1e-3  # noqa: E731
+
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.randn(1, 97, 129, 3).astype(np.float32))
+    fh, fw = 7, 9
+    targets = (jnp.zeros((1, 17, 5, fh, fw), jnp.float32),
+               jnp.zeros((1, 19, 9, fh, fw), jnp.float32))
+
+    def fresh_state():
+        params = variables['params']
+        loss_params = loss_fn.init_params()
+        return TrainState(
+            params=jax.tree_util.tree_map(jnp.copy, params),
+            batch_stats=jax.tree_util.tree_map(
+                jnp.copy, variables.get('batch_stats', {})),
+            opt_state=optimizer.init(
+                {'model': params, 'loss': loss_params}),
+            ema_params=jax.tree_util.tree_map(jnp.copy, params),
+            step=jnp.zeros((), dtype=jnp.int32),
+            loss_params=loss_params,
+            loss_state=loss_fn.init_state(),
+        )
+
+    step_bf16 = build_train_step(model, loss_fn, optimizer, schedule,
+                                 bf16=True)
+    step_f32 = build_train_step(model, loss_fn, optimizer, schedule)
+
+    state_b, loss_b, _ = step_bf16(fresh_state(), images, targets)
+    state_f, loss_f, _ = step_f32(fresh_state(), images, targets)
+
+    assert np.isfinite(float(loss_b))
+    np.testing.assert_allclose(float(loss_b), float(loss_f), rtol=0.05)
+
+    # master weights and BN buffers stay f32
+    for leaf in jax.tree_util.tree_leaves(state_b.params):
+        assert leaf.dtype == jnp.float32
+    for leaf in jax.tree_util.tree_leaves(state_b.batch_stats):
+        assert leaf.dtype == jnp.float32
+
+    # the update direction agrees with the f32 step
+    diffs_b = jax.tree_util.tree_map(
+        lambda a, b: np.asarray(a - b),
+        state_b.params, dict(variables['params']))
+    diffs_f = jax.tree_util.tree_map(
+        lambda a, b: np.asarray(a - b),
+        state_f.params, dict(variables['params']))
+    num = jax.tree_util.tree_reduce(
+        lambda acc, x: acc + x,
+        jax.tree_util.tree_map(
+            lambda a, b: float(np.sum(a * b)), diffs_b, diffs_f), 0.0)
+    den_b = jax.tree_util.tree_reduce(
+        lambda acc, x: acc + float(np.sum(x * x)), diffs_b, 0.0)
+    den_f = jax.tree_util.tree_reduce(
+        lambda acc, x: acc + float(np.sum(x * x)), diffs_f, 0.0)
+    cos = num / max(1e-12, (den_b * den_f) ** 0.5)
+    assert cos > 0.9
+
+
 def test_trainer_cli_flags():
     import argparse
     from openpifpaf_tpu.training.trainer import Trainer
