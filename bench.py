@@ -111,14 +111,20 @@ def bench_train():
     caf_t = jnp.zeros((batch, 19, 9, fh, fw), jnp.float32)
 
     def time_steps(step_fn, state0):
-        # train steps donate state: time by chaining steps
+        # train steps donate state: time by chaining steps. Warm up TWO
+        # steps: the second call pays a large one-time relayout cost for
+        # the donated-state signature on the tunneled TPU backend.
         st, loss, _ = step_fn(state0, images, (cif_t, caf_t))
         jax.block_until_ready(loss)
-        n = 10
+        st, loss, _ = step_fn(st, images, (cif_t, caf_t))
+        jax.block_until_ready(loss)
+        n = 20
         start = time.perf_counter()
         for _ in range(n):
             st, loss, _ = step_fn(st, images, (cif_t, caf_t))
-        jax.block_until_ready(loss)
+        # block on the FULL state: the scalar loss resolves before the
+        # parameter/optimizer updates finish
+        jax.block_until_ready(st)
         return (time.perf_counter() - start) / n
 
     dt = time_steps(train_step, state)

@@ -98,6 +98,38 @@ def export_savedmodel(model, variables, outdir, *,
     return outdir
 
 
+def export_tflite(model, variables, outfile, *,
+                  input_shape=(1, 481, 641, 3)):
+    """Export the field head network as a .tflite flatbuffer.
+
+    Mobile-deployment counterpart of the reference's CoreML export
+    (``export_coreml.py``). Fields only (the device decoder's while-loops
+    aren't TFLite ops); decode runs with the host decoder or the C++
+    runner. Uses jax2tf graph serialization so the TFLite converter sees
+    plain TF ops; SELECT_TF_OPS covers anything without a builtin kernel.
+    """
+    import tensorflow as tf
+    from jax.experimental import jax2tf
+
+    def forward(image):
+        return model.apply(variables, image, train=False)
+
+    tf_forward = jax2tf.convert(forward, native_serialization=False,
+                                with_gradient=False)
+    f = tf.function(
+        tf_forward,
+        input_signature=[tf.TensorSpec(input_shape, tf.float32,
+                                       name='image')])
+    converter = tf.lite.TFLiteConverter.from_concrete_functions(
+        [f.get_concrete_function()])
+    converter.target_spec.supported_ops = [
+        tf.lite.OpsSet.TFLITE_BUILTINS, tf.lite.OpsSet.SELECT_TF_OPS]
+    blob = converter.convert()
+    with open(outfile, 'wb') as out:
+        out.write(blob)
+    return outfile
+
+
 def main():
     # the environment may force a platform through sitecustomize-level
     # jax.config (which beats the env var); re-apply the env var so
@@ -116,9 +148,10 @@ def main():
                         help='include the CifCaf decode pipeline in the '
                              'exported program')
     parser.add_argument('--format', default='stablehlo',
-                        choices=('stablehlo', 'savedmodel'),
+                        choices=('stablehlo', 'savedmodel', 'tflite'),
                         help='stablehlo: portable MLIR text; savedmodel: '
-                             'TF SavedModel directory for the C++ runner')
+                             'TF SavedModel directory for the C++ runner; '
+                             'tflite: mobile flatbuffer (fields only)')
     args = parser.parse_args()
 
     if args.checkpoint:
@@ -133,6 +166,16 @@ def main():
         head_metas = datamodule.head_metas
 
     input_shape = (1, args.input_height, args.input_width, 3)
+    if args.format == 'tflite':
+        if args.with_decoder:
+            parser.error('--with-decoder is not supported for tflite '
+                         '(decoder while-loops are not TFLite ops)')
+        export_tflite(model, variables, args.outfile,
+                      input_shape=input_shape)
+        LOG.info('wrote %s (%d bytes)', args.outfile,
+                 os.path.getsize(args.outfile))
+        print(f'wrote TFLite model {args.outfile}')
+        return
     if args.format == 'savedmodel':
         export_savedmodel(
             model, variables, args.outfile, input_shape=input_shape,

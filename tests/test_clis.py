@@ -135,3 +135,30 @@ def test_predict_debug_indices(tmp_path):
     assert result.returncode == 0, result.stderr.decode()[-2000:]
     plots = os.listdir(out_dir)
     assert len(plots) >= 2  # confidence + regression per requested field
+
+
+def test_export_tflite(tmp_path):
+    """TFLite export (mobile counterpart of the reference CoreML export)
+    round-trips through the TFLite interpreter."""
+    outfile = str(tmp_path / 'model.tflite')
+    out = subprocess.run(
+        [PYTHON, '-m', 'openpifpaf_tpu.export',
+         '--basenet', 'cifar10net', '--dataset', 'cifar10',
+         '--input-height', '33', '--input-width', '33',
+         '--format', 'tflite', '--outfile', outfile],
+        capture_output=True, env=ENV, timeout=500)
+    assert out.returncode == 0, out.stderr.decode()[-2000:]
+    assert os.path.getsize(outfile) > 1000
+
+    import numpy as np
+    import tensorflow as tf
+    interp = tf.lite.Interpreter(model_path=outfile)
+    interp.allocate_tensors()
+    inp = interp.get_input_details()[0]
+    assert list(inp['shape']) == [1, 33, 33, 3]
+    interp.set_tensor(inp['index'],
+                      np.zeros((1, 33, 33, 3), dtype=np.float32))
+    interp.invoke()
+    outs = [interp.get_tensor(d['index'])
+            for d in interp.get_output_details()]
+    assert outs and all(np.all(np.isfinite(o)) for o in outs)
