@@ -25,6 +25,7 @@ class Posetrack2018(DataModule):
     min_kp_anns = 1
     bmin = 0.1
     max_shift = 30.0
+    sample_pairing = 0.0
 
     def __init__(self):
         super().__init__()
@@ -85,6 +86,9 @@ class Posetrack2018(DataModule):
         group.add_argument('--posetrack-bmin', default=cls.bmin, type=float)
         group.add_argument('--posetrack-max-shift',
                            default=cls.max_shift, type=float)
+        group.add_argument('--posetrack-sample-pairing',
+                           default=cls.sample_pairing, type=float,
+                           help='probability of SamplePairing augmentation')
 
     @classmethod
     def configure(cls, args: argparse.Namespace):
@@ -99,6 +103,7 @@ class Posetrack2018(DataModule):
         cls.upsample_stride = args.posetrack_upsample
         cls.bmin = args.posetrack_bmin
         cls.max_shift = args.posetrack_max_shift
+        cls.sample_pairing = args.posetrack_sample_pairing
 
     def _encoders(self):
         if len(self.head_metas) == 4:
@@ -138,6 +143,10 @@ class Posetrack2018(DataModule):
             S(rescale_t),
             transforms.pair.Crop(self.square_edge, max_shift=self.max_shift),
             transforms.pair.Pad(self.square_edge, max_shift=self.max_shift),
+            # reference posetrack2018.py:228-229: group-level blend with the
+            # previous sample
+            transforms.RandomApply(
+                transforms.pair.SamplePairing(), self.sample_pairing),
             S(transforms.TRAIN_TRANSFORM),
             transforms.pair.Encoders(encoders),
         ])

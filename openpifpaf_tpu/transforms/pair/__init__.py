@@ -7,3 +7,4 @@ from .crop import Crop
 from .pad import Pad
 from .encoders import Encoders
 from .blank_past import BlankPast, PreviousPast, RandomizeOneFrame
+from .sample_pairing import SamplePairing

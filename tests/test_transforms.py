@@ -92,3 +92,25 @@ def test_rescale_symmetric():
     np_result = np.asarray(rescaled)[:, :, 0]
     assert np.all(np_result[:5] == np_result[:4:-1])  # symmetric rows
     assert np.all(np_result[:, :5] == np_result[:, :4:-1])  # symmetric cols
+
+
+def test_sample_pairing():
+    """Pair-level SamplePairing blends with the previous sample and
+    concatenates annotations (reference transforms/pair/sample_pairing.py)."""
+    from openpifpaf_tpu.transforms.pair import SamplePairing
+
+    t = SamplePairing()
+    im_a = PIL.Image.fromarray(
+        np.full((8, 8, 3), 200, dtype=np.uint8))
+    im_b = PIL.Image.fromarray(
+        np.full((8, 8, 3), 100, dtype=np.uint8))
+    anns_a = [[{'keypoints': [1]}]]
+    anns_b = [[{'keypoints': [2]}]]
+
+    images1, all_anns1, _ = t([im_a], anns_a, [{}])
+    assert np.asarray(images1[0])[0, 0, 0] == 200  # first call: no blend
+    assert len(all_anns1[0]) == 1
+
+    images2, all_anns2, _ = t([im_b], anns_b, [{}])
+    assert np.asarray(images2[0])[0, 0, 0] == 150  # 50/50 blend
+    assert len(all_anns2[0]) == 2  # current + previous annotations
