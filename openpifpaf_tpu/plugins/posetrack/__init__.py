@@ -1,11 +1,13 @@
 """PoseTrack plugin: video pose tracking datasets.
 
 Registers ``cocokpst`` (tracking training synthesized from still COCO
-images) and ``posetrack2018`` (the real video dataset).
+images), ``posetrack2018`` (the real video dataset), and
+``posetrack2017`` (eval-only, old annolist format).
 """
 
 from ...datasets.factory import DATAMODULES
 from .cocokpst import CocoKpSt
+from .posetrack2017 import Posetrack2017
 from .posetrack2018 import Posetrack2018
 
 
@@ -15,6 +17,7 @@ from ...models import factory as models_factory
 def register():
     DATAMODULES['cocokpst'] = CocoKpSt
     DATAMODULES['posetrack2018'] = Posetrack2018
+    DATAMODULES['posetrack2017'] = Posetrack2017
     _register_checkpoints()
 
 def _register_checkpoints():

@@ -104,3 +104,103 @@ class Posetrack2018:
 
     def __len__(self):
         return len(self.annotations)
+
+
+class Posetrack2017:
+    """PoseTrack2017 dataset reader (reference ``datasets.py:122-244``):
+    the old ``annolist`` per-sequence format. Eval-only — ground truth is
+    evaluated externally (poseval), so annotations are empty and only the
+    image references are used."""
+
+    def __init__(self, annotation_files, data_root, *, preprocess,
+                 group=None, only_annotated=False, max_per_sequence=None):
+        if group is None:
+            group = (0,)
+        self.group = group
+        self.preprocess = preprocess
+        self.data_root = data_root
+        self.only_annotated = only_annotated
+        self.max_per_sequence = max_per_sequence
+
+        self.sequences = {}
+        for file_name in sorted(glob.glob(annotation_files)):
+            with open(file_name, 'r') as f:
+                self.sequences[file_name] = json.load(f)
+
+        self.annotations = []
+        for file_name, raw in self.sequences.items():
+            self.annotations.extend(self.group_annotations(file_name, raw))
+
+        LOG.info('sequences = %d, annotations = %d',
+                 len(self.sequences), len(self.annotations))
+
+    def meta_images(self):
+        return {
+            file_name: [i['image'][0]['name'] for i in raw['annolist']]
+            for file_name, raw in self.sequences.items()
+        }
+
+    def meta_categories(self):
+        return {
+            file_name: [{'supercategory': 'person', 'id': 1,
+                         'name': 'person'}]
+            for file_name in self.sequences
+        }
+
+    def group_annotations(self, file_name, raw_annotation):
+        all_annotations = raw_annotation.get('annolist', [])
+
+        groups = []
+        start_frame = 0 if not self.only_annotated else 12
+        for i in range(start_frame, len(all_annotations)):
+            this_group = self.group
+            if (isinstance(this_group, (tuple, list))
+                    and this_group and isinstance(this_group[0],
+                                                  (tuple, list))):
+                this_group = random.choice(this_group)
+
+            group = []
+            for gi in this_group:
+                frame_id = (i + gi if i + gi >= 0
+                            else i - 4 if i - 4 >= 0 else i)
+                entry = all_annotations[frame_id]
+                group.append({
+                    'annotation_file': file_name,
+                    'image': {
+                        'frame_id': frame_id,
+                        'file_name': entry['image'][0]['name'],
+                    },
+                    'annotations': [],
+                })
+            groups.append(group)
+
+        if self.only_annotated:
+            groups = [g for g in groups if all(s['annotations'] for s in g)]
+        if self.max_per_sequence and len(groups) > self.max_per_sequence:
+            groups = random.choices(groups, k=self.max_per_sequence)
+        return groups
+
+    def __getitem__(self, index):
+        group = self.annotations[index]
+
+        images, anns, metas = [], [], []
+        for group_i, data in enumerate(group):
+            local_file_path = os.path.join(
+                self.data_root, data['image']['file_name'])
+            with open(local_file_path, 'rb') as f:
+                images.append(PIL.Image.open(f).convert('RGB'))
+            anns.append([])
+            metas.append({
+                'dataset_index': index,
+                'image_id': data['image']['frame_id'],
+                'file_name': data['image']['file_name'],
+                'local_file_path': local_file_path,
+                'annotation_file': data['annotation_file'],
+                'group_i': group_i,
+            })
+
+        images, anns, metas = self.preprocess(images, anns, metas)
+        return images, anns, metas
+
+    def __len__(self):
+        return len(self.annotations)

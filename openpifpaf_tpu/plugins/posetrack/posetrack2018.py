@@ -191,14 +191,18 @@ class Posetrack2018(DataModule):
         ])
 
     def eval_loader(self):
+        from ...datasets import LoaderWithReset
         eval_data = Posetrack2018Dataset(
             self.eval_annotations, self.data_root,
             preprocess=self._eval_preprocess(),
             group=(0,))
-        return Loader(
+        loader = Loader(
             eval_data, batch_size=self.batch_size, shuffle=False,
             num_workers=self.loader_workers, drop_last=False,
             collate_fn=collate.collate_images_anns_meta)
+        # emit eval_reset when the sequence changes so tracking state
+        # clears between videos (reference posetrack2018.py eval_loader)
+        return LoaderWithReset(loader, 'annotation_file')
 
     def metrics(self):
         from .metric import Posetrack

@@ -157,3 +157,45 @@ def test_loader_with_reset_signal():
     seen = [b[0] for b in wrapped]
     assert seen == ['im0', 'im1', 'im2', 'im3']
     assert len(resets) == 1
+
+
+def test_posetrack2017_eval_loader(tmp_path):
+    """Posetrack2017 eval-only module reads the old annolist format and
+    emits eval_reset between sequences (reference posetrack2017.py)."""
+    import json
+    import PIL.Image
+    from openpifpaf_tpu.plugins.posetrack.posetrack2017 import Posetrack2017
+
+    img_dir = tmp_path / 'images'
+    img_dir.mkdir()
+    names = []
+    for i in range(3):
+        name = f'images/frame_{i:04d}.jpg'
+        PIL.Image.new('RGB', (65, 49), (i * 40, 0, 0)).save(tmp_path / name)
+        names.append(name)
+    ann = {'annolist': [
+        {'image': [{'name': n}], 'annorect': []} for n in names
+    ]}
+    ann_file = tmp_path / 'seq1.json'
+    with open(ann_file, 'w') as f:
+        json.dump(ann, f)
+
+    Posetrack2017.eval_annotations = str(tmp_path / '*.json')
+    Posetrack2017.data_root = str(tmp_path)
+    try:
+        dm = Posetrack2017()
+        assert len(dm.head_metas) == 3  # cif, caf, tcaf
+        dm.batch_size = 1
+        dm.loader_workers = 0
+        loader = dm.eval_loader()
+        batches = list(loader)
+        assert len(batches) == 3
+        images, anns, metas = batches[0]
+        assert metas[0]['annotation_file'].endswith('seq1.json')
+        assert images[0].shape[-1] == 3
+        metric, = dm.metrics()
+        assert metric.output_format == '2017'
+    finally:
+        Posetrack2017.eval_annotations = \
+            'data-posetrack2017/annotations/val/*.json'
+        Posetrack2017.data_root = 'data-posetrack2017'
