@@ -49,6 +49,29 @@ class ApolloKp(KpDataModule):
     extended_scale = True
 
     @classmethod
+    def cli(cls, parser):
+        super().cli(parser)
+        group = parser.add_argument_group('data module Apollo (kp count)')
+        group.add_argument('--apollo-use-24-kps', default=False,
+                           action='store_true',
+                           help='24-keypoint car configuration '
+                                '(the default here; reference flag kept '
+                                'for compatibility)')
+        group.add_argument('--apollo-use-66-kps', default=False,
+                           action='store_true',
+                           help='66-keypoint car configuration')
+
+    @classmethod
+    def configure(cls, args):
+        if getattr(args, 'apollo_use_66_kps', False):
+            cls.use_66()
+        super().configure(args)
+
+    def metrics(self):
+        from .metrics import MeanPixelError
+        return super().metrics() + [MeanPixelError()]
+
+    @classmethod
     def use_66(cls):
         """Switch the module to the 66-keypoint configuration."""
         cls.use_24_kps = False

@@ -122,3 +122,57 @@ def test_external_plugin_discovery(tmp_path):
         capture_output=True, text=True, env=env, timeout=300)
     assert out.returncode == 0, out.stderr
     assert out.stdout.strip() == 'True'
+
+
+def test_apollo_mean_pixel_error():
+    """MeanPixelError (reference plugins/apollocar3d/metrics.py): nearest
+    prediction within 10 px counts as a detection."""
+    import numpy as np
+    from openpifpaf_tpu.annotation import Annotation
+    from openpifpaf_tpu.plugins.apollocar3d.metrics import MeanPixelError
+
+    kps = [f'k{i}' for i in range(5)]
+    skel = [(1, 2)]
+
+    gt = Annotation(kps, skel)
+    gt.set(np.array([[10.0, 10.0, 2.0],
+                     [20.0, 10.0, 2.0],
+                     [30.0, 10.0, 2.0],
+                     [40.0, 10.0, 2.0],
+                     [0.0, 0.0, 0.0]], dtype=np.float32),
+           fixed_bbox=np.array([0.0, 0.0, 368.0, 368.0]))
+
+    pred = Annotation(kps, skel)
+    pred.set(np.array([[11.0, 10.0, 0.9],   # 1 px off -> detection
+                       [20.0, 10.0, 0.9],   # exact
+                       [30.0, 30.0, 0.9],   # 20 px off -> miss
+                       [41.0, 10.0, 0.9],
+                       [0.0, 0.0, 0.0]], dtype=np.float32))
+
+    m = MeanPixelError()
+    m.accumulate([pred], {}, ground_truth=[gt])
+    stats = m.stats()
+    assert stats['stats'][2] == 75.0  # 3 of 4 annotated GT joints detected
+    assert 0.0 < stats['stats'][0] < 10.0
+
+
+def test_apollo_kp_count_flags():
+    """--apollo-use-66-kps switches to the 66-keypoint configuration."""
+    import argparse
+    from openpifpaf_tpu.plugins.apollocar3d import ApolloKp
+
+    saved = {k: getattr(ApolloKp, k) for k in
+             ('use_24_kps', 'keypoints', 'sigmas', 'skeleton', 'upright_pose',
+              'hflip', 'train_annotations', 'val_annotations',
+              'eval_annotations')}
+    try:
+        parser = argparse.ArgumentParser()
+        ApolloKp.cli(parser)
+        args = parser.parse_args(['--apollo-use-66-kps'])
+        ApolloKp.configure(args)
+        assert len(ApolloKp.keypoints) == 66
+        dm = ApolloKp()
+        assert len(dm.head_metas[0].keypoints) == 66
+    finally:
+        for k, v in saved.items():
+            setattr(ApolloKp, k, v)
