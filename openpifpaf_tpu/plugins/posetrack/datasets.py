@@ -70,6 +70,23 @@ class Posetrack2018:
             groups = random.choices(groups, k=self.max_per_sequence)
         return groups
 
+    @staticmethod
+    def _ignore_region_crowds(image_info):
+        """Posetrack ignore regions become crowd annotations (reference
+        ``normalize_transform.py:17-36``)."""
+        ignore_regions = list(zip(image_info.get('ignore_regions_x', []),
+                                  image_info.get('ignore_regions_y', [])))
+        return [
+            {
+                'bbox': [min(xs), min(ys),
+                         max(xs) - min(xs), max(ys) - min(ys)],
+                'keypoints': [(x, y, 0.0) for x, y in zip(xs, ys)],
+                'iscrowd': True,
+                'track_id': -1,
+            }
+            for xs, ys in ignore_regions if xs and ys
+        ]
+
     def __getitem__(self, index):
         group = self.annotations[index]
 
@@ -79,14 +96,28 @@ class Posetrack2018:
                 self.data_root, data['image']['file_name'])
             with open(local_file_path, 'rb') as f:
                 images.append(PIL.Image.open(f).convert('RGB'))
+            w, h = images[-1].size
 
             frame_anns = copy.deepcopy(data['annotations'])
+            frame_anns += self._ignore_region_crowds(data['image'])
             for ann in frame_anns:
                 if 'keypoints' in ann:
-                    ann['keypoints'] = np.asarray(
+                    kps = np.asarray(
                         ann['keypoints'], dtype=np.float32).reshape(-1, 3)
+                    # posetrack marks annotated keypoints v=1; treat as
+                    # visible, and zero out-of-frame bad data
+                    # (reference normalize_transform.py:44-56)
+                    kps[kps[:, 2] > 0.0, 2] = 2.0
+                    kps[kps[:, 0] < 0.0, 2] = 0.0
+                    kps[kps[:, 1] < 0.0, 2] = 0.0
+                    kps[kps[:, 0] > w - 1, 2] = 0.0
+                    kps[kps[:, 1] > h - 1, 2] = 0.0
+                    ann['keypoints'] = kps
                 if 'bbox' in ann:
                     ann['bbox'] = np.asarray(ann['bbox'], dtype=np.float32)
+                if 'bbox_head' in ann:
+                    ann['bbox_head'] = np.asarray(
+                        ann['bbox_head'], dtype=np.float32)
                 ann.setdefault('iscrowd', False)
             anns.append(frame_anns)
 

@@ -199,3 +199,42 @@ def test_posetrack2017_eval_loader(tmp_path):
         Posetrack2017.eval_annotations = \
             'data-posetrack2017/annotations/val/*.json'
         Posetrack2017.data_root = 'data-posetrack2017'
+
+
+def test_posetrack2018_normalization(tmp_path):
+    """Ignore regions become crowd annotations; v=1 keypoints promote to
+    visible; out-of-frame keypoints are zeroed (reference
+    normalize_transform.py NormalizePosetrack)."""
+    import json
+    import PIL.Image
+    from openpifpaf_tpu.plugins.posetrack.datasets import Posetrack2018
+
+    (tmp_path / 'images').mkdir()
+    PIL.Image.new('RGB', (65, 49)).save(tmp_path / 'images' / 'f0.jpg')
+    ann = {
+        'images': [{
+            'frame_id': 0, 'file_name': 'images/f0.jpg', 'id': 0,
+            'ignore_regions_x': [[1, 10, 10, 1]],
+            'ignore_regions_y': [[1, 1, 10, 10]],
+        }],
+        'annotations': [{
+            'image_id': 0, 'track_id': 0,
+            'bbox': [0, 0, 30, 30],
+            'keypoints': ([20.0, 20.0, 1.0] + [200.0, 20.0, 1.0]
+                          + [0.0, 0.0, 0.0] * 15),
+        }],
+    }
+    with open(tmp_path / 'seq.json', 'w') as f:
+        json.dump(ann, f)
+
+    ds = Posetrack2018(
+        str(tmp_path / '*.json'), str(tmp_path),
+        preprocess=lambda i, a, m: (i, a, m), group=(0,))
+    _, anns, _ = ds[0]
+    frame_anns = anns[0]
+    person = [a for a in frame_anns if not a['iscrowd']][0]
+    crowd = [a for a in frame_anns if a['iscrowd']]
+    assert len(crowd) == 1  # from the ignore region
+    assert crowd[0]['bbox'][2] == 9
+    assert person['keypoints'][0, 2] == 2.0  # v=1 -> visible
+    assert person['keypoints'][1, 2] == 0.0  # x=200 out of 65-px frame
