@@ -176,3 +176,106 @@ def test_apollo_kp_count_flags():
     finally:
         for k, v in saved.items():
             setattr(ApolloKp, k, v)
+
+
+def test_apollo_to_coco_converter(tmp_path):
+    """apollo_to_coco on a synthetic mini-dataset produces valid COCO
+    json in both keypoint configurations."""
+    import json
+    import numpy as np
+    import PIL.Image
+    from openpifpaf_tpu.plugins.apollocar3d.apollo_to_coco import (
+        ApolloToCoco, KPS_MAPPING)
+
+    root = tmp_path / 'train'
+    for sub in ('images', 'keypoints', 'ignore_mask', 'split'):
+        (root / sub).mkdir(parents=True)
+
+    im_name = 'picture_0001'
+    PIL.Image.new('RGB', (120, 80)).save(root / 'images' / f'{im_name}.jpg')
+    # one car: three 66-kp-indexed keypoints, two of them in the 24 subset
+    kp_dir = root / 'keypoints' / im_name
+    kp_dir.mkdir()
+    np.savetxt(kp_dir / f'{im_name}_3.txt',
+               np.array([[49.0, 10.0, 20.0],
+                         [8.0, 30.0, 25.0],
+                         [1.0, 50.0, 30.0]]), delimiter='\t')
+    # ignore mask with one white blob
+    mask = np.zeros((80, 120), dtype=np.uint8)
+    mask[60:75, 90:110] = 255
+    PIL.Image.fromarray(mask).save(root / 'ignore_mask' / f'{im_name}.jpg')
+    for split_file in ('train-list.txt', 'validation-list.txt'):
+        with open(root / 'split' / split_file, 'w') as f:
+            f.write(f'{im_name}.jpg\n')
+
+    out = tmp_path / 'out'
+    conv = ApolloToCoco(str(root), str(out))
+    conv.process()
+
+    with open(out / 'annotations' / 'apollo_keypoints_24_train.json') as f:
+        j24 = json.load(f)
+    with open(out / 'annotations' / 'apollo_keypoints_66_val.json') as f:
+        j66 = json.load(f)
+
+    assert len(j24['images']) == 1
+    cars24 = [a for a in j24['annotations'] if not a['iscrowd']]
+    crowds24 = [a for a in j24['annotations'] if a['iscrowd']]
+    assert len(cars24) == 1 and len(crowds24) >= 1
+    assert cars24[0]['num_keypoints'] == 2  # kp 1 not in the 24 subset
+    kps24 = np.asarray(cars24[0]['keypoints']).reshape(-1, 3)
+    assert len(kps24) == 24
+    assert kps24[KPS_MAPPING.index(49)][0] == 10.0
+
+    cars66 = [a for a in j66['annotations'] if not a['iscrowd']]
+    assert cars66[0]['num_keypoints'] == 3
+    assert len(np.asarray(cars66[0]['keypoints']).reshape(-1, 3)) == 66
+
+
+def test_voc_to_coco_converter(tmp_path):
+    """voc_to_coco on a synthetic part-2-style mini release produces
+    valid COCO json."""
+    import json
+    import numpy as np
+    import PIL.Image
+    from openpifpaf_tpu.plugins.animalpose.voc_to_coco import VocToCoco
+
+    root = tmp_path
+    (root / 'TrainVal' / 'VOCdevkit' / 'VOC2011'
+     / 'JPEGImages').mkdir(parents=True)
+    (root / 'PASCAL2011_animal_annotation').mkdir()
+    img_dir = root / 'animalpose_image_part2' / 'dog'
+    img_dir.mkdir(parents=True)
+    ann_dir = root / 'animalpose_anno2' / 'dog'
+    ann_dir.mkdir(parents=True)
+
+    PIL.Image.new('RGB', (100, 60)).save(img_dir / 'do42.jpg')
+    xml = '''<annotation>
+      <visible_bounds xmin="11" ymin="6" width="50" height="40"/>
+      <keypoints>
+        <keypoint name="Nose" visible="1" x="20" y="15" z="0"/>
+        <keypoint name="L_Eye" visible="1" x="25" y="12" z="0"/>
+        <keypoint name="TailBase" visible="0" x="70" y="40" z="0"/>
+      </keypoints>
+    </annotation>'''
+    with open(ann_dir / 'do42.xml', 'w') as f:
+        f.write(xml)
+    with open(root / 'train.txt', 'w') as f:
+        f.write('do42.jpg\n')
+    with open(root / 'val.txt', 'w') as f:
+        f.write('')
+
+    out = tmp_path / 'out'
+    conv = VocToCoco(str(root), str(out))
+    conv.process()
+
+    with open(out / 'annotations' / 'animal_keypoints_20_train.json') as f:
+        j = json.load(f)
+    assert len(j['images']) == 1
+    ann, = j['annotations']
+    assert ann['num_keypoints'] == 2  # invisible TailBase dropped
+    kps = np.asarray(ann['keypoints']).reshape(-1, 3)
+    assert len(kps) == 20
+    assert kps[0].tolist() == [20.0, 15.0, 2.0]  # Nose
+    assert ann['bbox'] == [10, 5, 50, 40]
+    # image copied into the split folder
+    assert (out / 'images' / 'train' / 'do42.jpg').exists()
