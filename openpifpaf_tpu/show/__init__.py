@@ -3,7 +3,7 @@
 from .painters import (KeypointPainter, DetectionPainter, CrowdPainter,
                        AnnotationPainter)
 from .canvas import Canvas, image_canvas, canvas
-from .animation_frame import AnimationFrame
+from .animation_frame import AnimationFrame, VirtualCamWriter
 from . import fields
 from .fields import white_screen, quiver, boxes, circles
 from .cli import cli, configure

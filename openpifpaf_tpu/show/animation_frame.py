@@ -13,7 +13,46 @@ except ImportError:
     matplotlib = None
     plt = None
 
+try:
+    import pyvirtualcam
+except ImportError:
+    pyvirtualcam = None
+
 LOG = logging.getLogger(__name__)
+
+
+class VirtualCamWriter:
+    """Stream rendered frames to a virtual webcam
+    (reference ``show/animation_frame.py:25-51``; requires pyvirtualcam)."""
+
+    def __init__(self, fps):
+        self.fps = fps
+        self.cam = None
+        self.canvas = None
+        self.fig = None
+
+    def setup(self, fig, _, dpi=None):  # same interface as mpl writers
+        from matplotlib.backends.backend_agg import FigureCanvasAgg
+        self.canvas = FigureCanvasAgg(fig)
+        self.fig = fig
+
+    def grab_frame(self):
+        self.canvas.draw()
+        frame = np.asarray(self.canvas.buffer_rgba())
+        if self.cam is None:
+            if pyvirtualcam is None:
+                raise ImportError(
+                    'pyvirtualcam is required for --video-output virtualcam')
+            self.cam = pyvirtualcam.Camera(
+                frame.shape[1], frame.shape[0], self.fps)
+            LOG.debug('virtual camera: %s', self.cam.device)
+        else:
+            self.cam.sleep_until_next_frame()
+        self.cam.send(frame[:, :, :3])
+
+    def finish(self):
+        if self.cam is not None:
+            self.cam.close()
 
 
 class AnimationFrame:
@@ -54,7 +93,11 @@ class AnimationFrame:
         self.ax.set_xlim(0, image.shape[1])
         self.ax.set_ylim(image.shape[0], 0)
 
-        if self.video_output:
+        if self.video_output == 'virtualcam':
+            self._video_writer = VirtualCamWriter(self.video_fps)
+            self._video_writer.setup(self.fig, self.video_output,
+                                     dpi=self.video_dpi)
+        elif self.video_output:
             self._video_writer = matplotlib.animation.writers['ffmpeg'](
                 fps=self.video_fps)
             self._video_writer.setup(self.fig, self.video_output,
