@@ -36,7 +36,13 @@ class CifCaf(Decoder):
     keypoint_threshold_nms = 0.15
     force_complete_caf_th = 0.001
     cifhr_threshold = 0.3
+    caf_score_th = 0.3
     connection_method = 'blend'
+    block_joints = False
+    seed_rescore = True
+    seed_ablation_nms = False
+    caf_rescore = True
+    ablation_independent_kp = False
     n_seeds = 256
     n_poses = 96
     n_hr_cells = 256
@@ -51,14 +57,21 @@ class CifCaf(Decoder):
 
         self.config = CifCafDecoderConfig(
             cifhr_threshold=self.cifhr_threshold,
+            cifhr_skip=not self.seed_rescore and not self.caf_rescore,
             seed_threshold=self.seed_threshold,
+            seed_rescore=self.seed_rescore,
+            seed_ablation_nms=self.seed_ablation_nms,
+            caf_score_th=self.caf_score_th,
+            caf_rescore=self.caf_rescore,
             keypoint_threshold=self.keypoint_threshold,
             keypoint_threshold_rel=self.keypoint_threshold_rel,
             reverse_match=self.reverse_match,
             connection_method=self.connection_method,
             greedy=self.greedy,
+            block_joints=self.block_joints,
             force_complete=self.force_complete,
             force_complete_caf_th=self.force_complete_caf_th,
+            nms_before_force_complete=self.nms_before_force_complete,
             nms_instance_threshold=self.instance_threshold,
             nms_keypoint_threshold=self.keypoint_threshold_nms,
             n_seeds=self.n_seeds,
@@ -72,6 +85,14 @@ class CifCaf(Decoder):
         group = parser.add_argument_group('CifCaf decoder')
         group.add_argument('--force-complete-pose', dest='force_complete',
                            default=cls.force_complete, action='store_true')
+        group.add_argument('--force-complete-caf-th', type=float,
+                           default=cls.force_complete_caf_th,
+                           help='CAF threshold for force complete. '
+                                'Set to -1 to deactivate.')
+        group.add_argument('--nms-before-force-complete',
+                           default=False, action='store_true',
+                           help='run an additional NMS before '
+                                'completing poses')
         group.add_argument('--keypoint-threshold', type=float,
                            default=cls.keypoint_threshold,
                            help='filter keypoints by score')
@@ -88,9 +109,19 @@ class CifCaf(Decoder):
                            default=cls.connection_method,
                            choices=('blend', 'max'),
                            help='connection blending (cifcaf.cpp:32-113)')
+        group.add_argument('--cifcaf-block-joints', default=False,
+                           action='store_true', help='block joints')
         assert cls.reverse_match
         group.add_argument('--no-reverse-match', dest='reverse_match',
                            default=True, action='store_false')
+        group.add_argument('--ablation-cifseeds-nms',
+                           default=False, action='store_true')
+        group.add_argument('--ablation-cifseeds-no-rescore',
+                           default=False, action='store_true')
+        group.add_argument('--ablation-caf-no-rescore',
+                           default=False, action='store_true')
+        group.add_argument('--ablation-independent-kp',
+                           default=False, action='store_true')
         group.add_argument('--decoder-seeds', type=int, default=cls.n_seeds,
                            help='static seed budget of the device decoder')
         group.add_argument('--decoder-poses', type=int, default=cls.n_poses,
@@ -99,13 +130,17 @@ class CifCaf(Decoder):
     @classmethod
     def configure(cls, args: argparse.Namespace):
         cls.force_complete = args.force_complete
+        cls.force_complete_caf_th = args.force_complete_caf_th
+        cls.nms_before_force_complete = args.nms_before_force_complete
         cls.keypoint_threshold = args.keypoint_threshold
         cls.keypoint_threshold_rel = args.keypoint_threshold_rel
         # reference: force-complete zeros the growth thresholds but keeps
-        # the NMS keypoint threshold (decoder/cifcaf.py:178-198)
+        # the NMS keypoint threshold (decoder/cifcaf.py:178-198);
+        # --ablation-independent-kp keeps the growth keypoint threshold
         cls.keypoint_threshold_nms = args.keypoint_threshold
         if args.force_complete:
-            cls.keypoint_threshold = 0.0
+            if not args.ablation_independent_kp:
+                cls.keypoint_threshold = 0.0
             cls.keypoint_threshold_rel = 0.0
             cls.keypoint_threshold_nms = 0.0
         if args.seed_threshold < cls.keypoint_threshold:
@@ -114,7 +149,12 @@ class CifCaf(Decoder):
         cls.seed_threshold = args.seed_threshold
         cls.greedy = args.greedy
         cls.connection_method = args.connection_method
+        cls.block_joints = args.cifcaf_block_joints
         cls.reverse_match = args.reverse_match
+        cls.seed_ablation_nms = args.ablation_cifseeds_nms
+        cls.seed_rescore = not args.ablation_cifseeds_no_rescore
+        cls.caf_rescore = not args.ablation_caf_no_rescore
+        cls.ablation_independent_kp = args.ablation_independent_kp
         cls.n_seeds = args.decoder_seeds
         cls.n_poses = args.decoder_poses
 

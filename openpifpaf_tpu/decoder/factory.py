@@ -30,6 +30,11 @@ def cli(parser: argparse.ArgumentParser, *, workers=None):
     group.add_argument('--profile-decoder', default=None, nargs='?',
                        const='profile_decoder.prof',
                        help='profile the decoder and write a pstats file')
+    # global CifHr / CafScored thresholds (reference factory.py:40-45)
+    group.add_argument('--cif-th', default=CifCaf.cifhr_threshold,
+                       type=float, help='cif threshold')
+    group.add_argument('--caf-th', default=CifCaf.caf_score_th,
+                       type=float, help='caf threshold')
     for decoder in DECODERS:
         decoder.cli(parser)
 
@@ -40,6 +45,9 @@ def configure(args: argparse.Namespace):
     if args.decoder_workers:
         LOG.info('decoder workers requested (%d): decoding is a batched '
                  'device op here, no worker pool needed', args.decoder_workers)
+    CifCaf.cifhr_threshold = args.cif_th
+    CifCaf.caf_score_th = args.caf_th
+    CifDet.cifhr_threshold = args.cif_th
     for decoder in DECODERS:
         decoder.configure(args)
 

@@ -36,6 +36,8 @@ class CifCafDecoderConfig:
 
     seed_threshold: float = 0.2
     seed_rescore: bool = True
+    seed_ablation_nms: bool = False  # --ablation-cifseeds-nms
+    cifhr_skip: bool = False  # both no-rescore ablations active
 
     caf_score_th: float = 0.3
     caf_cif_floor: float = 0.1
@@ -49,8 +51,10 @@ class CifCafDecoderConfig:
     #: (--connection-method, reference cifcaf.cpp:32-113)
     connection_method: str = 'blend'
     greedy: bool = False
+    block_joints: bool = False  # --cifcaf-block-joints
     force_complete: bool = False
     force_complete_caf_th: float = 0.001
+    nms_before_force_complete: bool = False
 
     nms_suppression: float = 1e-5
     nms_instance_threshold: float = 0.15
@@ -82,19 +86,26 @@ def decode_cifcaf_single(cif, caf, initial_poses=None, *, stride, skeleton,
     _, _, h, w = cif.shape
     hr_shape = ((h - 1) * stride + 1, (w - 1) * stride + 1)
 
-    hr = cifhr_mod.cif_hr(
-        cif, stride,
-        threshold=cfg.cifhr_threshold,
-        min_scale=cfg.cifhr_min_scale,
-        neighbors=cfg.cifhr_neighbors,
-        n_cells=cfg.n_hr_cells,
-        impl=cfg.cifhr_impl)
+    if cfg.cifhr_skip:
+        # both rescore ablations active: the reference skips CifHr
+        # accumulation entirely (decoder/cifcaf.py:210-211)
+        n_fields = cif.shape[0]
+        hr = jnp.zeros((n_fields,) + hr_shape, jnp.float32)
+    else:
+        hr = cifhr_mod.cif_hr(
+            cif, stride,
+            threshold=cfg.cifhr_threshold,
+            min_scale=cfg.cifhr_min_scale,
+            neighbors=cfg.cifhr_neighbors,
+            n_cells=cfg.n_hr_cells,
+            impl=cfg.cifhr_impl)
 
     seeds = seeds_mod.cif_seeds(
         cif, hr, stride,
         threshold=cfg.seed_threshold,
         n_seeds=cfg.n_seeds,
-        rescore=cfg.seed_rescore)
+        rescore=cfg.seed_rescore,
+        nms=cfg.seed_ablation_nms)
 
     caf_cands = caf_scored_mod.caf_scored(
         caf, hr, stride, skeleton,
@@ -108,7 +119,8 @@ def decode_cifcaf_single(cif, caf, initial_poses=None, *, stride, skeleton,
         keypoint_threshold_rel=cfg.keypoint_threshold_rel,
         reverse_match=cfg.reverse_match,
         filter_sigmas=cfg.filter_sigmas,
-        greedy=cfg.greedy)
+        greedy=cfg.greedy,
+        block_joints=cfg.block_joints)
 
     initial_grown = None
     seed_occ0 = None
@@ -137,6 +149,17 @@ def decode_cifcaf_single(cif, caf, initial_poses=None, *, stride, skeleton,
         poses = jnp.concatenate([initial_grown, poses], axis=0)
 
     if cfg.force_complete:
+        if cfg.nms_before_force_complete:
+            # --nms-before-force-complete: an additional NMS pass on the
+            # grown poses before completion (decoder/cifcaf.py:141-142)
+            poses, pre_keep, _ = nms_mod.nms_keypoints(
+                poses, hr_shape,
+                suppression=cfg.nms_suppression,
+                instance_threshold=cfg.nms_instance_threshold,
+                keypoint_threshold=cfg.nms_keypoint_threshold,
+                occupancy_reduction=cfg.occupancy_reduction,
+                occupancy_min_scale=cfg.occupancy_min_scale)
+            poses = jnp.where(pre_keep[:, None, None], poses, 0.0)
         # second grow pass on low-threshold candidates, no reverse match,
         # wide filter window (cifcaf.cpp:414-426), then flood fill
         caf_low = caf_scored_mod.caf_scored(

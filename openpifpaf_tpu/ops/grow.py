@@ -152,12 +152,16 @@ def connection_value(caf, graph_arrays, pose, d, *, keypoint_threshold=0.15,
 def grow_from_pose(caf, graph: SkeletonGraph, pose0, *,
                    keypoint_threshold=0.15, keypoint_threshold_rel=0.5,
                    reverse_match=True, filter_sigmas=1.0, greedy=False,
-                   only_max=False):
+                   only_max=False, block_joints=False):
     """Grow a (partially filled) pose to completion.
 
     pose0: (n_keypoints, 4) [v, x, y, s]; joints with v > 0 are fixed and
     form the initial frontier (supports multi-joint initial annotations for
     tracking and force-complete, ``cifcaf.cpp:177-201``).
+
+    block_joints (--cifcaf-block-joints): unreachable frontier targets are
+    marked with v=1e-5 at zero coordinates (cifcaf.cpp:291-295; here
+    applied at convergence instead of in priority-queue pop order).
     """
     n_kp = graph.n_keypoints
     n_dir = 2 * graph.n_edges
@@ -225,7 +229,8 @@ def grow_from_pose(caf, graph: SkeletonGraph, pose0, *,
         state0 = (pose0, jnp.zeros((n_dir,), dtype=bool), jnp.int32(0),
                   jnp.array(True))
         pose, _, _, _ = jax.lax.while_loop(cond, body, state0)
-        return pose
+        return _apply_block_joints(pose, dir_start, dir_end,
+                                   n_kp) if block_joints else pose
 
     # non-greedy: evaluate-all / commit-global-argmax fixpoint
     cache0 = jnp.zeros((n_dir + 1, 4))
@@ -260,7 +265,16 @@ def grow_from_pose(caf, graph: SkeletonGraph, pose0, *,
 
     state0 = (pose0, cache0, jnp.int32(0), jnp.array(True))
     pose, _, _, _ = jax.lax.while_loop(cond, body, state0)
-    return pose
+    return _apply_block_joints(pose, dir_start, dir_end,
+                               n_kp) if block_joints else pose
+
+
+def _apply_block_joints(pose, dir_start, dir_end, n_kp):
+    marks = jnp.zeros((n_kp,), jnp.int32).at[dir_end].add(
+        (pose[dir_start, 0] > 0.0).astype(jnp.int32))
+    blocked = (marks > 0) & (pose[:, 0] == 0.0)
+    return jnp.where(blocked[:, None],
+                     jnp.array([1e-5, 0.0, 0.0, 0.0]), pose)
 
 
 def grow_pose(caf, graph: SkeletonGraph, seed_f, seed_v, seed_x, seed_y, seed_s,

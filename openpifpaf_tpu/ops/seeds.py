@@ -13,7 +13,7 @@ from .cifhr import cifhr_lookup
 
 
 def cif_seeds(cif, hr, stride, *, threshold=0.2, n_seeds=256,
-              rescore=True, seed_mask=None):
+              rescore=True, seed_mask=None, nms=False):
     """Extract top-``n_seeds`` seeds.
 
     cif: (F, 5, H, W); hr: (F, HS, WS).
@@ -31,6 +31,14 @@ def cif_seeds(cif, hr, stride, *, threshold=0.2, n_seeds=256,
     mask = c >= threshold
     if seed_mask is not None:
         mask = mask & jnp.asarray(seed_mask, dtype=bool)[:, None]
+    if nms:
+        # --ablation-cifseeds-nms: keep only cells that are 3x3 local
+        # maxima of the confidence plane (cif_seeds.cpp:36-51)
+        pooled = jax.lax.reduce_window(
+            cif[:, 1], -jnp.inf, jax.lax.max,
+            window_dimensions=(1, 3, 3), window_strides=(1, 1, 1),
+            padding='SAME')
+        mask = mask & (cif[:, 1] >= pooled).reshape(n_fields, hw)
 
     if rescore:
         f_idx = jnp.arange(n_fields, dtype=jnp.int32)[:, None]
