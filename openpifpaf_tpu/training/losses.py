@@ -23,6 +23,24 @@ import jax.numpy as jnp
 from .. import headmeta
 
 
+@dataclasses.dataclass
+class ComponentConfig:
+    """CLI-configurable loss component constants
+    (reference components.py Bce/Regression/Scale classmethods)."""
+    focal_alpha: float = 0.5
+    focal_gamma: float = 1.0
+    bce_soft_clamp: float = 5.0
+    bce_background_clamp: float = -15.0
+    regression_soft_clamp: float = 5.0
+    b_scale: float = 1.0
+    scale_log: bool = False
+    scale_soft_clamp: float = 5.0
+
+
+#: mutated by Factory.configure; read by CompositeLoss at trace time
+COMPONENT_CONFIG = ComponentConfig()
+
+
 def soft_clamp(x, max_value=5.0):
     """Log-damped clamp (components.py:10-23)."""
     return jnp.where(x > max_value,
@@ -125,14 +143,22 @@ def regression_loss(x_all, t_all, *, xi, ti, weights=None,
 
 
 def scale_loss(x_all, t_all, *, xi, ti, weights=None, b=1.0,
-               relative_eps=0.1, soft_clamp_value=5.0):
+               relative_eps=0.1, soft_clamp_value=5.0, log_space=False):
     x = x_all[..., xi[0]]
     t = t_all[..., ti[0]]
     mask = jnp.isfinite(t)
-    t_safe = jnp.where(mask, t, 0.0)
+    t_safe = jnp.where(mask, t, 1.0 if log_space else 0.0)
 
-    d = jnp.abs(jax.nn.softplus(x) - t_safe)
-    d = d / (b * (relative_eps + t_safe))
+    if log_space:
+        # --scale-log: absolute log-space difference (components.py:187-199
+        # with relative=False)
+        sp = jax.nn.softplus(x)
+        d = jnp.abs(jnp.log(jnp.maximum(sp, 1e-10))
+                    - jnp.log(jnp.maximum(t_safe, 1e-10)))
+        d = d / b
+    else:
+        d = jnp.abs(jax.nn.softplus(x) - t_safe)
+        d = d / (b * (relative_eps + t_safe))
     if soft_clamp_value:
         d = soft_clamp(d, soft_clamp_value)
     l = smooth_l1(d)
@@ -176,9 +202,13 @@ class CompositeLoss:
 
         nv = meta.n_vectors
         ns = meta.n_scales
+        cc = COMPONENT_CONFIG
         losses = {}
         losses[self.field_names[0]] = bce_loss(
-            x, t, xi=[1], ti=[0], weights=weights) / batch_size
+            x, t, xi=[1], ti=[0], weights=weights,
+            focal_alpha=cc.focal_alpha, focal_gamma=cc.focal_gamma,
+            soft_clamp_value=cc.bce_soft_clamp,
+            background_clamp=cc.bce_background_clamp) / batch_size
 
         if nv > 0:
             if nv <= ns:
@@ -188,7 +218,8 @@ class CompositeLoss:
                         xi=[2 + vi * 2, 2 + vi * 2 + 1, 2 + nv * 2 + vi],
                         ti=[1 + vi * 2, 1 + vi * 2 + 1, 1 + nv * 2 + vi,
                             1 + nv * 3 + vi],
-                        weights=weights)
+                        weights=weights,
+                        soft_clamp_value=cc.regression_soft_clamp)
                     for vi in range(nv))
             elif nv == 2 and ns == 0:
                 # detection: scale from w/h channels (composite.py:51-73)
@@ -198,6 +229,7 @@ class CompositeLoss:
                         xi=[2 + vi * 2, 2 + vi * 2 + 1, 2 + 2, 2 + 3],
                         ti=[1 + vi * 2, 1 + vi * 2 + 1, 1 + 4 + vi, 1 + 2, 1 + 3],
                         weights=weights,
+                        soft_clamp_value=cc.regression_soft_clamp,
                         sigma_from_scale=0.1, scale_from_wh=True)
                     for vi in range(nv))
             else:
@@ -211,7 +243,9 @@ class CompositeLoss:
                     x, t,
                     xi=[2 + nv * 2 + si],
                     ti=[1 + nv * 3 + si],
-                    weights=weights)
+                    weights=weights,
+                    b=cc.b_scale, log_space=cc.scale_log,
+                    soft_clamp_value=cc.scale_soft_clamp)
                 for si in range(ns)) / batch_size
 
         return losses
@@ -360,6 +394,7 @@ class Factory:
     component_lambdas = None
     auto_tune_mtl = False
     auto_tune_mtl_variance = False
+    task_sparsity_weight = 0.0
 
     @classmethod
     def cli(cls, parser):
@@ -377,6 +412,34 @@ class Factory:
                            action='store_true',
                            help='[experimental] use loss-variance '
                                 'normalization for the multitask weights')
+        group.add_argument('--task-sparsity-weight',
+                           default=cls.task_sparsity_weight, type=float,
+                           help='L1 sparsity penalty on head conv weights')
+
+        cc = COMPONENT_CONFIG
+        group = parser.add_argument_group('Bce Loss')
+        group.add_argument('--focal-alpha', default=cc.focal_alpha,
+                           type=float, help='scale parameter of focal loss')
+        group.add_argument('--focal-gamma', default=cc.focal_gamma,
+                           type=float,
+                           help='use focal loss with the given gamma')
+        group.add_argument('--bce-soft-clamp', default=cc.bce_soft_clamp,
+                           type=float, help='soft clamp for BCE')
+        group.add_argument('--bce-background-clamp',
+                           default=cc.bce_background_clamp, type=float,
+                           help='background clamp for BCE')
+
+        group = parser.add_argument_group('Scale Loss')
+        group.add_argument('--b-scale', default=cc.b_scale, type=float,
+                           help='Laplace width b for scale loss')
+        group.add_argument('--scale-log', default=False, action='store_true')
+        group.add_argument('--scale-soft-clamp', default=cc.scale_soft_clamp,
+                           type=float, help='soft clamp for scale')
+
+        group = parser.add_argument_group('Regression loss')
+        group.add_argument('--regression-soft-clamp',
+                           default=cc.regression_soft_clamp,
+                           type=float, help='soft clamp for regression')
 
     @classmethod
     def configure(cls, args):
@@ -384,6 +447,17 @@ class Factory:
         cls.component_lambdas = args.component_lambdas
         cls.auto_tune_mtl = args.auto_tune_mtl
         cls.auto_tune_mtl_variance = args.auto_tune_mtl_variance
+        cls.task_sparsity_weight = args.task_sparsity_weight
+
+        cc = COMPONENT_CONFIG
+        cc.focal_alpha = args.focal_alpha
+        cc.focal_gamma = args.focal_gamma
+        cc.bce_soft_clamp = args.bce_soft_clamp
+        cc.bce_background_clamp = args.bce_background_clamp
+        cc.b_scale = args.b_scale
+        cc.scale_log = args.scale_log
+        cc.scale_soft_clamp = args.scale_soft_clamp
+        cc.regression_soft_clamp = args.regression_soft_clamp
 
     def factory(self, head_metas):
         losses = [LOSSES[type(meta)](meta) for meta in head_metas]
@@ -398,7 +472,12 @@ class Factory:
             ]
 
         if self.auto_tune_mtl:
-            return MultiHeadLossAutoTuneKendall(losses, component_lambdas)
-        if self.auto_tune_mtl_variance:
-            return MultiHeadLossAutoTuneVariance(losses, component_lambdas)
-        return MultiHeadLoss(losses, component_lambdas)
+            loss = MultiHeadLossAutoTuneKendall(losses, component_lambdas)
+        elif self.auto_tune_mtl_variance:
+            loss = MultiHeadLossAutoTuneVariance(losses, component_lambdas)
+        else:
+            loss = MultiHeadLoss(losses, component_lambdas)
+        # L1 head-sparsity penalty added by the trainer on head conv
+        # kernels (reference multi_head.py:130-137)
+        loss.task_sparsity_weight = self.task_sparsity_weight
+        return loss

@@ -77,10 +77,25 @@ def _bf16_split_forward(model, model_params, batch_stats, images, *,
     return outputs, new_batch_stats
 
 
+def _head_sparsity_penalty(model_params):
+    """L1 sparsity on head conv kernels: max over input channels,
+    clamped, summed (reference multi_head.py:130-137)."""
+    total = 0.0
+    for name, tree in model_params.items():
+        if not name.startswith('head_nets'):
+            continue
+        for leaf in jax.tree_util.tree_leaves(tree):
+            if leaf.ndim == 4:  # (kh, kw, cin, cout) conv kernel
+                total = total + jnp.sum(
+                    jnp.clip(jnp.max(jnp.abs(leaf), axis=2), 1e-6, None))
+    return total
+
+
 def build_train_step(model, loss_fn, optimizer, schedule, *,
                      clip_grad_norm=0.0, clip_grad_value=0.0, ema_decay=0.01,
                      cross_talk=0.0, stride_apply=1, fix_bn=False,
-                     bf16=False, mesh: Optional[Mesh] = None):
+                     bf16=False, task_sparsity_weight=0.0,
+                     mesh: Optional[Mesh] = None):
     """Returns jitted fn(state, images, targets) -> (state, loss, head_losses).
 
     images: (B, H, W, 3); targets: tuple of per-head target arrays
@@ -116,6 +131,9 @@ def build_train_step(model, loss_fn, optimizer, schedule, *,
                 new_batch_stats = new_model_state['batch_stats']
             total, head_losses, new_loss_state = loss_fn(
                 outputs, targets, opt_params['loss'], state.loss_state)
+            if task_sparsity_weight:
+                total = total + task_sparsity_weight * \
+                    _head_sparsity_penalty(opt_params['model'])
             return total, (head_losses, new_batch_stats,
                            new_loss_state)
 
@@ -285,6 +303,8 @@ class Trainer:
             stride_apply=self.stride_apply,
             fix_bn=fix_bn,
             bf16=self.bf16 and hasattr(self.model, 'base_net'),
+            task_sparsity_weight=getattr(self.loss_fn,
+                                         'task_sparsity_weight', 0.0),
             mesh=self.mesh)
         self.val_step = build_val_step(
             self.model, self.loss_fn, fix_bn=fix_bn, mesh=self.mesh)

@@ -1,5 +1,7 @@
 """Loss component tests (reference ``tests/test_scale_loss.py`` et al.)."""
 
+import dataclasses
+
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -110,3 +112,77 @@ def test_composite_loss_gradients_finite():
     g_cif, g_caf = jax.grad(total_loss, argnums=(0, 1))(cif_x, caf_x)
     assert bool(jnp.all(jnp.isfinite(g_cif)))
     assert bool(jnp.all(jnp.isfinite(g_caf)))
+
+
+def test_component_config_flags():
+    """Loss component CLI flags (reference components.py cli/configure)."""
+    import argparse
+    from openpifpaf_tpu.training import losses
+
+    saved = dataclasses.replace(losses.COMPONENT_CONFIG)
+    saved_tsw = losses.Factory.task_sparsity_weight
+    try:
+        parser = argparse.ArgumentParser()
+        losses.Factory.cli(parser)
+        args = parser.parse_args([
+            '--focal-gamma', '2.0', '--focal-alpha', '0.25',
+            '--bce-background-clamp', '-10',
+            '--b-scale', '3.0', '--scale-log',
+            '--regression-soft-clamp', '2.0',
+            '--task-sparsity-weight', '0.1'])
+        losses.Factory.configure(args)
+        cc = losses.COMPONENT_CONFIG
+        assert cc.focal_gamma == 2.0 and cc.focal_alpha == 0.25
+        assert cc.bce_background_clamp == -10.0
+        assert cc.b_scale == 3.0 and cc.scale_log
+        assert cc.regression_soft_clamp == 2.0
+        assert losses.Factory.task_sparsity_weight == 0.1
+
+        import openpifpaf_tpu
+        datamodule = openpifpaf_tpu.datasets.factory('cocokp')
+        loss_fn = losses.Factory().factory(datamodule.head_metas)
+        assert loss_fn.task_sparsity_weight == 0.1
+
+        # loss values still finite with the modified constants
+        rng = np.random.RandomState(0)
+        x = [jnp.asarray(rng.randn(1, 17, 5, 5, 7).astype(np.float32)),
+             jnp.asarray(rng.randn(1, 19, 9, 5, 7).astype(np.float32))]
+        t = [jnp.zeros((1, 17, 5, 5, 7), jnp.float32),
+             jnp.zeros((1, 19, 9, 5, 7), jnp.float32)]
+        total, head_losses, _ = loss_fn(x, t, loss_fn.init_params(),
+                                        loss_fn.init_state())
+        assert np.isfinite(float(total))
+    finally:
+        for f in dataclasses.fields(saved):
+            setattr(losses.COMPONENT_CONFIG, f.name, getattr(saved, f.name))
+        losses.Factory.task_sparsity_weight = saved_tsw
+
+
+def test_scale_log_space():
+    """--scale-log uses log-space absolute difference."""
+    from openpifpaf_tpu.training.losses import scale_loss
+
+    x = jnp.full((1, 1, 1, 1, 3), 2.0)
+    t = jnp.full((1, 1, 1, 1, 3), 5.0)
+    l_lin = float(scale_loss(x, t, xi=[0], ti=[0]))
+    l_log = float(scale_loss(x, t, xi=[0], ti=[0], log_space=True))
+    assert l_lin != l_log
+    import math
+    sp = math.log1p(math.exp(2.0))
+    d = abs(math.log(sp) - math.log(5.0))
+    expected = 0.5 * d * d if d < 1 else d - 0.5
+    np.testing.assert_allclose(l_log, expected, rtol=1e-5)
+
+
+def test_task_sparsity_penalty():
+    """Sparsity penalty targets head conv kernels only."""
+    from openpifpaf_tpu.training.trainer import _head_sparsity_penalty
+
+    params = {
+        'base_net': {'Conv_0': {'kernel': jnp.ones((3, 3, 4, 8))}},
+        'head_nets_0': {'Conv_0': {'kernel': jnp.full((1, 1, 4, 10), 2.0),
+                                   'bias': jnp.zeros((10,))}},
+    }
+    p = float(_head_sparsity_penalty(params))
+    # max over cin of |2.0| = 2.0, summed over (1, 1, 10) = 20
+    np.testing.assert_allclose(p, 20.0, rtol=1e-6)
