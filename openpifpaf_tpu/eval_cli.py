@@ -20,7 +20,9 @@ LOG = logging.getLogger(__name__)
 
 class Evaluator:
     skip_epoch0 = True
+    skip_existing = True
     show_final_image = False
+    show_final_ground_truth = False
     n_images = None
     loader_warmup = 3.0
     bf16 = False
@@ -34,9 +36,13 @@ class Evaluator:
 
     def accumulate(self, predictor, metrics):
         prediction_loader = predictor.dataloader(self.data_loader)
+        if self.loader_warmup:
+            LOG.info('Data loader warmup (%.1fs) ...', self.loader_warmup)
+            time.sleep(self.loader_warmup)
         total_start = time.perf_counter()
         loop_start = time.perf_counter()
 
+        last = None
         for image_i, (pred, gt_anns, image_meta) in enumerate(prediction_loader):
             LOG.info('image %d / %d, last loop: %.3fs, images per second=%.1f',
                      image_i, len(self.data_loader),
@@ -45,11 +51,31 @@ class Evaluator:
             loop_start = time.perf_counter()
             for metric in metrics:
                 metric.accumulate(pred, image_meta, ground_truth=gt_anns)
+            last = (pred, gt_anns, image_meta)
             if self.n_images is not None and image_i >= self.n_images - 1:
                 break
 
         total_time = time.perf_counter() - total_start
+        if self.show_final_image and last is not None:
+            self._show_final(*last)
         return total_time
+
+    def _show_final(self, pred, gt_anns, image_meta):
+        """--eval-show-final-image [-ground-truth]
+        (reference eval.py:128-145)."""
+        import PIL.Image
+        from . import show
+
+        with PIL.Image.open(image_meta['local_file_path']) as f:
+            image = f.convert('RGB')
+        annotation_painter = show.AnnotationPainter()
+        out_name = f'{self.dataset_name}-eval-final-image.png'
+        with show.image_canvas(image, fig_file=out_name, show=False) as ax:
+            annotation_painter.annotations(ax, pred)
+            if self.show_final_ground_truth:
+                annotation_painter.annotations(
+                    ax, gt_anns, color='grey')
+        LOG.info('final image written: %s', out_name)
 
     def evaluate(self, output: str, *, checkpoint=None, model=None,
                  variables=None, write_predictions=False):
@@ -111,13 +137,30 @@ def cli():
     parser.add_argument('--checkpoint', default=None)
     parser.add_argument('--batch-size', default=1, type=int)
     parser.add_argument('--loader-workers', default=0, type=int)
-    parser.add_argument('--n-images', default=None, type=int)
+    parser.add_argument('--n-images', '--eval-n-images', dest='n_images',
+                        default=None, type=int)
+    parser.add_argument('--eval-loader-warmup',
+                        default=Evaluator.loader_warmup, type=float)
+    parser.add_argument('--eval-show-final-image', default=False,
+                        action='store_true',
+                        help='show the final image with predictions')
+    parser.add_argument('--eval-show-final-ground-truth', default=False,
+                        action='store_true',
+                        help='show the final image with ground truth '
+                             'annotations')
+    parser.add_argument('--eval-no-skip-epoch0', dest='eval_skip_epoch0',
+                        default=True, action='store_false',
+                        help='do not skip epoch 0 in --watch')
+    parser.add_argument('--eval-no-skip-existing', dest='eval_skip_existing',
+                        default=True, action='store_false',
+                        help='re-evaluate existing stats files in --watch')
     parser.add_argument('--bf16', default=False, action='store_true',
                         help='run the backbone in bfloat16')
     parser.add_argument('--hflip-tta', default=False, action='store_true',
                         help='average fields with the mirrored-image '
                              'forward pass')
-    parser.add_argument('--write-predictions', default=False,
+    parser.add_argument('--write-predictions', '--eval-write-predictions',
+                        dest='write_predictions', default=False,
                         action='store_true')
     parser.add_argument('--watch', default=False, nargs='?', const=60,
                         type=int,
@@ -143,6 +186,12 @@ def main():
         dm.batch_size = args.batch_size
         dm.loader_workers = args.loader_workers
 
+    Evaluator.loader_warmup = args.eval_loader_warmup
+    Evaluator.show_final_image = args.eval_show_final_image
+    Evaluator.show_final_ground_truth = args.eval_show_final_ground_truth
+    Evaluator.skip_epoch0 = args.eval_skip_epoch0
+    Evaluator.skip_existing = args.eval_skip_existing
+
     evaluator = Evaluator(args.dataset)
     evaluator.n_images = args.n_images
     evaluator.bf16 = args.bf16
@@ -163,6 +212,14 @@ def main():
                 if checkpoint in evaluated:
                     continue
                 if not os.path.exists(checkpoint + '.arrays'):
+                    continue
+                if (Evaluator.skip_epoch0
+                        and checkpoint.endswith('.epoch000')):
+                    continue
+                if (Evaluator.skip_existing and os.path.exists(
+                        checkpoint + '.eval-' + args.dataset
+                        + '.stats.json')):
+                    evaluated.add(checkpoint)
                     continue
                 LOG.info('watch: evaluating %s', checkpoint)
                 evaluator = Evaluator(args.dataset)

@@ -53,8 +53,8 @@ class MeanPixelError(Base):
                     continue
                 i = np.argmin(np.linalg.norm(preds - gt, axis=1))
                 dist = preds[i:i + 1] - gt
-                d = float(np.linalg.norm(dist, axis=1))
-                d_scaled = float(np.linalg.norm(dist * scale, axis=1))
+                d = float(np.linalg.norm(dist, axis=1)[0])
+                d_scaled = float(np.linalg.norm(dist * scale, axis=1)[0])
 
                 # prediction correct if error less than 10 pixels
                 if d < 10:

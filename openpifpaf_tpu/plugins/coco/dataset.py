@@ -117,6 +117,8 @@ class CocoDataset:
             'dataset_index': index,
             'image_id': image_id,
             'file_name': image_info['file_name'],
+            'local_file_path': os.path.join(self.image_dir,
+                                            image_info['file_name']),
         }
 
         if self.preprocess is not None:

@@ -73,9 +73,11 @@ class KeypointPainter:
 
         self._draw_skeleton(ax, x, y, v, skeleton=ann.skeleton, color=color)
 
-        if text is None:
+        if text is None and ann.score:
+            # GT annotations carry fixed_score = '' -> no score text
+            # (reference painters.py:33-34)
             text = f'{ann.score:.0%}'
-        if np.any(v > 0):
+        if text and np.any(v > 0):
             ax.text(np.min(x[v > 0]), np.min(y[v > 0]) - 2, text,
                     fontsize=self.font_size, color=self.text_color,
                     bbox={'facecolor': color, 'alpha': self.textbox_alpha,
