@@ -19,6 +19,14 @@ except ImportError:
 #: this module.
 SAVE_ALL = {'dir': None, 'count': 0}
 
+#: canvas rendering config (reference show/canvas.py Canvas statics),
+#: mutated by show.cli configure
+CONFIG = {
+    'out_file_extension': 'jpeg',  # --show-file-extension
+    'image_min_dpi': 50.0,         # --image-min-dpi
+    'white_overlay': False,        # --white-overlay
+}
+
 
 def _auto_fig_file():
     if SAVE_ALL['dir'] is None:
@@ -26,7 +34,16 @@ def _auto_fig_file():
     import os
     os.makedirs(SAVE_ALL['dir'], exist_ok=True)
     SAVE_ALL['count'] += 1
-    return os.path.join(SAVE_ALL['dir'], f"{SAVE_ALL['count']:04d}.jpeg")
+    return os.path.join(
+        SAVE_ALL['dir'],
+        f"{SAVE_ALL['count']:04d}.{CONFIG['out_file_extension']}")
+
+
+def white_screen(ax, alpha=0.9):
+    ax.set_axis_off()
+    ax.add_patch(plt.Rectangle(
+        (0, 0), 1, 1, transform=ax.transAxes, alpha=alpha,
+        facecolor='white'))
 
 
 @contextmanager
@@ -69,9 +86,13 @@ def image_canvas(image, fig_file=None, show=True, dpi_factor=1.0,
     ax.set_ylim(image.shape[0], 0)
     fig.add_axes(ax)
     ax.imshow(image)
+    if CONFIG['white_overlay']:
+        white_screen(ax, CONFIG['white_overlay'])
     yield ax
     if fig_file:
-        fig.savefig(fig_file, dpi=image.shape[1] / kwargs['figsize'][0] * dpi_factor)
+        dpi = max(CONFIG['image_min_dpi'],
+                  image.shape[1] / kwargs['figsize'][0] * dpi_factor)
+        fig.savefig(fig_file, dpi=dpi)
     if show:
         plt.show()
     plt.close(fig)

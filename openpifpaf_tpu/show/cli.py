@@ -16,6 +16,32 @@ def cli(parser):
                        help='image height for matplotlib (in inches)')
     group.add_argument('--image-dpi-factor', default=1.0, type=float,
                        help='increase dpi of output image by this factor')
+    group.add_argument('--image-min-dpi', default=50.0, type=float,
+                       help='minimum dpi of image output')
+    group.add_argument('--show-file-extension', default='jpeg',
+                       help='default file extension')
+    group.add_argument('--textbox-alpha',
+                       default=KeypointPainter.textbox_alpha, type=float,
+                       help='transparency of annotation text box')
+    group.add_argument('--text-color', default=KeypointPainter.text_color,
+                       help='annotation text color')
+    group.add_argument('--font-size', default=KeypointPainter.font_size,
+                       type=int, help='annotation font size')
+    group.add_argument('--monocolor-connections', default=False,
+                       action='store_true',
+                       help='use a single color per instance')
+    group.add_argument('--line-width', default=None, type=int,
+                       help='skeleton line width')
+    group.add_argument('--skeleton-solid-threshold',
+                       default=KeypointPainter.solid_threshold, type=float,
+                       help='above this threshold, connections are drawn '
+                            'with solid lines')
+    group.add_argument('--white-overlay',
+                       nargs='?', default=False, const=0.95, type=float,
+                       help='increase contrast to annotations by making '
+                            'image whiter')
+    group.add_argument('--show-frontier-order', default=False,
+                       action='store_true')
     group.add_argument('--show-kp-labels', default=False, action='store_true',
                        help='show keypoint labels')
     group.add_argument('--show-box', default=False, action='store_true')
@@ -34,8 +60,18 @@ def cli(parser):
 
 
 def configure(args):
-    from .canvas import SAVE_ALL
+    from .canvas import CONFIG, SAVE_ALL
     SAVE_ALL['dir'] = args.save_all
+    CONFIG['image_min_dpi'] = args.image_min_dpi
+    CONFIG['out_file_extension'] = args.show_file_extension
+    CONFIG['white_overlay'] = args.white_overlay
+    KeypointPainter.textbox_alpha = args.textbox_alpha
+    KeypointPainter.text_color = args.text_color
+    KeypointPainter.font_size = args.font_size
+    KeypointPainter.monocolor_connections = args.monocolor_connections
+    KeypointPainter.line_width = args.line_width
+    KeypointPainter.solid_threshold = args.skeleton_solid_threshold
+    KeypointPainter.show_frontier_order = args.show_frontier_order
     KeypointPainter.show_box = args.show_box
     KeypointPainter.show_joint_scales = args.show_joint_scales
     KeypointPainter.show_joint_confidences = args.show_joint_confidences
