@@ -16,6 +16,12 @@ LOG = logging.getLogger(__name__)
 #: named ablation suites (reference benchmark.py:215-250): each entry is a
 #: (suffix, extra eval args) pair applied to every checkpoint
 ABLATION_SUITES = {
+    'iccv2019': [
+        ('.singlescale-max', ['--connection-method=max']),
+        ('.singlescale', ['--connection-method=blend']),
+        ('.multiscale', ['--connection-method=blend',
+                         '--long-edge=961', '--multi-scale']),
+    ],
     'v012': [
         ('.greedy', ['--greedy']),
         ('.greedy.dense', ['--greedy', '--cocokp-with-dense',
@@ -24,9 +30,38 @@ ABLATION_SUITES = {
         ('.dense.hierarchy', ['--cocokp-with-dense',
                               '--dense-connections=0.1']),
     ],
+    'v012-1': [
+        ('.greedy', ['--greedy']),
+        ('.no-reverse', ['--no-reverse-match']),
+        ('.greedy.no-reverse', ['--greedy', '--no-reverse-match']),
+        ('.greedy.dense', ['--greedy', '--cocokp-with-dense',
+                           '--dense-connections']),
+        ('.dense', ['--cocokp-with-dense', '--dense-connections']),
+    ],
+    'v012-2': [
+        ('.cifnr', ['--ablation-cifseeds-no-rescore']),
+        ('.cifnr.nms', ['--ablation-cifseeds-no-rescore',
+                        '--ablation-cifseeds-nms']),
+        ('.cafnr', ['--ablation-caf-no-rescore']),
+        ('.nr.nms', ['--ablation-cifseeds-no-rescore',
+                     '--ablation-cifseeds-nms',
+                     '--ablation-caf-no-rescore']),
+    ],
+    'v012-4': [
+        ('.indkp', ['--ablation-independent-kp',
+                    '--keypoint-threshold=0.2']),
+    ],
     'force-complete': [
         ('.force-complete', ['--force-complete-pose']),
     ],
+}
+
+#: reference-compatible flag spellings -> suite names
+SUITE_FLAG_ALIASES = {
+    'iccv2019_ablation': 'iccv2019',
+    'v012_ablation_1': 'v012-1',
+    'v012_ablation_2': 'v012-2',
+    'v012_ablation_4': 'v012-4',
 }
 
 
@@ -111,6 +146,17 @@ def main():
                         choices=sorted(ABLATION_SUITES),
                         help='run a named ablation suite on top of the '
                              'default configuration')
+    parser.add_argument('--iccv2019-ablation', default=False,
+                        action='store_true')
+    parser.add_argument('--v012-ablation-1', default=False,
+                        action='store_true')
+    parser.add_argument('--v012-ablation-2', default=False,
+                        action='store_true')
+    parser.add_argument('--v012-ablation-3', default=False,
+                        action='store_true',
+                        help='force-complete on/off comparison')
+    parser.add_argument('--v012-ablation-4', default=False,
+                        action='store_true')
     args, eval_args = parser.parse_known_args()
 
     logging.basicConfig(level=logging.INFO)
@@ -125,6 +171,22 @@ def main():
     if args.suite:
         ablations += [(suffix, eval_args + extra)
                       for suffix, extra in ABLATION_SUITES[args.suite]]
+    for flag, suite in SUITE_FLAG_ALIASES.items():
+        if getattr(args, flag):
+            ablations += [(suffix, eval_args + extra)
+                          for suffix, extra in ABLATION_SUITES[suite]]
+    if args.v012_ablation_3:
+        # force-complete stripped from the arg list (reference
+        # benchmark.py:255-262)
+        eval_args_nofc = [a for a in eval_args
+                          if not a.startswith('--force-complete')]
+        ablations += [
+            ('.nofc', eval_args_nofc),
+            ('.nr.nms.nofc', eval_args_nofc + [
+                '--ablation-cifseeds-no-rescore',
+                '--ablation-cifseeds-nms',
+                '--ablation-caf-no-rescore']),
+        ]
     for suffix, ablation_args in ablations:
         Benchmark(args.checkpoints, args.output + suffix,
                   reference=args.reference,

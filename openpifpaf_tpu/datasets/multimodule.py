@@ -23,6 +23,10 @@ class ConcatenatedLists:
 
 
 class MultiDataModule(DataModule):
+    #: --dataset-weights: round-robin sampling weights per dataset
+    #: (reference datasets/factory.py:27-28)
+    weights = None
+
     def __init__(self, datamodules):
         self.datamodules = datamodules
         self.head_metas = list(ConcatenatedLists(
@@ -34,12 +38,12 @@ class MultiDataModule(DataModule):
     def train_loader(self):
         from .multiloader import MultiLoader
         return MultiLoader([dm.train_loader() for dm in self.datamodules],
-                           len(self.head_metas))
+                           len(self.head_metas), weights=self.weights)
 
     def val_loader(self):
         from .multiloader import MultiLoader
         return MultiLoader([dm.val_loader() for dm in self.datamodules],
-                           len(self.head_metas))
+                           len(self.head_metas), weights=self.weights)
 
     def eval_loader(self):
         raise NotImplementedError('use the individual datamodules for eval')

@@ -21,13 +21,16 @@ def read_log(path):
     return entries
 
 
-def plot_logs(log_files, *, output_prefix=None, show=False):
+def plot_logs(log_files, *, output_prefix=None, show=False,
+              first_epoch=1e-6, share_y=True, show_mtl_sigmas=False):
     import matplotlib
     if not show:
         matplotlib.use('Agg')
     import matplotlib.pyplot as plt
 
-    fig, axs = plt.subplots(2, 2, figsize=(12, 8))
+    n_rows = 3 if show_mtl_sigmas else 2
+    fig, axs = plt.subplots(n_rows, 2, figsize=(12, 4 * n_rows),
+                            sharey='row' if share_y else False)
 
     for path in log_files:
         entries = read_log(path)
@@ -37,6 +40,12 @@ def plot_logs(log_files, *, output_prefix=None, show=False):
 
         x = [e['epoch'] + e['batch'] / max(1, e.get('n_batches', 1))
              for e in train]
+        # --first-epoch: clip the x axis start (reference logs.py:584)
+        train = [e for e, xi in zip(train, x) if xi >= first_epoch]
+        x = [xi for xi in x if xi >= first_epoch]
+        epochs_train = [e for e in epochs_train
+                        if e['epoch'] >= first_epoch]
+        epochs_val = [e for e in epochs_val if e['epoch'] >= first_epoch]
         axs[0][0].plot(x, [e['loss'] for e in train], label=path)
         axs[0][0].set_title('train loss')
         axs[0][0].set_yscale('symlog')
@@ -55,6 +64,20 @@ def plot_logs(log_files, *, output_prefix=None, show=False):
 
         axs[1][1].plot(x, [e.get('time', 0) for e in train], label=path)
         axs[1][1].set_title('batch time [s]')
+
+        if show_mtl_sigmas:
+            sigma_entries = [(xi, e['mtl_sigmas'])
+                             for xi, e in zip(x, train)
+                             if e.get('mtl_sigmas')]
+            if sigma_entries:
+                xs = [xi for xi, _ in sigma_entries]
+                n_sigmas = len(sigma_entries[0][1])
+                for si in range(n_sigmas):
+                    axs[2][0].plot(
+                        xs, [s[si] for _, s in sigma_entries],
+                        label=f'{path} sigma{si}')
+            axs[2][0].set_title('mtl log-sigmas')
+            axs[2][1].set_axis_off()
 
     for ax in axs.flat:
         ax.legend(fontsize=6)
@@ -79,6 +102,14 @@ def main():
     parser.add_argument('--show', default=False, action='store_true')
     parser.add_argument('--print-last', default=False, action='store_true',
                         help='print the last entries instead of plotting')
+    parser.add_argument('--first-epoch', default=1e-6, type=float,
+                        help='epoch to start plotting from')
+    parser.add_argument('--no-share-y', dest='share_y',
+                        default=True, action='store_false',
+                        help='do not share y-axes within plot rows')
+    parser.add_argument('--show-mtl-sigmas', default=False,
+                        action='store_true',
+                        help='plot the auto-tuned multi-task log-sigmas')
     args = parser.parse_args()
 
     if args.print_last:
@@ -88,7 +119,9 @@ def main():
         return
 
     output = args.output or args.log_file[0]
-    plot_logs(args.log_file, output_prefix=output, show=args.show)
+    plot_logs(args.log_file, output_prefix=output, show=args.show,
+              first_epoch=args.first_epoch, share_y=args.share_y,
+              show_mtl_sigmas=args.show_mtl_sigmas)
 
 
 if __name__ == '__main__':

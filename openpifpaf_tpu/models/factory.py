@@ -103,9 +103,25 @@ CHECKPOINT_URLS = {}
 PRETRAINED_UNAVAILABLE = object()
 
 
+#: --head-consolidation default (reference network/factory.py:163-167)
+HEAD_CONSOLIDATION = 'filter_and_extend'
+
+#: --cf4-dropout (reference heads.py:314-316)
+CF4_OPTIONS = {'dropout_p': 0.0}
+
+
 def cli(parser):
     """Backbone configuration flags (reference basenetworks.py cli
     classmethods: shufflenetv2k 357-390, resnet 152-176)."""
+    group = parser.add_argument_group('network')
+    group.add_argument('--head-consolidation',
+                       choices=('keep', 'create', 'filter_and_extend'),
+                       default=HEAD_CONSOLIDATION,
+                       help='consolidation strategy for a checkpoint\'s '
+                            'head networks and the heads specified by the '
+                            'datamodule')
+    group.add_argument('--cf4-dropout', default=0.0, type=float,
+                       help='CompositeField4 dropout probability')
     group = parser.add_argument_group('shufflenetv2k')
     group.add_argument('--shufflenetv2k-input-conv2-stride',
                        default=SHUFFLENETV2K_OPTIONS['input_conv2_stride'],
@@ -150,6 +166,9 @@ def cli(parser):
 
 
 def configure(args):
+    global HEAD_CONSOLIDATION
+    HEAD_CONSOLIDATION = args.head_consolidation
+    CF4_OPTIONS['dropout_p'] = args.cf4_dropout
     SHUFFLENETV2K_OPTIONS.update(
         input_conv2_stride=args.shufflenetv2k_input_conv2_stride,
         input_conv2_outchannels=args.shufflenetv2k_input_conv2_outchannels,
@@ -192,7 +211,8 @@ class Factory:
         if self.checkpoint is not None:
             from ..training import checkpoint as ckpt_mod  # circular-safe
             return ckpt_mod.load_shell(resolve_checkpoint(self.checkpoint),
-                                       head_metas=head_metas)
+                                       head_metas=head_metas,
+                                       head_consolidation=HEAD_CONSOLIDATION)
         return self.from_scratch(head_metas)
 
     def from_scratch(self, head_metas: Sequence[headmeta.Base]):
@@ -223,12 +243,22 @@ class Factory:
 
             return model, init_variables
 
-        head_nets = tuple(HEADS[type(meta)](meta=meta) for meta in head_metas)
+        def build_head(meta):
+            head_cls = HEADS[type(meta)]
+            if head_cls is heads.CompositeField4 \
+                    and CF4_OPTIONS['dropout_p']:
+                return head_cls(meta=meta,
+                                dropout_p=CF4_OPTIONS['dropout_p'])
+            return head_cls(meta=meta)
+
+        head_nets = tuple(build_head(meta) for meta in head_metas)
         model = Shell(base_net=base_net, head_nets=head_nets)
 
         def init_variables(rng, input_shape=(1, 97, 129, 3)):
             dummy = jnp.zeros(input_shape, dtype=jnp.float32)
-            return model.init(rng, dummy, train=True)
+            return model.init({'params': rng,
+                               'dropout': jax.random.fold_in(rng, 1)},
+                              dummy, train=True)
 
         return model, init_variables
 

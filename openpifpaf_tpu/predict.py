@@ -45,6 +45,10 @@ def cli():
                         const=True, help='image output file or directory')
     parser.add_argument('--json-output', default=None, nargs='?',
                         const=True, help='json output file or directory')
+    parser.add_argument('--precise-rescaling', dest='fast_rescaling',
+                    default=True, action='store_false',
+                    help='use more exact image rescaling (requires'
+                         ' scipy)')
     parser.add_argument('--debug', default=False, action='store_true')
     logger.cli(parser)
     decoder.factory.cli(parser)
@@ -81,7 +85,8 @@ def out_name(arg, in_name, default_extension):
 def main():
     args = cli()
 
-    predictor = Predictor(checkpoint=args.checkpoint)
+    predictor = Predictor(checkpoint=args.checkpoint,
+                      fast_rescaling=args.fast_rescaling)
     predictor.batch_size = args.batch_size
     predictor.bf16 = args.bf16
     predictor.hflip_tta = args.hflip_tta

@@ -68,6 +68,7 @@ class Predictor:
         self.processor = decoder.factory.factory(self.head_metas)
         self.json_data = json_data
         self.visualize_image = visualize_image
+        self.fast_rescaling = fast_rescaling
 
         self.preprocess = self._build_preprocess()
         self.last_decoder_time = 0.0
@@ -98,7 +99,8 @@ class Predictor:
         if long_edge is None:
             long_edge = self.long_edge
         if long_edge:
-            rescale_t = transforms.RescaleAbsolute(long_edge)
+            rescale_t = transforms.RescaleAbsolute(
+                long_edge, fast=self.fast_rescaling)
         pad_t = transforms.CenterPadTight(16)
         return transforms.Compose([
             transforms.NormalizeAnnotations(),

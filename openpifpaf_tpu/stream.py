@@ -25,7 +25,7 @@ _IMAGE_EXTENSIONS = ('.jpg', '.jpeg', '.png', '.bmp', '.ppm', '.webp')
 class Stream:
     def __init__(self, source, *, preprocess=None, scale=1.0, start_frame=None,
                  start_msec=None, crop=None, rotate=None, max_frames=None,
-                 with_raw_image=True):
+                 horizontal_flip=False, with_raw_image=True):
         self.image_sources = None
         if isinstance(source, str):
             parts = source.split(',')
@@ -42,6 +42,7 @@ class Stream:
         self.start_msec = start_msec
         self.crop = crop
         self.rotate = rotate
+        self.horizontal_flip = horizontal_flip
         self.max_frames = max_frames
         self.with_raw_image = with_raw_image
 
@@ -54,6 +55,9 @@ class Stream:
                 break
             with open(path, 'rb') as f:
                 pil_image = PIL.Image.open(f).convert('RGB')
+            if self.horizontal_flip:
+                pil_image = pil_image.transpose(
+                    PIL.Image.Transpose.FLIP_LEFT_RIGHT)
             if self.scale != 1.0:
                 pil_image = pil_image.resize(
                     (int(pil_image.size[0] * self.scale),
@@ -107,6 +111,8 @@ class Stream:
             if self.scale != 1.0:
                 image = cv2.resize(image, None,
                                    fx=self.scale, fy=self.scale)
+            if self.horizontal_flip:
+                image = image[:, ::-1]
             if self.rotate:
                 if self.rotate == 90:
                     image = cv2.rotate(image, cv2.ROTATE_90_COUNTERCLOCKWISE)

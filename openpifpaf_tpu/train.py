@@ -37,6 +37,11 @@ def cli():
                         version=f'OpenPifPaf-TPU {__version__}')
     parser.add_argument('--output', default=None, help='output file')
     parser.add_argument('--dataset', default='cocokp')
+    parser.add_argument('--dataset-weights', default=None, nargs='+',
+                        type=float,
+                        help='round-robin sampling weights for multi-'
+                             'dataset training (reference '
+                             'datasets/factory.py:27)')
     parser.add_argument('--basenet', default='shufflenetv2k16')
     parser.add_argument('--checkpoint', default=None,
                         help='resume from checkpoint')
@@ -81,6 +86,8 @@ def cli():
 def main():
     args = cli()
 
+    from .datasets.multimodule import MultiDataModule
+    MultiDataModule.weights = args.dataset_weights
     datamodule = datasets.factory(args.dataset)
     datamodule.batch_size = args.batch_size
     datamodule.loader_workers = args.loader_workers
@@ -88,7 +95,8 @@ def main():
     if args.checkpoint:
         args.checkpoint = models_factory.resolve_checkpoint(args.checkpoint)
         model, variables = ckpt_mod.load_shell(
-            args.checkpoint, head_metas=datamodule.head_metas)
+            args.checkpoint, head_metas=datamodule.head_metas,
+            head_consolidation=models_factory.HEAD_CONSOLIDATION)
         loaded_meta = ckpt_mod.LAST_META or {}
         # resume from the checkpoint's epoch (reference factory.py:268-274)
         start_epoch = int(loaded_meta.get('epoch') or 0)

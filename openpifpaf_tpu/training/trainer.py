@@ -50,7 +50,7 @@ def make_mesh(n_devices: Optional[int] = None) -> Mesh:
 
 
 def _bf16_split_forward(model, model_params, batch_stats, images, *,
-                        head_mask, bn_train):
+                        head_mask, bn_train, dropout_rng=None):
     """Mixed-precision forward: backbone compute in bfloat16 (MXU-native)
     against f32 master params, heads in f32 for full-precision regressions.
 
@@ -67,9 +67,11 @@ def _bf16_split_forward(model, model_params, batch_stats, images, *,
         train=bn_train if bn_train is not None else True,
         mutable=['batch_stats'])
     feats = feats.astype(jnp.float32)
+    head_rngs = ({'dropout': dropout_rng} if dropout_rng is not None
+                 else None)
     outputs = tuple(
         hn.apply({'params': model_params[f'head_nets_{i}']},
-                 feats, train=True)
+                 feats, train=True, rngs=head_rngs)
         if head_mask is None or head_mask[i] else None
         for i, hn in enumerate(model.head_nets))
     new_batch_stats = dict(batch_stats)
@@ -115,18 +117,25 @@ def build_train_step(model, loss_fn, optimizer, schedule, *,
             # with the previous batch element (reference nets.py:51-60)
             images = images + jnp.roll(images, 1, axis=0) * cross_talk
 
+        # per-step dropout rng (only consumed when a head has dropout,
+        # --cf4-dropout)
+        dropout_rng = jax.random.fold_in(jax.random.PRNGKey(4242),
+                                         state.step)
+
         def compute_loss(opt_params):
             if bf16:
                 outputs, new_batch_stats = _bf16_split_forward(
                     model, opt_params['model'], state.batch_stats, images,
                     head_mask=head_mask,
-                    bn_train=False if fix_bn else None)
+                    bn_train=False if fix_bn else None,
+                    dropout_rng=dropout_rng)
             else:
                 outputs, new_model_state = model.apply(
                     {'params': opt_params['model'],
                      'batch_stats': state.batch_stats},
                     images, train=True, head_mask=head_mask,
                     bn_train=False if fix_bn else None,
+                    rngs={'dropout': dropout_rng},
                     mutable=['batch_stats'])
                 new_batch_stats = new_model_state['batch_stats']
             total, head_losses, new_loss_state = loss_fn(

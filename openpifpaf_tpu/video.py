@@ -38,7 +38,14 @@ def cli():
     parser.add_argument('--max-frames', default=None, type=int)
     parser.add_argument('--crop', nargs=4, type=int, default=None)
     parser.add_argument('--rotate', default=None, type=int)
+    parser.add_argument('--horizontal-flip', default=False,
+                        action='store_true',
+                        help='mirror the input video')
     parser.add_argument('--show', default=False, action='store_true')
+    parser.add_argument('--precise-rescaling', dest='fast_rescaling',
+                    default=True, action='store_false',
+                    help='use more exact image rescaling (requires'
+                         ' scipy)')
     parser.add_argument('--debug', default=False, action='store_true')
     logger.cli(parser)
     decoder.factory.cli(parser)
@@ -62,7 +69,8 @@ def cli():
 def main():
     args = cli()
 
-    predictor = Predictor(checkpoint=args.checkpoint)
+    predictor = Predictor(checkpoint=args.checkpoint,
+                          fast_rescaling=args.fast_rescaling)
     predictor.long_edge = args.long_edge
     predictor.preprocess = predictor._build_preprocess()
 
@@ -74,6 +82,7 @@ def main():
         start_msec=args.start_msec,
         crop=args.crop,
         rotate=args.rotate,
+        horizontal_flip=args.horizontal_flip,
         max_frames=args.max_frames,
         with_raw_image=True,
     )

@@ -245,3 +245,46 @@ def test_trainer_cli_flags():
     assert args2.fix_batch_norm is True
     args3 = parser.parse_args([])
     assert args3.fix_batch_norm is False
+
+
+def test_cf4_dropout_train_step():
+    """--cf4-dropout: dropout active in train mode, none at inference."""
+    import openpifpaf_tpu
+    from openpifpaf_tpu.models import factory as models_factory
+    from openpifpaf_tpu.training import losses
+
+    saved = models_factory.CF4_OPTIONS['dropout_p']
+    models_factory.CF4_OPTIONS['dropout_p'] = 0.5
+    try:
+        datamodule = openpifpaf_tpu.datasets.factory('cocokp')
+        net_factory = models_factory.Factory(base_name='resnet18')
+        model, init_fn = net_factory.from_scratch(datamodule.head_metas)
+        assert model.head_nets[0].dropout_p == 0.5
+        variables = init_fn(jax.random.PRNGKey(0), (1, 97, 129, 3))
+
+        loss_fn = losses.Factory().factory(datamodule.head_metas)
+        optimizer = optax.sgd(1e-3)
+        step = build_train_step(model, loss_fn, optimizer, lambda s: 1e-3)
+
+        rng = np.random.RandomState(0)
+        images = jnp.asarray(rng.randn(1, 97, 129, 3).astype(np.float32))
+        targets = (jnp.zeros((1, 17, 5, 7, 9), jnp.float32),
+                   jnp.zeros((1, 19, 9, 7, 9), jnp.float32))
+        state = TrainState(
+            params=variables['params'],
+            batch_stats=variables.get('batch_stats', {}),
+            opt_state=optimizer.init({'model': variables['params'],
+                                      'loss': {}}),
+            ema_params=jax.tree_util.tree_map(jnp.copy, variables['params']),
+            step=jnp.zeros((), dtype=jnp.int32),
+        )
+        state, loss, _ = step(state, images, targets)
+        assert np.isfinite(float(loss))
+
+        # inference path unaffected (deterministic, no rng needed)
+        out = model.apply({'params': state.params,
+                           'batch_stats': state.batch_stats},
+                          images, train=False)
+        assert np.all(np.isfinite(np.asarray(out[0])))
+    finally:
+        models_factory.CF4_OPTIONS['dropout_p'] = saved
