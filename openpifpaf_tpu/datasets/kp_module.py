@@ -54,21 +54,40 @@ class KpDataModule(DataModule, Configurable):
 
     eval_annotation_filter = True
     eval_long_edge = 641
+    eval_extended_scale = False
+    eval_orientation_invariant = 0.0
+
+    #: per-keypoint training weights (None = uniform)
+    training_weights = None
 
     def __init__(self, **kwargs):
         super().__init__(**kwargs)
+
+        # per-keypoint training weights (e.g. --wholebody/apollo-apply-
+        # local-centrality-weights, reference wholebody.py:60-84): CAF
+        # weights are the normalized per-edge max of the keypoint weights
+        caf_weights = None
+        if self.training_weights is not None:
+            import numpy as np
+            caf_w = np.array([
+                max(self.training_weights[j1 - 1],
+                    self.training_weights[j2 - 1])
+                for j1, j2 in self.skeleton])
+            caf_weights = list(caf_w / np.sum(caf_w) * len(caf_w))
 
         cif = headmeta.Cif('cif', self.dataset_name,
                            keypoints=self.keypoints,
                            sigmas=self.sigmas,
                            pose=self.upright_pose,
                            draw_skeleton=self.skeleton,
-                           score_weights=self.score_weights)
+                           score_weights=self.score_weights,
+                           training_weights=self.training_weights)
         caf = headmeta.Caf('caf', self.dataset_name,
                            keypoints=self.keypoints,
                            sigmas=self.sigmas,
                            pose=self.upright_pose,
-                           skeleton=self.skeleton)
+                           skeleton=self.skeleton,
+                           training_weights=caf_weights)
         self.head_metas = [cif, caf]
         if self.with_dense and self.dense_skeleton:
             dcaf = headmeta.Caf('caf25', self.dataset_name,
@@ -122,6 +141,26 @@ class KpDataModule(DataModule, Configurable):
         group.add_argument(f'--{p}-eval-long-edge',
                            dest=f'{p}_eval_long_edge',
                            default=cls.eval_long_edge, type=int)
+        group.add_argument(f'--{p}-blur', dest=f'{p}_blur',
+                           default=cls.blur, type=float,
+                           help='augment with blur')
+        group.add_argument(f'--{p}-eval-extended-scale',
+                           dest=f'{p}_eval_extended_scale',
+                           default=False, action='store_true')
+        group.add_argument(f'--{p}-eval-orientation-invariant',
+                           dest=f'{p}_eval_orientation_invariant',
+                           default=cls.eval_orientation_invariant,
+                           type=float)
+        group.add_argument(f'--{p}-no-eval-annotation-filter',
+                           dest=f'{p}_eval_annotation_filter',
+                           default=True, action='store_false')
+        eval_set_group = group.add_mutually_exclusive_group()
+        eval_set_group.add_argument(f'--{p}-eval-test2017',
+                                    dest=f'{p}_eval_test2017',
+                                    default=False, action='store_true')
+        eval_set_group.add_argument(f'--{p}-eval-testdev2017',
+                                    dest=f'{p}_eval_testdev2017',
+                                    default=False, action='store_true')
 
     @classmethod
     def configure(cls, args: argparse.Namespace):
@@ -142,6 +181,29 @@ class KpDataModule(DataModule, Configurable):
         cls.min_kp_anns = getattr(args, f'{p}_min_kp_anns')
         cls.bmin = getattr(args, f'{p}_bmin')
         cls.eval_long_edge = getattr(args, f'{p}_eval_long_edge')
+        cls.blur = getattr(args, f'{p}_blur')
+        cls.eval_extended_scale = getattr(args, f'{p}_eval_extended_scale')
+        cls.eval_orientation_invariant = getattr(
+            args, f'{p}_eval_orientation_invariant')
+        cls.eval_annotation_filter = getattr(
+            args, f'{p}_eval_annotation_filter')
+        if (getattr(args, f'{p}_eval_test2017')
+                or getattr(args, f'{p}_eval_testdev2017')):
+            # test sets have no public GT: predictions must be written
+            # for server evaluation (reference animal_kp.py:165-168)
+            test_annotations = getattr(cls, '_test2017_annotations', None)
+            if getattr(args, f'{p}_eval_testdev2017'):
+                test_annotations = getattr(
+                    cls, '_testdev2017_annotations', test_annotations)
+            if test_annotations:
+                cls.eval_annotations = test_annotations
+                cls.eval_image_dir = getattr(
+                    cls, '_test2017_image_dir', cls.eval_image_dir)
+            cls.eval_annotation_filter = False
+            if not getattr(args, 'write_predictions', True) \
+                    and not getattr(args, 'debug', False):
+                raise RuntimeError(
+                    'have to use --write-predictions for this dataset')
 
     # -------------------------------------------------- pipelines
     def _encoders(self):
@@ -224,17 +286,34 @@ class KpDataModule(DataModule, Configurable):
 
     def _eval_preprocess(self):
         rescale_t = None
-        if self.eval_long_edge:
+        if self.eval_extended_scale:
+            assert self.eval_long_edge
+            rescale_t = transforms.DeterministicEqualChoice([
+                transforms.RescaleAbsolute(self.eval_long_edge),
+                transforms.RescaleAbsolute(
+                    (self.eval_long_edge - 1) // 2 + 1),
+            ], salt=1)
+        elif self.eval_long_edge:
             rescale_t = transforms.RescaleAbsolute(self.eval_long_edge)
         if self.batch_size == 1:
             padding_t = transforms.CenterPadTight(16)
         else:
             padding_t = transforms.CenterPad(self.eval_long_edge)
 
+        orientation_t = None
+        if self.eval_orientation_invariant:
+            orientation_t = transforms.DeterministicEqualChoice([
+                None,
+                transforms.RotateBy90(fixed_angle=90),
+                transforms.RotateBy90(fixed_angle=180),
+                transforms.RotateBy90(fixed_angle=270),
+            ], salt=3)
+
         return transforms.Compose([
             transforms.NormalizeAnnotations(),
             rescale_t,
             padding_t,
+            orientation_t,
             transforms.ToAnnotations([
                 transforms.ToKpAnnotations(
                     list(self.categories),

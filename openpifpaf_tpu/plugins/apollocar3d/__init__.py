@@ -60,11 +60,22 @@ class ApolloKp(KpDataModule):
         group.add_argument('--apollo-use-66-kps', default=False,
                            action='store_true',
                            help='66-keypoint car configuration')
+        group.add_argument('--apollo-apply-local-centrality-weights',
+                           dest='apollo_apply_local_centrality',
+                           default=False, action='store_true',
+                           help='per-keypoint local-centrality training '
+                                'weights (66-kp configuration only)')
 
     @classmethod
     def configure(cls, args):
         if getattr(args, 'apollo_use_66_kps', False):
             cls.use_66()
+        if getattr(args, 'apollo_apply_local_centrality', False):
+            if cls.use_24_kps:
+                raise ValueError('local centrality weights only work '
+                                 'with 66 kps (reference '
+                                 'apollo_kp.py:203-204)')
+            cls.training_weights = _C['TRAINING_WEIGHTS_LOCAL_CENTRALITY']
         super().configure(args)
 
     def metrics(self):

@@ -57,6 +57,14 @@ class CocoDet(DataModule, Configurable):
                            default=True, action='store_false')
         group.add_argument('--cocodet-upsample',
                            default=cls.upsample_stride, type=int)
+        group.add_argument('--cocodet-extended-scale',
+                           default=False, action='store_true')
+        group.add_argument('--cocodet-orientation-invariant',
+                           default=cls.orientation_invariant, type=float)
+        group.add_argument('--cocodet-blur',
+                           default=cls.blur, type=float)
+        group.add_argument('--cocodet-rescale-images',
+                           default=cls.rescale_images, type=float)
 
     @classmethod
     def configure(cls, args: argparse.Namespace):
@@ -70,6 +78,10 @@ class CocoDet(DataModule, Configurable):
         cls.square_edge = args.cocodet_square_edge
         cls.augmentation = args.cocodet_augmentation
         cls.upsample_stride = args.cocodet_upsample
+        cls.extended_scale = args.cocodet_extended_scale
+        cls.orientation_invariant = args.cocodet_orientation_invariant
+        cls.blur = args.cocodet_blur
+        cls.rescale_images = args.cocodet_rescale_images
 
     def _preprocess(self):
         enc = encoder.CifDet(self.head_metas[0])
@@ -83,15 +95,30 @@ class CocoDet(DataModule, Configurable):
                 transforms.Encoders([enc]),
             ])
 
-        rescale_t = transforms.RescaleRelative(
-            scale_range=(0.4 * self.rescale_images, 2.0 * self.rescale_images),
-            power_law=True, stretch_range=(0.75, 1.33))
+        # reference cocodet.py: extended scale widens the sampling range
+        if self.extended_scale:
+            rescale_t = transforms.RescaleRelative(
+                scale_range=(0.5 * self.rescale_images,
+                             2.0 * self.rescale_images),
+                power_law=True, stretch_range=(0.75, 1.33))
+        else:
+            rescale_t = transforms.RescaleRelative(
+                scale_range=(0.7 * self.rescale_images,
+                             1.5 * self.rescale_images),
+                power_law=True, stretch_range=(0.75, 1.33))
 
+        from .constants import COCO_KEYPOINTS, HFLIP
         return transforms.Compose([
             transforms.NormalizeAnnotations(),
-            transforms.RandomApply(transforms.HFlipDet(), 0.5)
-            if hasattr(transforms, 'HFlipDet') else None,
+            transforms.RandomApply(
+                transforms.HFlip(COCO_KEYPOINTS, HFLIP), 0.5),
             rescale_t,
+            transforms.RandomApply(transforms.Blur(), self.blur),
+            transforms.RandomChoice(
+                [transforms.RotateBy90(),
+                 transforms.RotateUniform(10.0)],
+                [self.orientation_invariant, 0.2],
+            ),
             transforms.Crop(self.square_edge, use_area_of_interest=True),
             transforms.CenterPad(self.square_edge),
             transforms.MinSize(min_side=4.0),

@@ -28,6 +28,10 @@ class CocoKp(DataModule, Configurable):
     train_image_dir = 'data-mscoco/images/train2017/'
     val_image_dir = 'data-mscoco/images/val2017/'
     eval_image_dir = val_image_dir
+    _test2017_annotations = 'data-mscoco/annotations/image_info_test2017.json'
+    _testdev2017_annotations = \
+        'data-mscoco/annotations/image_info_test-dev2017.json'
+    _test2017_image_dir = 'data-mscoco/images/test2017/'
 
     square_edge = 385
     with_dense = False
@@ -109,6 +113,16 @@ class CocoKp(DataModule, Configurable):
         group.add_argument('--coco-no-eval-annotation-filter',
                            dest='coco_eval_annotation_filter',
                            default=True, action='store_false')
+        eval_set_group = group.add_mutually_exclusive_group()
+        eval_set_group.add_argument('--cocokp-eval-test2017',
+                                    default=False, action='store_true')
+        eval_set_group.add_argument('--cocokp-eval-testdev2017',
+                                    default=False, action='store_true')
+        group.add_argument('--coco-eval-orientation-invariant',
+                           default=cls.eval_orientation_invariant,
+                           type=float)
+        group.add_argument('--coco-eval-extended-scale',
+                           default=False, action='store_true')
 
     @classmethod
     def configure(cls, args: argparse.Namespace):
@@ -132,6 +146,19 @@ class CocoKp(DataModule, Configurable):
         cls.bmin = args.cocokp_bmin
         cls.eval_long_edge = args.coco_eval_long_edge
         cls.eval_annotation_filter = args.coco_eval_annotation_filter
+        # test-set evaluation (reference cocokp.py:179-187): no GT
+        # annotation filtering, image_info-only annotation files
+        if args.cocokp_eval_test2017:
+            cls.eval_image_dir = cls._test2017_image_dir
+            cls.eval_annotations = cls._test2017_annotations
+            cls.eval_annotation_filter = False
+        if args.cocokp_eval_testdev2017:
+            cls.eval_image_dir = cls._test2017_image_dir
+            cls.eval_annotations = cls._testdev2017_annotations
+            cls.eval_annotation_filter = False
+        cls.eval_orientation_invariant = \
+            args.coco_eval_orientation_invariant
+        cls.eval_extended_scale = args.coco_eval_extended_scale
 
     def _encoders(self):
         encoders = [encoder.Cif(self.head_metas[0], bmin=self.bmin),
@@ -228,10 +255,20 @@ class CocoKp(DataModule, Configurable):
             assert cls.eval_long_edge
             padding_t = transforms.CenterPad(cls.eval_long_edge)
 
+        orientation_t = None
+        if cls.eval_orientation_invariant:
+            orientation_t = transforms.DeterministicEqualChoice([
+                None,
+                transforms.RotateBy90(fixed_angle=90),
+                transforms.RotateBy90(fixed_angle=180),
+                transforms.RotateBy90(fixed_angle=270),
+            ], salt=3)
+
         return [
             transforms.NormalizeAnnotations(),
             rescale_t,
             padding_t,
+            orientation_t,
         ]
 
     def _eval_preprocess(self):

@@ -68,6 +68,41 @@ class CrowdPose(KpDataModule):
     train_image_dir = 'data-crowdpose/images/'
     val_image_dir = 'data-crowdpose/images/'
     eval_image_dir = val_image_dir
+    _test_annotations = 'data-crowdpose/json/crowdpose_test.json'
+
+    #: --crowdpose-index: easy/medium/hard crowdIndex subsets
+    #: (reference crowdpose/module.py:344-349)
+    eval_crowdpose_index = None
+
+    @classmethod
+    def cli(cls, parser):
+        super().cli(parser)
+        group = parser.add_argument_group('data module CrowdPose (eval)')
+        group.add_argument('--crowdpose-eval-test', default=False,
+                           action='store_true',
+                           help='evaluate on the test set')
+        group.add_argument('--crowdpose-index',
+                           choices=('easy', 'medium', 'hard'), default=None)
+
+    @classmethod
+    def configure(cls, args):
+        super().configure(args)
+        if args.crowdpose_eval_test:
+            cls.eval_annotations = cls._test_annotations
+            cls.eval_annotation_filter = False
+        cls.eval_crowdpose_index = args.crowdpose_index
+
+    def eval_loader(self):
+        loader = super().eval_loader()
+        if self.eval_crowdpose_index:
+            lo, hi = {'easy': (0.0, 0.1), 'medium': (0.1, 0.8),
+                      'hard': (0.8, 1.0)}[self.eval_crowdpose_index]
+            data = loader.dataset
+            data.ids = [
+                image_id for image_id in data.ids
+                if lo <= data.coco.images[image_id].get('crowdIndex', 0.0)
+                <= hi]
+        return loader
 
 
 from ...models import factory as models_factory

@@ -35,6 +35,10 @@ class NuScenes(DataModule):
     square_edge = 513
     upsample_stride = 1
     augmentation = True
+    extended_scale = False
+    orientation_invariant = 0.0
+    blur = 0.0
+    rescale_images = 1.0
     debug = False
 
     def __init__(self):
@@ -59,6 +63,17 @@ class NuScenes(DataModule):
                            default=cls.square_edge, type=int)
         group.add_argument('--nuscenes-upsample',
                            default=cls.upsample_stride, type=int)
+        group.add_argument('--nuscenes-no-augmentation',
+                           dest='nuscenes_augmentation',
+                           default=True, action='store_false')
+        group.add_argument('--nuscenes-extended-scale',
+                           default=False, action='store_true')
+        group.add_argument('--nuscenes-orientation-invariant',
+                           default=cls.orientation_invariant, type=float)
+        group.add_argument('--nuscenes-blur',
+                           default=cls.blur, type=float)
+        group.add_argument('--nuscenes-rescale-images',
+                           default=cls.rescale_images, type=float)
 
     @classmethod
     def configure(cls, args: argparse.Namespace):
@@ -71,6 +86,11 @@ class NuScenes(DataModule):
         cls.eval_image_dir = cls.val_image_dir
         cls.square_edge = args.nuscenes_square_edge
         cls.upsample_stride = args.nuscenes_upsample
+        cls.augmentation = args.nuscenes_augmentation
+        cls.extended_scale = args.nuscenes_extended_scale
+        cls.orientation_invariant = args.nuscenes_orientation_invariant
+        cls.blur = args.nuscenes_blur
+        cls.rescale_images = args.nuscenes_rescale_images
 
     def _preprocess(self):
         enc = encoder.CifDet(self.head_metas[0])
@@ -82,11 +102,20 @@ class NuScenes(DataModule):
                 transforms.EVAL_TRANSFORM,
                 transforms.Encoders([enc]),
             ])
+        scale_lo, scale_hi = ((0.5, 2.0) if self.extended_scale
+                              else (0.7, 1.5))
         return transforms.Compose([
             transforms.NormalizeAnnotations(),
             transforms.RescaleRelative(
-                scale_range=(0.4, 2.0), power_law=True,
-                stretch_range=(0.75, 1.33)),
+                scale_range=(scale_lo * self.rescale_images,
+                             scale_hi * self.rescale_images),
+                power_law=True, stretch_range=(0.75, 1.33)),
+            transforms.RandomApply(transforms.Blur(), self.blur),
+            transforms.RandomChoice(
+                [transforms.RotateBy90(),
+                 transforms.RotateUniform(10.0)],
+                [self.orientation_invariant, 0.2],
+            ),
             transforms.Crop(self.square_edge, use_area_of_interest=True),
             transforms.CenterPad(self.square_edge),
             transforms.MinSize(min_side=4.0),

@@ -51,9 +51,7 @@ class Posetrack2017(DataModule):
         # (external poseval evaluation), so only geometry + normalization
         from ... import transforms
         return transforms.Compose([
-            transforms.pair.Ungroup(),
-            transforms.NormalizeAnnotations(),
-            transforms.CenterPadTight(16),
+            *Posetrack2018.common_eval_preprocess(),
             transforms.EVAL_TRANSFORM,
         ])
 

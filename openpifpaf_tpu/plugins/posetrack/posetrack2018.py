@@ -26,6 +26,11 @@ class Posetrack2018(DataModule):
     bmin = 0.1
     max_shift = 30.0
     sample_pairing = 0.0
+    image_aug = 0.0
+    eval_long_edge = 801
+    eval_extended_scale = False
+    eval_orientation_invariant = 0.0
+    ablation_without_tcaf = False
 
     def __init__(self):
         super().__init__()
@@ -62,6 +67,9 @@ class Posetrack2018(DataModule):
             meta.upsample_stride = self.upsample_stride
         self.head_metas = ([cif, caf, dcaf, tcaf] if self.with_dense
                            else [cif, caf, tcaf])
+        if self.ablation_without_tcaf:
+            self.head_metas = [m for m in self.head_metas
+                               if not isinstance(m, headmeta.Tcaf)]
 
     @classmethod
     def cli(cls, parser: argparse.ArgumentParser):
@@ -89,6 +97,24 @@ class Posetrack2018(DataModule):
         group.add_argument('--posetrack-sample-pairing',
                            default=cls.sample_pairing, type=float,
                            help='probability of SamplePairing augmentation')
+        group.add_argument('--posetrack2018-eval-annotations',
+                           default=cls.eval_annotations)
+        group.add_argument('--posetrack-min-kp-anns',
+                           default=cls.min_kp_anns, type=int,
+                           help='minimum number of keypoint annotations')
+        group.add_argument('--posetrack-image-augmentations',
+                           default=cls.image_aug, type=float,
+                           help='autocontrast/equalize/invert/solarize '
+                                'probability')
+        group.add_argument('--posetrack-eval-long-edge',
+                           default=cls.eval_long_edge, type=int)
+        group.add_argument('--posetrack-eval-extended-scale',
+                           default=False, action='store_true')
+        group.add_argument('--posetrack-eval-orientation-invariant',
+                           default=cls.eval_orientation_invariant,
+                           type=float)
+        group.add_argument('--posetrack-ablation-without-tcaf',
+                           default=False, action='store_true')
 
     @classmethod
     def configure(cls, args: argparse.Namespace):
@@ -104,6 +130,14 @@ class Posetrack2018(DataModule):
         cls.bmin = args.posetrack_bmin
         cls.max_shift = args.posetrack_max_shift
         cls.sample_pairing = args.posetrack_sample_pairing
+        cls.eval_annotations = args.posetrack2018_eval_annotations
+        cls.min_kp_anns = args.posetrack_min_kp_anns
+        cls.image_aug = args.posetrack_image_augmentations
+        cls.eval_long_edge = args.posetrack_eval_long_edge
+        cls.eval_extended_scale = args.posetrack_eval_extended_scale
+        cls.eval_orientation_invariant = \
+            args.posetrack_eval_orientation_invariant
+        cls.ablation_without_tcaf = args.posetrack_ablation_without_tcaf
 
     def _encoders(self):
         if len(self.head_metas) == 4:
@@ -147,9 +181,23 @@ class Posetrack2018(DataModule):
             # previous sample
             transforms.RandomApply(
                 transforms.pair.SamplePairing(), self.sample_pairing),
+            self._image_aug_transform(),
             S(transforms.TRAIN_TRANSFORM),
             transforms.pair.Encoders(encoders),
         ])
+
+    def _image_aug_transform(self):
+        """--posetrack-image-augmentations: PIL ImageOps augmentations
+        (reference posetrack2018.py:231-236)."""
+        if not self.image_aug:
+            return None
+        import PIL.ImageOps
+        return S(transforms.RandomChoice([
+            transforms.ImageTransform(PIL.ImageOps.autocontrast),
+            transforms.ImageTransform(PIL.ImageOps.equalize),
+            transforms.ImageTransform(PIL.ImageOps.invert),
+            transforms.ImageTransform(PIL.ImageOps.solarize),
+        ], [self.image_aug / 4] * 4))
 
     def train_loader(self):
         train_data = Posetrack2018Dataset(
@@ -174,11 +222,47 @@ class Posetrack2018(DataModule):
             num_workers=self.loader_workers, drop_last=True,
             collate_fn=collate.collate_tracking_images_targets_meta)
 
-    def _eval_preprocess(self):
-        return transforms.Compose([
+    @classmethod
+    def common_eval_preprocess(cls):
+        """Eval geometry shared with posetrack2017
+        (reference posetrack2018.py:274-305)."""
+        rescale_t = None
+        if cls.eval_extended_scale:
+            assert cls.eval_long_edge
+            rescale_t = transforms.DeterministicEqualChoice([
+                transforms.RescaleAbsolute(cls.eval_long_edge),
+                transforms.RescaleAbsolute(
+                    (cls.eval_long_edge - 1) // 2 + 1),
+            ], salt=1)
+        elif cls.eval_long_edge:
+            rescale_t = transforms.RescaleAbsolute(cls.eval_long_edge)
+
+        if cls.batch_size == 1:
+            padding_t = transforms.CenterPadTight(16)
+        else:
+            assert cls.eval_long_edge
+            padding_t = transforms.CenterPad(cls.eval_long_edge)
+
+        orientation_t = None
+        if cls.eval_orientation_invariant:
+            orientation_t = transforms.DeterministicEqualChoice([
+                None,
+                transforms.RotateBy90(fixed_angle=90),
+                transforms.RotateBy90(fixed_angle=180),
+                transforms.RotateBy90(fixed_angle=270),
+            ], salt=3)
+
+        return [
             transforms.pair.Ungroup(),
             transforms.NormalizeAnnotations(),
-            transforms.CenterPadTight(16),
+            rescale_t,
+            padding_t,
+            orientation_t,
+        ]
+
+    def _eval_preprocess(self):
+        return transforms.Compose([
+            *self.common_eval_preprocess(),
             transforms.ToAnnotations([
                 transforms.ToKpAnnotations(
                     constants.CATEGORIES,

@@ -44,6 +44,23 @@ class Wholebody(KpDataModule):
     val_image_dir = 'data-mscoco/images/val2017/'
     eval_image_dir = val_image_dir
 
+    @classmethod
+    def cli(cls, parser):
+        super().cli(parser)
+        group = parser.add_argument_group('data module wholebody (weights)')
+        group.add_argument('--wholebody-apply-local-centrality-weights',
+                           dest='wholebody_apply_local_centrality',
+                           default=False, action='store_true',
+                           help='per-keypoint local-centrality training '
+                                'weights')
+
+    @classmethod
+    def configure(cls, args):
+        super().configure(args)
+        if args.wholebody_apply_local_centrality:
+            cls.training_weights = _C[
+                'TRAINING_WEIGHTS_LOCAL_CENTRALITY']
+
     def metrics(self):
         from ..coco.dataset import CocoIndex
         from .metric import WholeBodyMetric
