@@ -21,8 +21,32 @@ def read_log(path):
     return entries
 
 
+def read_eval_stats(log_file, eval_suffix):
+    """Collect <checkpoint>.epochNNN<eval_suffix> stats (AP over epochs,
+    reference logs.py eval plots)."""
+    import glob
+    import re
+
+    base = log_file[:-len('.log')] if log_file.endswith('.log') else log_file
+    points = []
+    for path in sorted(glob.glob(base + '.epoch*' + eval_suffix)):
+        m = re.search(r'\.epoch(\d+)', path)
+        if not m:
+            continue
+        try:
+            with open(path) as f:
+                stats = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        values = stats.get('stats')
+        if values:
+            points.append((int(m.group(1)), values[0]))
+    return sorted(points)
+
+
 def plot_logs(log_files, *, output_prefix=None, show=False,
-              first_epoch=1e-6, share_y=True, show_mtl_sigmas=False):
+              first_epoch=1e-6, share_y=True, show_mtl_sigmas=False,
+              labels=None, eval_suffix='.eval-*.stats.json'):
     import matplotlib
     if not show:
         matplotlib.use('Agg')
@@ -32,7 +56,12 @@ def plot_logs(log_files, *, output_prefix=None, show=False,
     fig, axs = plt.subplots(n_rows, 2, figsize=(12, 4 * n_rows),
                             sharey='row' if share_y else False)
 
-    for path in log_files:
+    if labels is not None:
+        assert len(labels) == len(log_files)
+    else:
+        labels = log_files
+
+    for path, label in zip(log_files, labels):
         entries = read_log(path)
         train = [e for e in entries if e.get('type') == 'train']
         epochs_train = [e for e in entries if e.get('type') == 'train-epoch']
@@ -46,24 +75,32 @@ def plot_logs(log_files, *, output_prefix=None, show=False,
         epochs_train = [e for e in epochs_train
                         if e['epoch'] >= first_epoch]
         epochs_val = [e for e in epochs_val if e['epoch'] >= first_epoch]
-        axs[0][0].plot(x, [e['loss'] for e in train], label=path)
+        axs[0][0].plot(x, [e['loss'] for e in train], label=label)
         axs[0][0].set_title('train loss')
         axs[0][0].set_yscale('symlog')
 
-        axs[0][1].plot(x, [e['lr'] for e in train], label=path)
+        axs[0][1].plot(x, [e['lr'] for e in train], label=label)
         axs[0][1].set_title('learning rate')
         axs[0][1].set_yscale('log')
 
         axs[1][0].plot([e['epoch'] for e in epochs_train],
                        [e['loss'] for e in epochs_train],
-                       'o-', label=path + ' (train)')
+                       'o-', label=label + ' (train)')
         axs[1][0].plot([e['epoch'] for e in epochs_val],
                        [e['loss'] for e in epochs_val],
-                       'x-', label=path + ' (val)')
+                       'x-', label=label + ' (val)')
         axs[1][0].set_title('epoch loss')
 
-        axs[1][1].plot(x, [e.get('time', 0) for e in train], label=path)
+        axs[1][1].plot(x, [e.get('time', 0) for e in train], label=label)
         axs[1][1].set_title('batch time [s]')
+
+        eval_points = read_eval_stats(path, eval_suffix)
+        if eval_points:
+            ax_ap = axs[1][0].twinx()
+            ax_ap.plot([e for e, _ in eval_points],
+                       [v for _, v in eval_points],
+                       's--', color='tab:green', label=label + ' (AP)')
+            ax_ap.set_ylabel('AP')
 
         if show_mtl_sigmas:
             sigma_entries = [(xi, e['mtl_sigmas'])
@@ -75,7 +112,7 @@ def plot_logs(log_files, *, output_prefix=None, show=False,
                 for si in range(n_sigmas):
                     axs[2][0].plot(
                         xs, [s[si] for _, s in sigma_entries],
-                        label=f'{path} sigma{si}')
+                        label=f'{label} sigma{si}')
             axs[2][0].set_title('mtl log-sigmas')
             axs[2][1].set_axis_off()
 
@@ -110,6 +147,11 @@ def main():
     parser.add_argument('--show-mtl-sigmas', default=False,
                         action='store_true',
                         help='plot the auto-tuned multi-task log-sigmas')
+    parser.add_argument('--label', nargs='+', default=None,
+                        help='legend labels, one per log file')
+    parser.add_argument('--eval-suffix', default='.eval-*.stats.json',
+                        help='glob suffix of eval stats files to plot '
+                             'AP over epochs')
     args = parser.parse_args()
 
     if args.print_last:
@@ -121,7 +163,8 @@ def main():
     output = args.output or args.log_file[0]
     plot_logs(args.log_file, output_prefix=output, show=args.show,
               first_epoch=args.first_epoch, share_y=args.share_y,
-              show_mtl_sigmas=args.show_mtl_sigmas)
+              show_mtl_sigmas=args.show_mtl_sigmas,
+              labels=args.label, eval_suffix=args.eval_suffix)
 
 
 if __name__ == '__main__':

@@ -122,6 +122,19 @@ def cli(parser):
                             'datamodule')
     group.add_argument('--cf4-dropout', default=0.0, type=float,
                        help='CompositeField4 dropout probability')
+    group.add_argument('--no-download-progress', dest='download_progress',
+                       default=True, action='store_false',
+                       help='suppress checkpoint download progress output')
+    # reference-compat: torchvision-pretrained initialization switches.
+    # From-scratch init here is always random (no torchvision); these are
+    # accepted so reference command lines keep working.
+    for name in ('resnet', 'shufflenetv2', 'mobilenetv2', 'mobilenetv3',
+                 'squeezenet'):
+        group.add_argument(f'--{name}-no-pretrain',
+                           dest=f'{name}_pretrained',
+                           default=True, action='store_false',
+                           help='(compat) from-scratch init is always '
+                                'random here')
     group = parser.add_argument_group('shufflenetv2k')
     group.add_argument('--shufflenetv2k-input-conv2-stride',
                        default=SHUFFLENETV2K_OPTIONS['input_conv2_stride'],

@@ -86,11 +86,33 @@ class Cifar10(DataModule):
     def cli(cls, parser: argparse.ArgumentParser):
         group = parser.add_argument_group('data module Cifar10')
         group.add_argument('--cifar10-root-dir', default=cls.root_dir)
+        group.add_argument('--cifar10-download', default=False,
+                           action='store_true',
+                           help='download CIFAR-10 python batches into '
+                                'the root dir if missing')
 
     @classmethod
     def configure(cls, args: argparse.Namespace):
         cls.debug = getattr(args, 'debug', False)
         cls.root_dir = args.cifar10_root_dir
+        if args.cifar10_download:
+            cls.download(cls.root_dir)
+
+    @staticmethod
+    def download(root_dir):
+        """Fetch and unpack cifar-10-python.tar.gz if not present."""
+        import os
+        import tarfile
+        import urllib.request
+
+        if os.path.isdir(os.path.join(root_dir, 'cifar-10-batches-py')):
+            return
+        os.makedirs(root_dir, exist_ok=True)
+        url = 'https://www.cs.toronto.edu/~kriz/cifar-10-python.tar.gz'
+        tar_path = os.path.join(root_dir, 'cifar-10-python.tar.gz')
+        urllib.request.urlretrieve(url, tar_path)
+        with tarfile.open(tar_path, 'r:gz') as tar:
+            tar.extractall(root_dir)
 
     def _preprocess(self):
         enc = encoder.CifDet(self.head_metas[0])

@@ -78,6 +78,9 @@ class CrowdPose(KpDataModule):
     def cli(cls, parser):
         super().cli(parser)
         group = parser.add_argument_group('data module CrowdPose (eval)')
+        group.add_argument('--crowdpose-image-dir', default=None,
+                           help='single image dir for train/val/eval '
+                                '(reference uses one directory)')
         group.add_argument('--crowdpose-eval-test', default=False,
                            action='store_true',
                            help='evaluate on the test set')
@@ -87,6 +90,10 @@ class CrowdPose(KpDataModule):
     @classmethod
     def configure(cls, args):
         super().configure(args)
+        if args.crowdpose_image_dir:
+            cls.train_image_dir = args.crowdpose_image_dir
+            cls.val_image_dir = args.crowdpose_image_dir
+            cls.eval_image_dir = args.crowdpose_image_dir
         if args.crowdpose_eval_test:
             cls.eval_annotations = cls._test_annotations
             cls.eval_annotation_filter = False

@@ -41,6 +41,10 @@ def cli():
     parser.add_argument('--horizontal-flip', default=False,
                         action='store_true',
                         help='mirror the input video')
+    parser.add_argument('--separate-debug-ax', default=False,
+                        action='store_true',
+                        help='debug overlays on a separate axis next to '
+                             'the annotated frame')
     parser.add_argument('--show', default=False, action='store_true')
     parser.add_argument('--precise-rescaling', dest='fast_rescaling',
                     default=True, action='store_false',
@@ -88,7 +92,21 @@ def main():
     )
 
     json_f = open(args.json_output, 'w') if args.json_output else None
-    video_writer = None
+
+    # with a usable writer (virtualcam or ffmpeg), render through
+    # AnimationFrame (reference video.py:114-143); without ffmpeg, fall
+    # back to per-frame jpgs next to the requested output name
+    animation = None
+    painter = None
+    use_animation = False
+    if args.video_output == 'virtualcam' or args.show:
+        use_animation = True
+    elif args.video_output:
+        import matplotlib.animation as manimation
+        use_animation = 'ffmpeg' in manimation.writers.list()
+        if not use_animation:
+            LOG.warning('ffmpeg not available: writing per-frame jpgs '
+                        'instead of %s', args.video_output)
 
     try:
         for raw_image, processed, anns, meta in stream:
@@ -101,24 +119,39 @@ def main():
                     }) + '\n')
 
                 if args.video_output or args.show:
-                    import matplotlib
-                    matplotlib.use('Agg')
-                    from .show.painters import AnnotationPainter
-                    from .show.canvas import image_canvas
-                    painter = AnnotationPainter()
-                    out_name = (args.video_output
-                                + f'.{frame_meta.get("frame_i"):06d}.jpg') \
-                        if args.video_output else None
-                    with image_canvas(raw_image, out_name, show=args.show) as ax:
+                    if not args.show:
+                        import matplotlib
+                        matplotlib.use('Agg')
+                    from . import show, visualizer
+                    if painter is None:
+                        painter = show.AnnotationPainter()
+                    if use_animation:
+                        if animation is None:
+                            animation = show.AnimationFrame(
+                                video_output=args.video_output,
+                                second_visual=args.separate_debug_ax)
+                            ax, ax_second = animation.frame_init(raw_image)
+                            visualizer.Base.common_ax = (
+                                ax_second if args.separate_debug_ax else ax)
+                        ax, _ = animation.frame(raw_image)
                         painter.annotations(ax, pred)
+                        animation.frame_done()
+                    else:
+                        from .show.canvas import image_canvas
+                        out_name = (args.video_output
+                                    + f'.{frame_meta.get("frame_i"):06d}'
+                                      '.jpg')
+                        with image_canvas(raw_image, out_name,
+                                          show=False) as ax:
+                            painter.annotations(ax, pred)
 
                 LOG.info('frame %d: %d annotations',
                          frame_meta.get('frame_i', -1), len(pred))
     finally:
         if json_f is not None:
             json_f.close()
-        if video_writer is not None:
-            video_writer.release()
+        if animation is not None:
+            animation.close()
 
 
 if __name__ == '__main__':
