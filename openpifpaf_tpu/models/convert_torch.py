@@ -466,14 +466,75 @@ def convert_tracking_heads(flat: Dict[str, np.ndarray]):
     return params, used
 
 
-def convert_heads(flat: Dict[str, np.ndarray]):
-    """CompositeField4/3 heads: head_nets.{i}.conv -> head_nets_{i}.Conv_0."""
+def head_types_from_stub(model_stub) -> List[str]:
+    """Head module class names from a pickled reference model
+    (e.g. 'CompositeField4', 'CompositeField3')."""
+    types = []
+    if model_stub is None:
+        return types
+    head_nets = model_stub.__dict__.get('_modules', {}).get('head_nets')
+    if head_nets is None:
+        return types
+    for _, hn in sorted(head_nets.__dict__.get('_modules', {}).items(),
+                        key=lambda kv: int(kv[0])):
+        name = type(hn)._name.rsplit('.', 1)[-1] \
+            if isinstance(hn, _Stub) else type(hn).__name__
+        types.append(name)
+    return types
+
+
+def _cf3_to_cf4_channels(w, b, meta):
+    """Reorder a CompositeField3 conv's output channels into the
+    CompositeField4 layout.
+
+    CF3 per-field channels: [conf (n_c), vectors (2*n_v), logb (n_v),
+    scales (n_s)] (reference heads.py:144, CompositeField3.forward).
+    CF4 per-field channels: [b (1), conf, vectors, scales]. The v4-style
+    output keeps only the FIRST logb channel — exactly what CF3's own
+    inference emits via the "v4 style" concat (heads.py:255-262).
+    """
+    n_c = meta.n_confidences
+    n_v = meta.n_vectors
+    n_s = meta.n_scales
+    c3 = n_c + 3 * n_v + n_s
+    c4 = 1 + n_c + 2 * n_v + n_s
+    ups2 = meta.upsample_stride ** 2
+    n_fields = w.shape[0] // (c3 * ups2)
+    assert n_fields * c3 * ups2 == w.shape[0], \
+        (w.shape, n_fields, c3, ups2)
+
+    # CF4 order indices into the CF3 component axis
+    order = ([n_c + 2 * n_v]                       # first logb -> b
+             + list(range(n_c))                    # confidences
+             + list(range(n_c, n_c + 2 * n_v))     # vectors
+             + list(range(n_c + 3 * n_v, c3)))     # scales
+    assert len(order) == c4
+
+    def reorder(arr):
+        shaped = arr.reshape(n_fields, c3, ups2, *arr.shape[1:])
+        return shaped[:, order].reshape(n_fields * c4 * ups2,
+                                        *arr.shape[1:])
+
+    return reorder(w), reorder(b)
+
+
+def convert_heads(flat: Dict[str, np.ndarray], *, head_types=None,
+                  head_metas=None):
+    """CompositeField4/3 heads: head_nets.{i}.conv -> head_nets_{i}.Conv_0.
+
+    CompositeField3 convs are channel-permuted into the CF4 layout
+    (v4-style, matching the reference's own CF3 inference output)."""
     params = {}
     used = set()
     i = 0
     while f'head_nets.{i}.conv.weight' in flat:
         w = flat[f'head_nets.{i}.conv.weight']
         b = flat[f'head_nets.{i}.conv.bias']
+        if (head_types is not None and i < len(head_types)
+                and head_types[i] == 'CompositeField3'):
+            assert head_metas is not None and i < len(head_metas)
+            w, b = _cf3_to_cf4_channels(w, b, head_metas[i])
+            LOG.info('head %d: CompositeField3 -> CF4 channel layout', i)
         params[f'head_nets_{i}'] = {'Conv_0': {
             'kernel': w.transpose(2, 3, 1, 0), 'bias': b}}
         used.update({f'head_nets.{i}.conv.weight',
@@ -569,7 +630,9 @@ def convert_checkpoint(torch_path: str, *, base_name: str = None,
     if tracking:
         head_params, head_used = convert_tracking_heads(flat)
     else:
-        head_params, head_used = convert_heads(flat)
+        head_params, head_used = convert_heads(
+            flat, head_types=head_types_from_stub(model_stub),
+            head_metas=head_metas)
     used |= head_used
 
     variables = {

@@ -196,3 +196,34 @@ def test_tracking_checkpoint_conversion(tmp_path):
                                rtol=1e-3, atol=1e-3)
     np.testing.assert_allclose(np.asarray(tcaf_f), tcaf_t.numpy(),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_cf3_head_conversion(tmp_path):
+    """CompositeField3 checkpoints convert to the CF4 channel layout and
+    reproduce the reference's own v4-style inference output."""
+    torch.manual_seed(7)
+    shell_t = torch_ref.build_shell(
+        'resnet18', head_cls=torch_ref.CompositeField3)
+    torch_ref.randomize_batch_norm_stats(shell_t)
+    shell_t.eval()
+
+    path = _save_reference_style(tmp_path, shell_t, 'resnet18')
+    detected, head_metas, variables, _ = \
+        convert_torch.convert_checkpoint(path)
+    assert detected == 'resnet18'
+
+    model_f = _flax_model('resnet18', head_metas)
+
+    rng = np.random.RandomState(3)
+    img = rng.randn(1, 3, 65, 97).astype(np.float32)
+
+    with torch.no_grad():
+        feats_t = shell_t.base_net(torch.from_numpy(img))
+        ref_out = [hn.forward_inference_v4(feats_t).numpy()
+                   for hn in shell_t.head_nets]
+
+    out = model_f.apply(variables, img.transpose(0, 2, 3, 1), train=False)
+    for ours, ref, meta in zip(out, ref_out, head_metas):
+        ours = np.asarray(ours)
+        assert ours.shape == ref.shape
+        np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-2)

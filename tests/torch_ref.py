@@ -228,6 +228,44 @@ class CompositeField4(torch.nn.Module):
         return x.view(b, self.meta.n_fields, -1, h, w)
 
 
+class CompositeField3(torch.nn.Module):
+    """Legacy head layout (reference heads.py:116-270): per-field
+    channels [conf, vectors, logb (one per vector), scales]."""
+
+    def __init__(self, meta, in_features):
+        super().__init__()
+        self.meta = meta
+        n_components = meta.n_confidences + meta.n_vectors * 3 + meta.n_scales
+        self.conv = torch.nn.Conv2d(
+            in_features, meta.n_fields * n_components, 1)
+
+    def forward(self, x):  # raw CF3 layout (B, F, C3, H, W)
+        x = self.conv(x)
+        b, _, h, w = x.shape
+        return x.view(b, self.meta.n_fields, -1, h, w)
+
+    def forward_inference_v4(self, x):
+        """The reference's eval-mode output (heads.py:216-262): sigmoid,
+        index-add, softplus, then v4-style channel reorder."""
+        x = self.forward(x)
+        n_c = self.meta.n_confidences
+        n_v = self.meta.n_vectors
+        classes_x = torch.sigmoid(x[:, :, 0:n_c])
+        h, w = x.shape[-2:]
+        yv, xv = torch.meshgrid(torch.arange(h, dtype=torch.float32),
+                                torch.arange(w, dtype=torch.float32),
+                                indexing='ij')
+        index_field = torch.stack([xv, yv])
+        regs = []
+        for i in range(n_v):
+            regs.append(x[:, :, n_c + i * 2:n_c + (i + 1) * 2] + index_field)
+        first_scale = n_c + n_v * 3
+        scales_x = torch.nn.functional.softplus(x[:, :, first_scale:])
+        first_width = n_c + n_v * 2
+        width_x = x[:, :, first_width:first_width + 1]
+        return torch.cat([width_x, classes_x] + regs + [scales_x], dim=2)
+
+
 class Shell(torch.nn.Module):
     def __init__(self, base_net, head_nets):
         super().__init__()
@@ -239,7 +277,7 @@ class Shell(torch.nn.Module):
         return tuple(hn(x) for hn in self.head_nets)
 
 
-def build_shell(base_name='shufflenetv2k16'):
+def build_shell(base_name='shufflenetv2k16', head_cls=None):
     if base_name == 'shufflenetv2k16':
         base = ShuffleNetV2K([4, 8, 4], [24, 348, 696, 1392, 1392])
     elif base_name == 'resnet18':
@@ -264,8 +302,10 @@ def build_shell(base_name='shufflenetv2k16'):
     skeleton = [(i + 1, i + 2) for i in range(16)] + [(1, 17), (2, 16), (3, 15)]
     cif = Cif('cif', 'cocokp', kps, sigmas)
     caf = Caf('caf', 'cocokp', kps, sigmas, skeleton)
-    heads = [CompositeField4(cif, base.out_features),
-             CompositeField4(caf, base.out_features)]
+    if head_cls is None:
+        head_cls = CompositeField4
+    heads = [head_cls(cif, base.out_features),
+             head_cls(caf, base.out_features)]
     shell = Shell(base, heads)
     # reference model_defaults (network/nets.py:60-89): BN eps=1e-3,
     # momentum=0.01 — applied to every trained reference model
