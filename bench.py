@@ -173,6 +173,29 @@ def main():
     forward = jax.jit(lambda v, im: model.apply(v, im, train=False))
 
     nn_time, fields = time_fn(forward, variables, image)
+    cif_shape = fields[0].shape  # (1, 17, 5, fh, fw)
+    fh, fw = cif_shape[-2], cif_shape[-1]
+
+    cif_syn, caf_syn = synthetic_fields(fh, fw, stride)
+    cif_syn = jnp.asarray(cif_syn[None])
+    caf_syn = jnp.asarray(caf_syn[None])
+    decode_time, decoded = time_fn(decoder, cif_syn, caf_syn)
+    n_poses = int(np.sum(np.asarray(decoded[1])))
+
+    # batched serving throughput: batch 8 through forward + decode,
+    # measured EARLY — the tunneled backend shows order-of-magnitude
+    # timing degradation late in long processes. Two warmup calls (the
+    # backend pays a one-time relayout cost on the second call), then
+    # pipelined timing: enqueue n_iters and block once.
+    batch = 8
+    images8 = jnp.asarray(rng.randn(batch, h, w, 3).astype(np.float32))
+    cif8 = jnp.asarray(np.repeat(np.asarray(cif_syn), batch, axis=0))
+    caf8 = jnp.asarray(np.repeat(np.asarray(caf_syn), batch, axis=0))
+    jax.block_until_ready(forward(variables, images8))
+    jax.block_until_ready(decoder(cif8, caf8))
+    nn8_time, _ = time_fn(forward, variables, images8, n_iters=10)
+    dec8_time, _ = time_fn(decoder, cif8, caf8, n_iters=10)
+    batched_img_per_sec = batch / (nn8_time + dec8_time)
 
     # model FLOPs via XLA cost analysis -> effective compute utilization
     try:
@@ -190,27 +213,6 @@ def main():
     predictor.size_bucket = 0
     bf16_forward = predictor.forward_fn
     nn_bf16_time, _ = time_fn(bf16_forward, variables, image)
-    cif_shape = fields[0].shape  # (1, 17, 5, fh, fw)
-    fh, fw = cif_shape[-2], cif_shape[-1]
-
-    cif_syn, caf_syn = synthetic_fields(fh, fw, stride)
-    cif_syn = jnp.asarray(cif_syn[None])
-    caf_syn = jnp.asarray(caf_syn[None])
-    decode_time, decoded = time_fn(decoder, cif_syn, caf_syn)
-    n_poses = int(np.sum(np.asarray(decoded[1])))
-
-    # batched serving throughput: batch 8 through forward + decode
-    batch = 8
-    images8 = jnp.asarray(rng.randn(batch, h, w, 3).astype(np.float32))
-    cif8 = jnp.asarray(np.repeat(np.asarray(cif_syn), batch, axis=0))
-    caf8 = jnp.asarray(np.repeat(np.asarray(caf_syn), batch, axis=0))
-    # re-time with per-call sync: through the remote-TPU tunnel, batched
-    # enqueue without per-call blocking has shown order-of-magnitude
-    # artifacts late in the process; per-call sync bounds real latency
-    nn8_time, _ = time_fn(forward, variables, images8, n_iters=10,
-                          sync_each=True)
-    dec8_time, _ = time_fn(decoder, cif8, caf8, n_iters=10, sync_each=True)
-    batched_img_per_sec = batch / (nn8_time + dec8_time)
 
     e2e = nn_time + decode_time
     img_per_sec = 1.0 / e2e
