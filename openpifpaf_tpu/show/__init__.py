@@ -2,7 +2,7 @@
 
 from .painters import (KeypointPainter, DetectionPainter, CrowdPainter,
                        AnnotationPainter)
-from .canvas import Canvas, image_canvas, canvas
+from .canvas import Canvas, annotation_canvas, image_canvas, canvas
 from .animation_frame import AnimationFrame, VirtualCamWriter
 from . import fields
 from .fields import white_screen, quiver, boxes, circles

@@ -98,4 +98,28 @@ def image_canvas(image, fig_file=None, show=True, dpi_factor=1.0,
     plt.close(fig)
 
 
-Canvas = canvas
+@contextmanager
+def annotation_canvas(ann, *, filename=None, margin=0.5,
+                      fig_w=None, fig_h=5.0, **kwargs):
+    """Canvas framed around one annotation's bounding box
+    (reference show/canvas.py Canvas.annotation)."""
+    bbox = ann.bbox()
+    xlim = bbox[0] - margin, bbox[0] + bbox[2] + margin
+    ylim = bbox[1] - margin, bbox[1] + bbox[3] + margin
+    if fig_w is None:
+        fig_w = fig_h / (ylim[1] - ylim[0]) * (xlim[1] - xlim[0])
+
+    with canvas(filename, figsize=(fig_w, fig_h), nomargin=True,
+                **kwargs) as ax:
+        ax.set_axis_off()
+        ax.set_xlim(*xlim)
+        ax.set_ylim(ylim[1], ylim[0])
+        yield ax
+
+
+class Canvas:
+    """Class-style canvas API (reference show/canvas.py:18-171)."""
+
+    blank = staticmethod(canvas)
+    image = staticmethod(image_canvas)
+    annotation = staticmethod(annotation_canvas)
