@@ -317,3 +317,73 @@ def test_cifcaf_config_parity_with_reference_cpp(greedy, force_complete):
         vis = (rp[:, 0] > 0) & (op[:, 0] > 0)
         assert vis.sum() >= 0.9 * (rp[:, 0] > 0).sum()
         np.testing.assert_allclose(op[vis, 1:3], rp[vis, 1:3], atol=0.75)
+
+
+@pytest.mark.parametrize('ablation', ['seeds_nms', 'no_rescore',
+                                      'block_joints'])
+def test_ablation_parity_with_reference_cpp(ablation):
+    """The new decoder ablation flags reproduce the reference C++
+    decoder's behavior under the corresponding statics."""
+    torch = _load_reference_decoder()
+
+    import openpifpaf_tpu
+    from openpifpaf_tpu.ops import CifCafDecoderConfig, build_cifcaf_decoder
+
+    datamodule = openpifpaf_tpu.datasets.factory('cocokp')
+    cif_meta, caf_meta = datamodule.head_metas
+    skeleton = np.asarray(caf_meta.skeleton, dtype=np.int64)
+    stride = 8
+    cif, caf = _synthetic_scene(3, stride, (169, 217))
+
+    utils_ns = torch.classes.openpifpaf_decoder_utils
+    dec_ns = torch.classes.openpifpaf_decoder
+    overrides = {}
+    if ablation == 'seeds_nms':
+        setters = [(utils_ns.CifSeeds.set_ablation_nms,
+                    utils_ns.CifSeeds.get_ablation_nms(), True)]
+        overrides = {'seed_ablation_nms': True}
+    elif ablation == 'no_rescore':
+        setters = [
+            (utils_ns.CifSeeds.set_ablation_no_rescore,
+             utils_ns.CifSeeds.get_ablation_no_rescore(), True),
+            (utils_ns.CafScored.set_ablation_no_rescore,
+             utils_ns.CafScored.get_ablation_no_rescore(), True),
+            (utils_ns.CifHr.set_ablation_skip,
+             utils_ns.CifHr.get_ablation_skip(), True),
+        ]
+        overrides = {'seed_rescore': False, 'caf_rescore': False,
+                     'cifhr_skip': True}
+    else:  # block_joints
+        setters = [(dec_ns.CifCaf.set_block_joints,
+                    dec_ns.CifCaf.get_block_joints(), True)]
+        overrides = {'block_joints': True}
+
+    for set_fn, _, value in setters:
+        set_fn(value)
+    try:
+        ref = dec_ns.CifCaf(17, torch.from_numpy(skeleton) - 1)
+        ref_anns, _ = ref.call(torch.from_numpy(cif), stride,
+                               torch.from_numpy(caf), stride)
+        ref_poses = ref_anns.numpy()
+    finally:
+        for set_fn, old, _ in setters:
+            set_fn(old)
+
+    decoder = build_cifcaf_decoder(
+        stride=stride, skeleton=caf_meta.skeleton, n_keypoints=17,
+        config=CifCafDecoderConfig(**overrides))
+    poses, keep, _ = (np.asarray(a) for a in decoder(cif[None], caf[None]))
+    our_poses = poses[0][keep[0] > 0]
+
+    assert len(our_poses) == len(ref_poses)
+    for rp, op, _ in _match_poses(list(ref_poses), list(our_poses)):
+        # ignore block-marker joints (v == 1e-5 at zero coordinates):
+        # our fixpoint reformulation marks them at convergence instead of
+        # in priority-queue pop order
+        vis_ref = rp[:, 0] > 1e-3
+        vis_our = op[:, 0] > 1e-3
+        np.testing.assert_array_equal(vis_ref, vis_our)
+        np.testing.assert_allclose(op[vis_ref, 1:3], rp[vis_ref, 1:3],
+                                   atol=0.75)
+        np.testing.assert_allclose(op[vis_ref, 0], rp[vis_ref, 0],
+                                   atol=0.12)
