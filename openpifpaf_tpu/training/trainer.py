@@ -429,7 +429,13 @@ class Trainer:
                        if 'log_sigmas' in (self.state.loss_params or {})
                        else {}),
                 })
-            epoch_loss += float(loss)
+            loss_value = float(loss)
+            if not np.isfinite(loss_value):
+                # fail fast like the reference (losses/composite.py:134-136)
+                raise ValueError(
+                    f'non-finite loss {loss_value} in epoch {epoch} '
+                    f'batch {batch_i}')
+            epoch_loss += loss_value
             n += 1
             last_batch_start = time.time()
 
