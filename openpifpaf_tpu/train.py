@@ -25,6 +25,10 @@ def default_output_file(args):
     base_name = args.basenet or 'default'
     now = datetime.datetime.now().strftime('%y%m%d-%H%M%S')
     out = f'outputs/{base_name}-{now}-{args.dataset}'
+    # queued cluster jobs may start at the same second; disambiguate with
+    # the job id (reference train.py:26-29)
+    if os.getenv('SLURM_JOB_ID'):
+        out += f'-slurm{os.getenv("SLURM_JOB_ID")}'
     return out
 
 
