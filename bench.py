@@ -7,6 +7,17 @@ GTX1080Ti). To keep the decoder workload realistic with untrained weights,
 the decode stage is additionally timed on synthetic fields containing six
 people (the growth loops then run full length); the reported e2e number
 uses NN-forward + realistic-decode latency. Prints ONE JSON line.
+
+Timing methodology: the tunneled TPU backend used here does not block in
+``block_until_ready`` (dispatch is fire-and-forget), so wall-clock timing of
+individual dispatches measures host overhead, not device time. Every number
+below is therefore measured as the *slope* of a chained on-device loop: the
+op runs n times inside one jitted ``lax.fori_loop`` with an explicit data
+dependency between iterations (iteration i perturbs the input with the
+scalar produced by iteration i-1, so nothing can be hoisted, cached, or
+reordered), the loop result is fetched to the host (a true sync), and the
+per-iteration time is (t(n_hi) - t(n_lo)) / (n_hi - n_lo) — dispatch and
+transfer overhead cancel in the subtraction.
 """
 
 import json
@@ -35,23 +46,41 @@ def synthetic_fields(h_cells, w_cells, stride):
     return cif, caf
 
 
-def time_fn(fn, *args, n_iters=30, sync_each=False, repeats=3):
-    """min-of-repeats pipelined timing (the remote-TPU tunnel shows large
-    run-to-run interference; min is the least-interference estimate)."""
+def time_op(body, n_lo=4, n_hi=16, repeats=3):
+    """Per-iteration device time of ``body`` (scalar -> scalar).
+
+    body must consume and produce a float32 scalar with a real data
+    dependency on the timed computation. Returns seconds per iteration.
+    """
     import jax
-    out = fn(*args)
-    jax.block_until_ready(out)
+
+    def make(n):
+        @jax.jit
+        def run(s):
+            return jax.lax.fori_loop(0, n, lambda i, t: body(t), s)
+        return run
+
+    run_lo, run_hi = make(n_lo), make(n_hi)
+    s0 = np.float32(0.0)
+    float(run_lo(s0))  # compile + warm
+    float(run_hi(s0))
     best = None
     for _ in range(repeats):
-        start = time.perf_counter()
-        for _ in range(n_iters):
-            out = fn(*args)
-            if sync_each:
-                jax.block_until_ready(out)
-        jax.block_until_ready(out)
-        dt = (time.perf_counter() - start) / n_iters
+        t0 = time.perf_counter()
+        float(run_lo(s0))
+        t_lo = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(run_hi(s0))
+        t_hi = time.perf_counter() - t0
+        dt = (t_hi - t_lo) / (n_hi - n_lo)
         best = dt if best is None else min(best, dt)
-    return best, out
+    return max(best, 1e-9)
+
+
+def _tree_scalar(out):
+    import jax
+    import jax.numpy as jnp
+    return sum(jnp.sum(o) for o in jax.tree_util.tree_leaves(out)) * 1e-20
 
 
 def bench_train():
@@ -100,8 +129,6 @@ def bench_train():
             loss_state=loss_fn.init_state(),
         )
 
-    state = fresh_state()
-
     batch = 8
     h = w = 385
     fh = fw = (h - 1) // 16 + 1
@@ -110,24 +137,27 @@ def bench_train():
     cif_t = jnp.zeros((batch, 17, 5, fh, fw), jnp.float32)
     caf_t = jnp.zeros((batch, 19, 9, fh, fw), jnp.float32)
 
-    def time_steps(step_fn, state0):
-        # train steps donate state: time by chaining steps. Warm up TWO
-        # steps: the second call pays a large one-time relayout cost for
-        # the donated-state signature on the tunneled TPU backend.
+    def time_steps(step_fn, state0, n_lo=3, n_hi=12):
+        # steps chain through the donated state, so device execution is
+        # serial; fetching the final loss (a scalar that depends on the
+        # full preceding chain) is the sync. Per-step time is the slope
+        # between two chain lengths, cancelling dispatch/fetch overhead.
         st, loss, _ = step_fn(state0, images, (cif_t, caf_t))
-        jax.block_until_ready(loss)
-        st, loss, _ = step_fn(st, images, (cif_t, caf_t))
-        jax.block_until_ready(loss)
-        n = 20
-        start = time.perf_counter()
-        for _ in range(n):
-            st, loss, _ = step_fn(st, images, (cif_t, caf_t))
-        # block on the FULL state: the scalar loss resolves before the
-        # parameter/optimizer updates finish
-        jax.block_until_ready(st)
-        return (time.perf_counter() - start) / n
+        float(loss)  # compile + warm
 
-    dt = time_steps(train_step, state)
+        def run_chain(n, st):
+            t0 = time.perf_counter()
+            loss = None
+            for _ in range(n):
+                st, loss, _ = step_fn(st, images, (cif_t, caf_t))
+            float(loss)
+            return time.perf_counter() - t0, st
+
+        t_lo, st = run_chain(n_lo, st)
+        t_hi, st = run_chain(n_hi, st)
+        return max((t_hi - t_lo) / (n_hi - n_lo), 1e-9)
+
+    dt = time_steps(train_step, fresh_state())
 
     # mixed-precision step (--bf16): backbone fwd+bwd in bfloat16
     train_step_bf16 = build_train_step(model, loss_fn, optimizer, schedule,
@@ -171,30 +201,34 @@ def main():
         config=CifCafDecoderConfig())
 
     forward = jax.jit(lambda v, im: model.apply(v, im, train=False))
-
-    nn_time, fields = time_fn(forward, variables, image)
+    fields = jax.block_until_ready(forward(variables, image))
     cif_shape = fields[0].shape  # (1, 17, 5, fh, fw)
     fh, fw = cif_shape[-2], cif_shape[-1]
+
+    nn_time = time_op(
+        lambda s: _tree_scalar(model.apply(variables, image + s * 1e-12,
+                                           train=False)))
 
     cif_syn, caf_syn = synthetic_fields(fh, fw, stride)
     cif_syn = jnp.asarray(cif_syn[None])
     caf_syn = jnp.asarray(caf_syn[None])
-    decode_time, decoded = time_fn(decoder, cif_syn, caf_syn)
+    decoded = decoder(cif_syn, caf_syn)
     n_poses = int(np.sum(np.asarray(decoded[1])))
+    decode_time = time_op(
+        lambda s: _tree_scalar(decoder(cif_syn + s * 1e-12, caf_syn)))
 
-    # batched serving throughput: batch 8 through forward + decode,
-    # measured EARLY — the tunneled backend shows order-of-magnitude
-    # timing degradation late in long processes. Two warmup calls (the
-    # backend pays a one-time relayout cost on the second call), then
-    # pipelined timing: enqueue n_iters and block once.
+    # batched serving throughput: batch 8 through forward + decode
     batch = 8
     images8 = jnp.asarray(rng.randn(batch, h, w, 3).astype(np.float32))
     cif8 = jnp.asarray(np.repeat(np.asarray(cif_syn), batch, axis=0))
     caf8 = jnp.asarray(np.repeat(np.asarray(caf_syn), batch, axis=0))
-    jax.block_until_ready(forward(variables, images8))
-    jax.block_until_ready(decoder(cif8, caf8))
-    nn8_time, _ = time_fn(forward, variables, images8, n_iters=10)
-    dec8_time, _ = time_fn(decoder, cif8, caf8, n_iters=10)
+    nn8_time = time_op(
+        lambda s: _tree_scalar(model.apply(variables, images8 + s * 1e-12,
+                                           train=False)),
+        n_lo=3, n_hi=9)
+    dec8_time = time_op(
+        lambda s: _tree_scalar(decoder(cif8 + s * 1e-12, caf8)),
+        n_lo=3, n_hi=9)
     batched_img_per_sec = batch / (nn8_time + dec8_time)
 
     # model FLOPs via XLA cost analysis -> effective compute utilization
@@ -212,7 +246,28 @@ def main():
     predictor.bf16 = True
     predictor.size_bucket = 0
     bf16_forward = predictor.forward_fn
-    nn_bf16_time, _ = time_fn(bf16_forward, variables, image)
+    nn_bf16_time = time_op(
+        lambda s: _tree_scalar(bf16_forward(variables, image + s * 1e-12)))
+
+    # 133-keypoint wholebody decode (the reference's largest field
+    # configuration) on the same 641px grid
+    wb = openpifpaf_tpu.datasets.factory('wholebody')
+    wb_cif_meta, wb_caf_meta = wb.head_metas
+    for m in (wb_cif_meta, wb_caf_meta):
+        m.base_stride = 16
+    wb_decoder = build_cifcaf_decoder(
+        stride=16, skeleton=wb_caf_meta.skeleton,
+        n_keypoints=len(wb_cif_meta.keypoints),
+        config=CifCafDecoderConfig())
+    wb_cif = jnp.asarray(
+        rng.rand(1, len(wb_cif_meta.keypoints), 5, fh, fw)
+        .astype(np.float32) * 0.3)
+    wb_caf = jnp.asarray(
+        rng.rand(1, len(wb_caf_meta.skeleton), 8, fh, fw)
+        .astype(np.float32) * 0.3)
+    wb_decode_time = time_op(
+        lambda s: _tree_scalar(wb_decoder(wb_cif + s * 1e-12, wb_caf)),
+        n_lo=2, n_hi=6)
 
     e2e = nn_time + decode_time
     img_per_sec = 1.0 / e2e
@@ -237,6 +292,7 @@ def main():
             'batch8_img_per_sec': round(batched_img_per_sec, 1),
             'batch8_nn_ms': round(nn8_time * 1e3, 3),
             'batch8_decode_ms': round(dec8_time * 1e3, 3),
+            'wholebody133_decode_ms': round(wb_decode_time * 1e3, 3),
         }}), file=sys.stderr)
 
 

@@ -11,9 +11,31 @@ with confidence 0 for suppressed cells — the blend step then runs as masked
 vectorized reductions over the full plane.
 """
 
+import jax
 import jax.numpy as jnp
 
 from .cifhr import cifhr_lookup
+
+
+def compact(cands, n_candidates):
+    """Keep the top-``n_candidates`` per directed edge by confidence.
+
+    The blend reductions in :mod:`grow` are linear in the candidate-axis
+    length, and after thresholding the dense (2E, H*W) planes are mostly
+    zeros (a person contributes ~12 cells per edge plane), so compacting to
+    a static top-K axis cuts the growth loop's bandwidth ~5x at 641px.
+    Results are identical whenever fewer than ``n_candidates`` cells of an
+    edge plane are active — the blend depends only on the *set* of active
+    candidates. Returns the same dict shape with axis 1 of length
+    ``n_candidates``.
+    """
+    c = cands['c']
+    k = min(int(n_candidates), c.shape[-1])
+    top_c, top_i = jax.lax.top_k(c, k)
+    out = {key: jnp.take_along_axis(v, top_i, axis=-1)
+           for key, v in cands.items() if key != 'c'}
+    out['c'] = top_c
+    return out
 
 
 def caf_scored(caf, hr, stride, skeleton, *, score_th=0.3, cif_floor=0.1,

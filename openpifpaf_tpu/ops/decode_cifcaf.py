@@ -66,6 +66,10 @@ class CifCafDecoderConfig:
     n_hr_cells: int = 256
     n_seeds: int = 256
     n_poses: int = 96
+    #: top-K compaction of the CAF candidate axis before growth
+    #: (0 = keep full dense planes); exact whenever fewer than this many
+    #: cells of a directed-edge plane pass the score threshold
+    n_caf_candidates: int = 256
     seed_nms: bool = True
     cifhr_impl: str = 'auto'
 
@@ -112,6 +116,8 @@ def decode_cifcaf_single(cif, caf, initial_poses=None, *, stride, skeleton,
         score_th=cfg.caf_score_th,
         cif_floor=cfg.caf_cif_floor,
         rescore=cfg.caf_rescore)
+    if cfg.n_caf_candidates:
+        caf_cands = caf_scored_mod.compact(caf_cands, cfg.n_caf_candidates)
 
     grow_kwargs = dict(
         only_max=cfg.connection_method == 'max',
@@ -167,6 +173,11 @@ def decode_cifcaf_single(cif, caf, initial_poses=None, *, stride, skeleton,
             score_th=cfg.force_complete_caf_th,
             cif_floor=cfg.caf_cif_floor,
             rescore=cfg.caf_rescore)
+        if cfg.n_caf_candidates:
+            # the near-zero threshold keeps many more cells active; use a
+            # wider budget for the completion pass
+            caf_low = caf_scored_mod.compact(
+                caf_low, 4 * cfg.n_caf_candidates)
         poses = grow_mod.grow_from_poses(
             caf_low, graph, poses,
             keypoint_threshold=cfg.keypoint_threshold,

@@ -105,7 +105,9 @@ def seed_nms(seeds, n_fields, hr_shape, *, n_keep, reduction=2.0,
         maxy = jnp.clip(jnp.floor(y + sigma), miny + 1, gh)
         window = ((ys_grid >= miny) & (ys_grid < maxy)
                   & (xs_grid >= minx) & (xs_grid < maxx))
-        occ = jnp.where(accept, occ.at[f].set(occ[f] | window), occ)
+        # OR-ing False leaves the plane unchanged, so folding ``accept``
+        # into the window avoids a full-grid select on rejected seeds
+        occ = occ.at[f].set(occ[f] | (window & accept))
         return occ, accept
 
     if occ0 is None:
