@@ -112,8 +112,17 @@ def _build_call(hr_h, hr_w, tile_h, tile_w):
 
 
 def accumulate_pallas(x, y, sigma, w, *, hr_h, hr_w, neighbors=16, factor=1.0,
-                      tile_h=128, tile_w=256):
+                      tile_h=None, tile_w=None):
     """Pallas CifHr accumulation. Same contract as
-    :func:`cifhr.accumulate_dense`."""
+    :func:`cifhr.accumulate_dense`.
+
+    Default tiling is one full field plane per program (1.2 MB VMEM at
+    641px): the kernel's per-cell bbox-cull loop runs on the scalar core,
+    so many small tiles are branch-overhead-bound (grid*K iterations);
+    one program per field runs K iterations total per field and lets the
+    few intersecting cells do vectorized full-plane accumulation.
+    """
     weight = w / neighbors * factor
+    tile_h = hr_h if tile_h is None else tile_h
+    tile_w = hr_w if tile_w is None else tile_w
     return _build_call(hr_h, hr_w, tile_h, tile_w)(x, y, sigma, weight)

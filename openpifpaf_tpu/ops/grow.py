@@ -63,6 +63,78 @@ def make_skeleton_graph(n_keypoints, skeleton) -> SkeletonGraph:
                          dir_reverse, adjacency, adjacency_valid)
 
 
+def blend_batch(cc, sx, sy, tx, ty, ts, x, y, s, *,
+                filter_sigmas=1.0, only_max=False):
+    """Top-2 candidate blend batched over directed edges (cifcaf.cpp:32-103).
+
+    Candidate arrays: (D, C); x, y, s: (..., D) with the leading batch axes
+    broadcasting against them. Returns (v, tx, ty, ts), each (..., D).
+
+    TPU formulation: scoring is elementwise over (..., D, C) and fuses into
+    the argmax reductions; the winner's values are extracted with one-hot
+    masked sums instead of gathers (TPU lowers general gathers to serialized
+    scalar loops — one-hot select/reduce stays on the VPU).
+    """
+    x = jnp.asarray(x)[..., None]
+    y = jnp.asarray(y)[..., None]
+    s = jnp.asarray(s)[..., None]
+
+    xy_scale = jnp.maximum(s, 0.5)
+    sigma_filter = filter_sigmas * xy_scale / 2.0
+    sigma2 = 0.25 * xy_scale * xy_scale
+
+    dx = sx - x
+    dy = sy - y
+    keep = ((cc > 0.0)
+            & (jnp.abs(dx) <= sigma_filter)
+            & (jnp.abs(dy) <= sigma_filter))
+    d2 = dx * dx + dy * dy
+    score = jnp.where(keep, jnp.exp(-0.5 * d2 / sigma2) * cc, 0.0)
+
+    n_cand = score.shape[-1]
+    iota = jnp.arange(n_cand)
+    i1 = jnp.argmax(score, axis=-1)
+    oh1 = iota == i1[..., None]
+    score_1 = jnp.sum(jnp.where(oh1, score, 0.0), axis=-1)
+    others = jnp.where(oh1, 0.0, score)
+    i2 = jnp.argmax(others, axis=-1)
+    oh2 = iota == i2[..., None]
+    score_2 = jnp.sum(jnp.where(oh2, others, 0.0), axis=-1)
+
+    def pick(a, oh):
+        return jnp.sum(jnp.where(oh, a, 0.0), axis=-1)
+
+    e1x, e1y = pick(tx, oh1), pick(ty, oh1)
+    e1s = jnp.maximum(0.0, pick(ts, oh1))
+    e2x, e2y = pick(tx, oh2), pick(ty, oh2)
+    e2s = jnp.maximum(0.0, pick(ts, oh2))
+
+    if only_max:
+        v = score_1
+        ox, oy, os_ = e1x, e1y, e1s
+    else:
+        blend_d2 = (e1x - e2x) ** 2 + (e1y - e2y) ** 2
+        use_single = ((score_2 < 0.01)
+                      | (score_2 < 0.5 * score_1)
+                      | (blend_d2 > (e1s ** 2) / 4.0))
+        total = score_1 + score_2
+        denom = jnp.maximum(total, 1e-12)
+        bx = (score_1 * e1x + score_2 * e2x) / denom
+        by = (score_1 * e1y + score_2 * e2y) / denom
+        bs = (score_1 * e1s + score_2 * e2s) / denom
+        v = jnp.where(use_single, 0.5 * score_1, 0.5 * total)
+        ox = jnp.where(use_single, e1x, bx)
+        oy = jnp.where(use_single, e1y, by)
+        os_ = jnp.where(use_single, e1s, bs)
+
+    invalid = score_1 == 0.0
+    v = jnp.where(invalid, 0.0, v)
+    ox = jnp.where(invalid, 0.0, ox)
+    oy = jnp.where(invalid, 0.0, oy)
+    os_ = jnp.where(invalid, 0.0, os_)
+    return v, ox, oy, os_
+
+
 def grow_connection_blend(caf, d, x, y, s, *, filter_sigmas=1.0, only_max=False):
     """Blend of the top-2 candidates of directed edge ``d`` near source (x, y).
 
@@ -169,21 +241,10 @@ def grow_from_pose(caf, graph: SkeletonGraph, pose0, *,
     dir_start = jnp.asarray(graph.dir_start)
     dir_end = jnp.asarray(graph.dir_end)
     dir_reverse = jnp.asarray(graph.dir_reverse)
-    adjacency = jnp.asarray(graph.adjacency)
-    adjacency_valid = jnp.asarray(graph.adjacency_valid)
     graph_arrays = (dir_start, dir_end, dir_reverse)
-
-    def eval_edges(pose, edges, valid):
-        def one(d, is_valid):
-            v, x, y, s = connection_value(
-                caf, graph_arrays, pose, jnp.minimum(d, n_dir - 1),
-                keypoint_threshold=keypoint_threshold,
-                keypoint_threshold_rel=keypoint_threshold_rel,
-                reverse_match=reverse_match, filter_sigmas=filter_sigmas,
-                only_max=only_max)
-            v = jnp.where(is_valid, v, 0.0)
-            return jnp.stack([v, x, y, s])
-        return jax.vmap(one)(edges, valid)
+    # reverse-directed candidate planes: a static half-swap of the
+    # concatenated forward/backward layout, gathered once outside the loop
+    caf_rev = {k: v[graph.dir_reverse] for k, v in caf.items()}
 
     def eval_one(pose, d):
         v, x, y, s = connection_value(
@@ -194,13 +255,38 @@ def grow_from_pose(caf, graph: SkeletonGraph, pose0, *,
             only_max=only_max)
         return jnp.stack([v, x, y, s])
 
-    def update_cache(cache, pose, joint):
-        edges = adjacency[joint]
-        valid = adjacency_valid[joint]
-        new_vals = eval_edges(pose, edges, valid)
-        safe_edges = jnp.where(valid, edges, n_dir)
-        return cache.at[safe_edges].set(
-            jnp.where(valid[:, None], new_vals, cache[safe_edges]))
+    def eval_all_edges(pose):
+        """Connection values of ALL directed edges at once: (n_dir, 4).
+
+        Committed joints are immutable, so re-evaluating an edge yields
+        exactly the value a lazily-refreshed cache would hold — this dense
+        pass replaces the reference's per-edge frontier bookkeeping
+        (``cifcaf.cpp:309-346``) with static-shape VPU work (no gathers
+        beyond the tiny pose-row lookup).
+        """
+        sv = pose[dir_start, 0]
+        sx = pose[dir_start, 1]
+        sy = pose[dir_start, 2]
+        ss = pose[dir_start, 3]
+
+        nv, nx, ny, ns = blend_batch(
+            caf['c'], caf['sx'], caf['sy'], caf['tx'], caf['ty'], caf['ts'],
+            sx, sy, ss, filter_sigmas=filter_sigmas, only_max=only_max)
+
+        v = jnp.sqrt(nv * sv)
+        ok = ((nv > 0.0) & (v >= keypoint_threshold)
+              & (v >= sv * keypoint_threshold_rel))
+
+        if reverse_match:
+            rv, rx, ry, _ = blend_batch(
+                caf_rev['c'], caf_rev['sx'], caf_rev['sy'],
+                caf_rev['tx'], caf_rev['ty'], caf_rev['ts'],
+                nx, ny, ns, filter_sigmas=filter_sigmas, only_max=only_max)
+            rev_ok = (rv > 0.0) & (jnp.abs(sx - rx) + jnp.abs(sy - ry) <= ss)
+            ok = ok & rev_ok
+
+        v = jnp.where(ok & (sv > 0.0), v, 0.0)
+        return jnp.stack([v, nx, ny, ns], axis=-1)
 
     if greedy:
         # greedy mode (cifcaf.cpp:298-307 with greedy=True): pick the
@@ -232,39 +318,29 @@ def grow_from_pose(caf, graph: SkeletonGraph, pose0, *,
         return _apply_block_joints(pose, dir_start, dir_end,
                                    n_kp) if block_joints else pose
 
-    # non-greedy: evaluate-all / commit-global-argmax fixpoint
-    cache0 = jnp.zeros((n_dir + 1, 4))
-
-    def init_cache(cache, j):
-        filled = pose0[j, 0] > 0.0
-        edges = adjacency[j]
-        valid = adjacency_valid[j] & filled
-        new_vals = eval_edges(pose0, edges, valid)
-        safe_edges = jnp.where(valid, edges, n_dir)
-        return cache.at[safe_edges].set(
-            jnp.where(valid[:, None], new_vals, cache[safe_edges])), None
-
-    cache0, _ = jax.lax.scan(init_cache, cache0, jnp.arange(n_kp))
-
+    # non-greedy: evaluate-all / commit-global-argmax fixpoint. A frontier
+    # edge's value depends only on its committed (immutable) source joint,
+    # so a dense re-evaluation each round selects exactly the edge the
+    # reference's lazily-refreshed priority queue pops.
     def body(state):
-        pose, cache, step, _ = state
+        pose, step, _ = state
+        vals = eval_all_edges(pose)
         target_empty = pose[dir_end, 0] == 0.0
-        cand = jnp.where(target_empty, cache[:n_dir, 0], 0.0)
+        cand = jnp.where(target_empty, vals[:, 0], 0.0)
         best = jnp.argmax(cand)
         best_v = cand[best]
 
         commit = best_v > 0.0
         new_joint = dir_end[best]
-        pose = jnp.where(commit, pose.at[new_joint].set(cache[best]), pose)
-        cache = jnp.where(commit, update_cache(cache, pose, new_joint), cache)
-        return pose, cache, step + 1, commit
+        pose = jnp.where(commit, pose.at[new_joint].set(vals[best]), pose)
+        return pose, step + 1, commit
 
     def cond(state):
-        _, _, step, alive = state
+        _, step, alive = state
         return alive & (step < n_kp)
 
-    state0 = (pose0, cache0, jnp.int32(0), jnp.array(True))
-    pose, _, _, _ = jax.lax.while_loop(cond, body, state0)
+    state0 = (pose0, jnp.int32(0), jnp.array(True))
+    pose, _, _ = jax.lax.while_loop(cond, body, state0)
     return _apply_block_joints(pose, dir_start, dir_end,
                                n_kp) if block_joints else pose
 

@@ -74,6 +74,14 @@ def seed_nms(seeds, n_fields, hr_shape, *, n_keep, reduction=2.0,
     suppressed by the reference's cross-joint occupancy are instead removed by
     the final keypoint NMS.
 
+    The greedy scan only ever *point*-queries the occupancy grid, so it is
+    equivalent to a pairwise relation: seed j is rejected iff an accepted
+    earlier seed i of the same field covers j's cell with its window. The
+    acceptance closure of that relation is computed by fixpoint iteration
+    (``accept_j = valid_j & !any(accept_i & covers[i, j])``), which converges
+    to the sequential-greedy result in suppression-chain-depth rounds
+    (typically 2-4) instead of one scan step per seed.
+
     Returns indices (n_keep,) into the seed arrays of accepted seeds, in
     descending score order, and a validity mask.
     """
@@ -82,37 +90,42 @@ def seed_nms(seeds, n_fields, hr_shape, *, n_keep, reduction=2.0,
     gw = int(ws / reduction) + 1
     n = seeds['v'].shape[0]
 
-    ys_grid = jnp.arange(gh, dtype=jnp.float32)[:, None]
-    xs_grid = jnp.arange(gw, dtype=jnp.float32)[None, :]
+    f = seeds['f']
+    v = seeds['v']
+    x = seeds['x'] / reduction
+    y = seeds['y'] / reduction
+    sigma = jnp.maximum(min_scale / reduction, seeds['s'] / reduction)
 
-    def body(carry, i):
-        occ = carry
-        f = seeds['f'][i]
-        v = seeds['v'][i]
-        x = seeds['x'][i] / reduction
-        y = seeds['y'][i] / reduction
-        sigma = jnp.maximum(min_scale / reduction, seeds['s'][i] / reduction)
+    # grid cell each seed queries, and the window each accepted seed marks
+    # ([x - sigma, x + sigma) like Occupancy::set, clamped to the grid)
+    xi = jnp.clip(x.astype(jnp.int32), 0, gw - 1).astype(jnp.float32)
+    yi = jnp.clip(y.astype(jnp.int32), 0, gh - 1).astype(jnp.float32)
+    minx = jnp.clip(jnp.floor(x - sigma), 0, gw - 1)
+    maxx = jnp.clip(jnp.floor(x + sigma), minx + 1, gw)
+    miny = jnp.clip(jnp.floor(y - sigma), 0, gh - 1)
+    maxy = jnp.clip(jnp.floor(y + sigma), miny + 1, gh)
 
-        xi = jnp.clip(x.astype(jnp.int32), 0, gw - 1)
-        yi = jnp.clip(y.astype(jnp.int32), 0, gh - 1)
-        occupied = occ[f, yi, xi]
-        accept = (v > 0.0) & ~occupied
+    # covers[i, j]: would accepted seed i suppress seed j?
+    covers = ((f[:, None] == f[None, :])
+              & (xi[None, :] >= minx[:, None]) & (xi[None, :] < maxx[:, None])
+              & (yi[None, :] >= miny[:, None]) & (yi[None, :] < maxy[:, None])
+              & (jnp.arange(n)[:, None] < jnp.arange(n)[None, :]))
 
-        # mark the window [x - sigma, x + sigma) like Occupancy::set
-        minx = jnp.clip(jnp.floor(x - sigma), 0, gw - 1)
-        maxx = jnp.clip(jnp.floor(x + sigma), minx + 1, gw)
-        miny = jnp.clip(jnp.floor(y - sigma), 0, gh - 1)
-        maxy = jnp.clip(jnp.floor(y + sigma), miny + 1, gh)
-        window = ((ys_grid >= miny) & (ys_grid < maxy)
-                  & (xs_grid >= minx) & (xs_grid < maxx))
-        # OR-ing False leaves the plane unchanged, so folding ``accept``
-        # into the window avoids a full-grid select on rejected seeds
-        occ = occ.at[f].set(occ[f] | (window & accept))
-        return occ, accept
+    valid = v > 0.0
+    if occ0 is not None:
+        # pre-marked occupancy (e.g. tracked poses): a plain point query
+        xq = jnp.clip(x.astype(jnp.int32), 0, gw - 1)
+        yq = jnp.clip(y.astype(jnp.int32), 0, gh - 1)
+        valid = valid & ~occ0[f, yq, xq]
 
-    if occ0 is None:
-        occ0 = jnp.zeros((n_fields, gh, gw), dtype=bool)
-    _, accepted = jax.lax.scan(body, occ0, jnp.arange(n))
+    def body(state):
+        accept, _ = state
+        new = valid & ~jnp.any(accept[:, None] & covers, axis=0)
+        return new, jnp.any(new != accept)
+
+    accept0 = valid
+    accepted, _ = jax.lax.while_loop(
+        lambda st: st[1], body, (accept0, jnp.array(True)))
 
     # stable top-n_keep accepted seeds: seeds are already sorted by v desc
     order_score = jnp.where(accepted, -jnp.arange(n, dtype=jnp.float32), -jnp.inf)
