@@ -29,26 +29,38 @@ def make_metas(stride=8):
     return cif, caf
 
 
-def synthetic_person(cx, cy, height, rng=None):
-    """COCO keypoints for an upright person centered at (cx, cy)."""
-    pose = constants.COCO_UPRIGHT_POSE.copy()
-    scale_f = height / 9.7
-    kps = np.zeros((17, 3), dtype=np.float32)
+def synthetic_person(cx, cy, height, rng=None, pose=None):
+    """Keypoints for an upright person centered at (cx, cy).
+
+    pose: (n_kp, 3) canonical upright pose (default COCO's 17-keypoint
+    pose); any meta's ``pose`` constant works, e.g. wholebody's 133.
+    """
+    if pose is None:
+        pose = constants.COCO_UPRIGHT_POSE.copy()
+        y_half, y_span = 9.7 / 2, 9.7
+    else:
+        pose = np.asarray(pose, dtype=np.float32).copy()
+        y_min, y_max = pose[:, 1].min(), pose[:, 1].max()
+        y_half, y_span = (y_min + y_max) / 2, y_max - y_min
+    scale_f = height / y_span
+    n_kp = pose.shape[0]
+    kps = np.zeros((n_kp, 3), dtype=np.float32)
     kps[:, 0] = cx + pose[:, 0] * scale_f
-    kps[:, 1] = cy + (9.7 / 2 - pose[:, 1]) * scale_f
+    kps[:, 1] = cy + (y_half - pose[:, 1]) * scale_f
     kps[:, 2] = 2.0
     if rng is not None:
-        kps[:, :2] += rng.uniform(-1.0, 1.0, size=(17, 2))
+        kps[:, :2] += rng.uniform(-1.0, 1.0, size=(n_kp, 2))
     return kps
 
 
-def fields_from_annotations(anns, image_hw, stride=8):
+def fields_from_annotations(anns, image_hw, stride=8, metas=None):
     """Encode annotations and convert targets to decoded-field layout.
 
-    Returns (cif_field (17,5,H,W), caf_field (19,8,H,W)) ready for the
-    decoder, plus the metas.
+    Returns (cif_field (F,5,H,W), caf_field (E,8,H,W)) ready for the
+    decoder, plus the metas. ``metas`` defaults to the COCO-17 test metas;
+    pass any (Cif, Caf) pair (e.g. a datamodule's) for other skeletons.
     """
-    cif_meta, caf_meta = make_metas(stride)
+    cif_meta, caf_meta = make_metas(stride) if metas is None else metas
     image = np.zeros((image_hw[0], image_hw[1], 3), dtype=np.float32)
     meta = {}
 
