@@ -17,29 +17,8 @@ import jax.numpy as jnp
 from .cifhr import cifhr_lookup
 
 
-def compact(cands, n_candidates):
-    """Keep the top-``n_candidates`` per directed edge by confidence.
-
-    The blend reductions in :mod:`grow` are linear in the candidate-axis
-    length, and after thresholding the dense (2E, H*W) planes are mostly
-    zeros (a person contributes ~12 cells per edge plane), so compacting to
-    a static top-K axis cuts the growth loop's bandwidth ~5x at 641px.
-    Results are identical whenever fewer than ``n_candidates`` cells of an
-    edge plane are active — the blend depends only on the *set* of active
-    candidates. Returns the same dict shape with axis 1 of length
-    ``n_candidates``.
-    """
-    c = cands['c']
-    k = min(int(n_candidates), c.shape[-1])
-    top_c, top_i = jax.lax.top_k(c, k)
-    out = {key: jnp.take_along_axis(v, top_i, axis=-1)
-           for key, v in cands.items() if key != 'c'}
-    out['c'] = top_c
-    return out
-
-
 def caf_scored(caf, hr, stride, skeleton, *, score_th=0.3, cif_floor=0.1,
-               rescore=True):
+               rescore=True, n_candidates=0):
     """Build dense directed association candidates.
 
     caf: (E, 8, H, W) decoded field [logb, c, x1, y1, x2, y2, s1, s2].
@@ -52,6 +31,12 @@ def caf_scored(caf, hr, stride, skeleton, *, score_th=0.3, cif_floor=0.1,
       tx, ty, ts  — target-end position and scale (hi-res px)
     Directed edge d in [0, E) is forward on skeleton edge d; d in [E, 2E) is
     backward on skeleton edge d - E.
+
+    n_candidates > 0 compacts each edge plane to its top-K cells by raw
+    confidence BEFORE the CifHr rescoring gathers run, so the candidate
+    axis is K instead of H*W everywhere downstream (and the rescore
+    point-lookups shrink ~5x at 641px). Exact whenever fewer than K cells
+    of an edge pass the threshold — a person activates ~12 per plane.
     """
     n_edges, _, h, w = caf.shape
     hw = h * w
@@ -64,16 +49,24 @@ def caf_scored(caf, hr, stride, skeleton, *, score_th=0.3, cif_floor=0.1,
     s1 = caf[:, 6].reshape(n_edges, hw) * stride
     s2 = caf[:, 7].reshape(n_edges, hw) * stride
 
-    base_mask = c >= score_th
+    if n_candidates and n_candidates < hw:
+        k = int(n_candidates)
+        c_masked = jnp.where(c >= score_th, c, 0.0)
+        c, idx = jax.lax.top_k(c_masked, k)
+        take = lambda a: jnp.take_along_axis(a, idx, axis=-1)
+        x1, y1, x2, y2, s1, s2 = (take(a) for a in (x1, y1, x2, y2, s1, s2))
+        base_mask = c > 0.0
+    else:
+        base_mask = c >= score_th
 
     skeleton = jnp.asarray(skeleton, dtype=jnp.int32)
     j1 = (skeleton[:, 0] - 1)[:, None]  # (E, 1)
     j2 = (skeleton[:, 1] - 1)[:, None]
 
     if rescore:
-        fwd_hr = cifhr_lookup(hr, jnp.broadcast_to(j2, (n_edges, hw)), x2, y2,
+        fwd_hr = cifhr_lookup(hr, jnp.broadcast_to(j2, c.shape), x2, y2,
                               default=0.0)
-        bwd_hr = cifhr_lookup(hr, jnp.broadcast_to(j1, (n_edges, hw)), x1, y1,
+        bwd_hr = cifhr_lookup(hr, jnp.broadcast_to(j1, c.shape), x1, y1,
                               default=0.0)
         c_fwd = c * (cif_floor + (1.0 - cif_floor) * fwd_hr)
         c_bwd = c * (cif_floor + (1.0 - cif_floor) * bwd_hr)

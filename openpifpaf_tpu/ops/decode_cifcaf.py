@@ -115,9 +115,8 @@ def decode_cifcaf_single(cif, caf, initial_poses=None, *, stride, skeleton,
         caf, hr, stride, skeleton,
         score_th=cfg.caf_score_th,
         cif_floor=cfg.caf_cif_floor,
-        rescore=cfg.caf_rescore)
-    if cfg.n_caf_candidates:
-        caf_cands = caf_scored_mod.compact(caf_cands, cfg.n_caf_candidates)
+        rescore=cfg.caf_rescore,
+        n_candidates=cfg.n_caf_candidates)
 
     grow_kwargs = dict(
         only_max=cfg.connection_method == 'max',
@@ -168,16 +167,14 @@ def decode_cifcaf_single(cif, caf, initial_poses=None, *, stride, skeleton,
             poses = jnp.where(pre_keep[:, None, None], poses, 0.0)
         # second grow pass on low-threshold candidates, no reverse match,
         # wide filter window (cifcaf.cpp:414-426), then flood fill
+        # the near-zero threshold keeps many more cells active; use a
+        # wider budget for the completion pass
         caf_low = caf_scored_mod.caf_scored(
             caf, hr, stride, skeleton,
             score_th=cfg.force_complete_caf_th,
             cif_floor=cfg.caf_cif_floor,
-            rescore=cfg.caf_rescore)
-        if cfg.n_caf_candidates:
-            # the near-zero threshold keeps many more cells active; use a
-            # wider budget for the completion pass
-            caf_low = caf_scored_mod.compact(
-                caf_low, 4 * cfg.n_caf_candidates)
+            rescore=cfg.caf_rescore,
+            n_candidates=4 * cfg.n_caf_candidates)
         poses = grow_mod.grow_from_poses(
             caf_low, graph, poses,
             keypoint_threshold=cfg.keypoint_threshold,
