@@ -46,7 +46,7 @@ def synthetic_fields(h_cells, w_cells, stride):
     return cif, caf
 
 
-def time_op(body, n_lo=4, n_hi=16, repeats=3):
+def time_op(body, n_lo=4, n_hi=16, repeats=5):
     """Per-iteration device time of ``body`` (scalar -> scalar).
 
     body must consume and produce a float32 scalar with a real data
@@ -139,11 +139,12 @@ def bench_train():
     cif_t = jnp.zeros((batch, 17, 5, fh, fw), jnp.float32)
     caf_t = jnp.zeros((batch, 19, 9, fh, fw), jnp.float32)
 
-    def time_steps(step_fn, state0, n_lo=3, n_hi=12):
+    def time_steps(step_fn, state0, n_lo=3, n_hi=12, repeats=3):
         # steps chain through the donated state, so device execution is
         # serial; fetching the final loss (a scalar that depends on the
         # full preceding chain) is the sync. Per-step time is the slope
-        # between two chain lengths, cancelling dispatch/fetch overhead.
+        # between two chain lengths, cancelling dispatch/fetch overhead;
+        # median over repeats rejects tunnel interference spikes.
         st, loss, _ = step_fn(state0, images, (cif_t, caf_t))
         float(loss)  # compile + warm
 
@@ -155,9 +156,12 @@ def bench_train():
             float(loss)
             return time.perf_counter() - t0, st
 
-        t_lo, st = run_chain(n_lo, st)
-        t_hi, st = run_chain(n_hi, st)
-        return max((t_hi - t_lo) / (n_hi - n_lo), 1e-9)
+        slopes = []
+        for _ in range(repeats):
+            t_lo, st = run_chain(n_lo, st)
+            t_hi, st = run_chain(n_hi, st)
+            slopes.append((t_hi - t_lo) / (n_hi - n_lo))
+        return max(float(np.median(slopes)), 1e-9)
 
     dt = time_steps(train_step, fresh_state())
 

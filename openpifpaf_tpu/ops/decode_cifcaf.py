@@ -213,13 +213,22 @@ def build_cifcaf_decoder(*, stride: int, skeleton,
         decode_cifcaf_single,
         stride=stride, skeleton=skeleton, config=config, graph=graph)
 
+    # batch 1 (the predict/video path) skips the vmap: under vmap every
+    # lax.cond in the pipeline degrades to a select that computes both
+    # branches, which defeats the empty-lane-chunk skipping in grow
     if with_initial_annotations:
         @jax.jit
         def decode(cif, caf, initial_poses):
+            if cif.shape[0] == 1:
+                p, k, o = single(cif[0], caf[0], initial_poses[0])
+                return p[None], k[None], o[None]
             return jax.vmap(single)(cif, caf, initial_poses)
     else:
         @jax.jit
         def decode(cif, caf):
+            if cif.shape[0] == 1:
+                p, k, o = single(cif[0], caf[0])
+                return p[None], k[None], o[None]
             return jax.vmap(single)(cif, caf)
 
     return decode

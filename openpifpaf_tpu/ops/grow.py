@@ -361,25 +361,65 @@ def grow_pose(caf, graph: SkeletonGraph, seed_f, seed_v, seed_x, seed_y, seed_s,
     return grow_from_pose(caf, graph, pose0, **kwargs)
 
 
-def grow_poses(caf, graph: SkeletonGraph, seeds, **kwargs):
+def grow_poses(caf, graph: SkeletonGraph, seeds, *, lane_chunk=32, **kwargs):
     """vmap of :func:`grow_pose` over a seed set dict (arrays of equal length).
 
-    Seeds with v == 0 produce all-zero poses.
+    Seeds with v == 0 produce all-zero poses. Seeds arrive score-sorted
+    (valid prefix first), so growth runs in chunks of ``lane_chunk`` lanes
+    with every chunk beyond the first guarded by a ``lax.cond`` — a scene
+    with 6 poses only pays for the first chunk of the static ``n_poses``
+    budget. (Under a batch vmap the cond degrades to a select, which
+    matches the old always-grow behavior.)
     """
-    def one(f, v, x, y, s):
-        pose = grow_pose(caf, graph, f, v, x, y, s, **kwargs)
-        return jnp.where(v > 0.0, pose, jnp.zeros_like(pose))
-    return jax.vmap(one)(seeds['f'], seeds['v'], seeds['x'], seeds['y'],
-                         seeds['s'])
+    def chunk(sl):
+        def one(f, v, x, y, s):
+            pose = grow_pose(caf, graph, f, v, x, y, s, **kwargs)
+            return jnp.where(v > 0.0, pose, jnp.zeros_like(pose))
+        return jax.vmap(one)(sl['f'], sl['v'], sl['x'], sl['y'], sl['s'])
+
+    n = seeds['v'].shape[0]
+    if not lane_chunk or n <= lane_chunk:
+        return chunk(seeds)
+    outs = []
+    for start in range(0, n, lane_chunk):
+        sl = {k: v[start:start + lane_chunk] for k, v in seeds.items()}
+        if start == 0:
+            outs.append(chunk(sl))
+        else:
+            outs.append(jax.lax.cond(
+                jnp.any(sl['v'] > 0.0), chunk,
+                lambda s: jnp.zeros(
+                    (s['v'].shape[0], graph.n_keypoints, 4)), sl))
+    return jnp.concatenate(outs, axis=0)
 
 
-def grow_from_poses(caf, graph: SkeletonGraph, poses, **kwargs):
-    """vmap of :func:`grow_from_pose` over (K, n_kp, 4) initial poses."""
-    def one(pose0):
-        grown = grow_from_pose(caf, graph, pose0, **kwargs)
-        any_filled = jnp.any(pose0[:, 0] > 0.0)
-        return jnp.where(any_filled, grown, jnp.zeros_like(grown))
-    return jax.vmap(one)(poses)
+def grow_from_poses(caf, graph: SkeletonGraph, poses, *, lane_chunk=32,
+                    **kwargs):
+    """vmap of :func:`grow_from_pose` over (K, n_kp, 4) initial poses.
+
+    Chunked like :func:`grow_poses`: all-empty lane chunks are skipped
+    behind a ``lax.cond``.
+    """
+    def chunk(pp):
+        def one(pose0):
+            grown = grow_from_pose(caf, graph, pose0, **kwargs)
+            any_filled = jnp.any(pose0[:, 0] > 0.0)
+            return jnp.where(any_filled, grown, jnp.zeros_like(grown))
+        return jax.vmap(one)(pp)
+
+    n = poses.shape[0]
+    if not lane_chunk or n <= lane_chunk:
+        return chunk(poses)
+    outs = []
+    for start in range(0, n, lane_chunk):
+        pp = poses[start:start + lane_chunk]
+        if start == 0:
+            outs.append(chunk(pp))
+        else:
+            outs.append(jax.lax.cond(
+                jnp.any(pp[:, :, 0] > 0.0), chunk,
+                lambda p: jnp.zeros_like(p), pp))
+    return jnp.concatenate(outs, axis=0)
 
 
 def flood_fill_pose(graph: SkeletonGraph, pose):
