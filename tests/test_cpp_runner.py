@@ -1,8 +1,8 @@
-"""Standalone C++ deployment runner (cpp/) end-to-end.
+"""Standalone C++ deployment runners (cpp/) end-to-end.
 
 Counterpart of the reference ``tests/test_cmake.py``: cmake-build the C++
-CLI, export a SavedModel with the in-graph decoder, and run JPEG -> poses
-with no Python in the serving path.
+CLIs, export a SavedModel with the in-graph decoder, and run JPEG -> poses
+(and video -> per-frame poses) with no Python in the serving path.
 """
 
 import json
@@ -17,23 +17,24 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 FIXTURE_IMAGE = '/root/reference/tests/coco/images/puppy_dog.jpg'
 
 
-@pytest.mark.skipif(shutil.which('cmake') is None, reason='cmake not found')
-def test_cmake_build_and_run(tmp_path):
+@pytest.fixture(scope='module')
+def cpp_build(tmp_path_factory):
+    """cmake-build the runners and export a small SavedModel once."""
+    if shutil.which('cmake') is None:
+        pytest.skip('cmake not found')
     pytest.importorskip('tensorflow')
     if not os.path.exists(FIXTURE_IMAGE):
         pytest.skip('fixture image not available')
 
+    tmp_path = tmp_path_factory.mktemp('cpp')
     build_dir = tmp_path / 'build'
     subprocess.run(
         ['cmake', '-B', str(build_dir), '-S', os.path.join(ROOT, 'cpp')],
         check=True, capture_output=True)
     subprocess.run(
-        ['cmake', '--build', str(build_dir)],
+        ['cmake', '--build', str(build_dir), '-j'],
         check=True, capture_output=True)
-    binary = build_dir / 'openpifpaf-tpu-image'
-    assert binary.exists()
 
-    # export a small SavedModel with the decoder in-graph
     sm_dir = str(tmp_path / 'savedmodel')
     subprocess.run(
         [sys.executable, '-m', 'openpifpaf_tpu.export',
@@ -43,6 +44,13 @@ def test_cmake_build_and_run(tmp_path):
          '--outfile', sm_dir],
         check=True, capture_output=True, cwd=ROOT,
         env=dict(os.environ, JAX_PLATFORMS='cpu'))
+    return build_dir, sm_dir
+
+
+def test_cpp_image_runner(cpp_build):
+    build_dir, sm_dir = cpp_build
+    binary = build_dir / 'openpifpaf-tpu-image'
+    assert binary.exists()
 
     out = subprocess.run(
         [str(binary), '--model', sm_dir,
@@ -57,3 +65,34 @@ def test_cmake_build_and_run(tmp_path):
     for pred in result['predictions']:
         assert 'score' in pred
         assert len(pred['keypoints']) == 17 * 3
+
+
+def test_cpp_video_runner(cpp_build, tmp_path):
+    build_dir, sm_dir = cpp_build
+    binary = build_dir / 'openpifpaf-tpu-video'
+    if not binary.exists():
+        pytest.skip('OpenCV not available: video runner not built')
+
+    cv2 = pytest.importorskip('cv2')
+    import numpy as np
+    video_path = str(tmp_path / 'clip.avi')
+    writer = cv2.VideoWriter(
+        video_path, cv2.VideoWriter_fourcc(*'MJPG'), 10.0, (129, 97))
+    rng = np.random.RandomState(0)
+    for _ in range(3):
+        writer.write(rng.randint(0, 255, (97, 129, 3), dtype=np.uint8))
+    writer.release()
+
+    rendered = str(tmp_path / 'out.avi')
+    out = subprocess.run(
+        [str(binary), '--model', sm_dir, '--source', video_path,
+         '--input-height', '97', '--input-width', '129',
+         '--max-frames', '2', '--video-output', rendered],
+        check=True, capture_output=True, text=True)
+    lines = out.stdout.strip().splitlines()
+    assert len(lines) == 2
+    for i, line in enumerate(lines):
+        result = json.loads(line)
+        assert result['frame'] == i
+        assert isinstance(result['predictions'], list)
+    assert os.path.exists(rendered)
