@@ -21,6 +21,7 @@ transfer overhead cancel in the subtraction.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -29,20 +30,33 @@ import numpy as np
 BASELINE_IMG_PER_SEC = 25.0  # reference shufflenetv2k16, GTX1080Ti, 641px
 
 
-def synthetic_fields(h_cells, w_cells, stride):
-    sys.path.insert(0, 'tests')
+def _field_fixtures():
+    tests_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             'tests')
+    if tests_dir not in sys.path:
+        sys.path.insert(0, tests_dir)
     import field_fixtures
+    return field_fixtures
 
-    rng = np.random.RandomState(0)
+
+def synthetic_fields(h_cells, w_cells, stride, *, pose=None, metas=None,
+                     seed=0):
+    """Six synthetic people on a 3x2 grid, encoded to decoded-field layout.
+
+    pose/metas switch the skeleton (default COCO-17; pass a datamodule's
+    metas e.g. for the 133-keypoint wholebody configuration).
+    """
+    field_fixtures = _field_fixtures()
+    rng = np.random.RandomState(seed)
     anns = []
     for i in range(6):
         cx = 40 + (i % 3) * ((w_cells - 1) * stride - 80) / 2.0
         cy = 60 + (i // 3) * ((h_cells - 1) * stride - 120) / 1.0
         anns.append(field_fixtures.annotation_dict(
-            field_fixtures.synthetic_person(cx, cy, 120.0, rng)))
+            field_fixtures.synthetic_person(cx, cy, 120.0, rng, pose=pose)))
     cif, caf, _ = field_fixtures.fields_from_annotations(
         anns, ((h_cells - 1) * stride + 1, (w_cells - 1) * stride + 1),
-        stride=stride)
+        stride=stride, metas=metas)
     return cif, caf
 
 
@@ -257,7 +271,6 @@ def main():
 
     # 133-keypoint wholebody decode (the reference's largest field
     # configuration): a realistic 6-person scene on the same 641px grid
-    import field_fixtures
     wb = openpifpaf_tpu.datasets.factory('wholebody')
     wb_cif_meta, wb_caf_meta = wb.head_metas
     for m in (wb_cif_meta, wb_caf_meta):
@@ -266,17 +279,9 @@ def main():
         stride=16, skeleton=wb_caf_meta.skeleton,
         n_keypoints=len(wb_cif_meta.keypoints),
         config=CifCafDecoderConfig())
-    wb_anns = []
-    for i in range(6):
-        cx = 40 + (i % 3) * ((fw - 1) * stride - 80) / 2.0
-        cy = 60 + (i // 3) * ((fh - 1) * stride - 120) / 1.0
-        wb_anns.append(field_fixtures.annotation_dict(
-            field_fixtures.synthetic_person(
-                cx, cy, 120.0, rng=np.random.RandomState(1),
-                pose=wb_cif_meta.pose)))
-    wb_cif, wb_caf, _ = field_fixtures.fields_from_annotations(
-        wb_anns, ((fh - 1) * stride + 1, (fw - 1) * stride + 1),
-        stride=16, metas=(wb_cif_meta, wb_caf_meta))
+    wb_cif, wb_caf = synthetic_fields(
+        fh, fw, stride, pose=wb_cif_meta.pose,
+        metas=(wb_cif_meta, wb_caf_meta), seed=1)
     wb_cif = jnp.asarray(wb_cif[None])
     wb_caf = jnp.asarray(wb_caf[None])
     wb_poses = int(np.sum(np.asarray(wb_decoder(wb_cif, wb_caf)[1])))

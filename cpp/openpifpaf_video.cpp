@@ -15,15 +15,14 @@
 //   {"frame": i, "predictions": [{"score": s, "keypoints": [x,y,v, ...]}]}
 // With --video-output, additionally writes frames with skeleton overlays.
 
-#include <tensorflow/c/c_api.h>
+#include "runner_common.hpp"
 
 #include <opencv2/core.hpp>
 #include <opencv2/imgproc.hpp>
 #include <opencv2/videoio.hpp>
 
-#include <cstdint>
+#include <algorithm>
 #include <cstdio>
-#include <cstring>
 #include <string>
 #include <vector>
 
@@ -37,13 +36,6 @@ constexpr int kSkeleton[][2] = {
     {16, 14}, {14, 12}, {17, 15}, {15, 13}, {12, 13}, {6, 12}, {7, 13},
     {6, 7},   {6, 8},   {7, 9},   {8, 10},  {9, 11},  {2, 3},  {1, 2},
     {1, 3},   {2, 4},   {3, 5},   {4, 6},   {5, 7}};
-
-void check(TF_Status* status, const char* what) {
-    if (TF_GetCode(status) != TF_OK) {
-        std::fprintf(stderr, "error: %s: %s\n", what, TF_Message(status));
-        std::exit(1);
-    }
-}
 
 struct Args {
     std::string model_dir;
@@ -99,38 +91,39 @@ Args parse_args(int argc, char** argv) {
     return a;
 }
 
-struct Pose {
-    float score;
-    std::vector<float> kps;  // x, y, v triples in original pixels
-};
+void draw_poses(cv::Mat* frame, const std::vector<pifpaf::Pose>& found,
+                int n_kp, float keypoint_threshold) {
+    for (const pifpaf::Pose& pose : found) {
+        if (n_kp == 17) {
+            for (const auto& edge : kSkeleton) {
+                const int a = edge[0] - 1, b = edge[1] - 1;
+                if (pose.kps[a * 3 + 2] <= keypoint_threshold
+                    || pose.kps[b * 3 + 2] <= keypoint_threshold) continue;
+                cv::line(*frame,
+                         {int(pose.kps[a * 3]), int(pose.kps[a * 3 + 1])},
+                         {int(pose.kps[b * 3]), int(pose.kps[b * 3 + 1])},
+                         {0, 255, 0}, 2);
+            }
+        }
+        for (int k = 0; k < n_kp; ++k) {
+            if (pose.kps[k * 3 + 2] <= keypoint_threshold) continue;
+            cv::circle(*frame,
+                       {int(pose.kps[k * 3]), int(pose.kps[k * 3 + 1])},
+                       3, {0, 0, 255}, -1);
+        }
+    }
+}
 
 }  // namespace
 
 int main(int argc, char** argv) {
     Args args = parse_args(argc, argv);
 
-    TF_Status* status = TF_NewStatus();
-    TF_Graph* graph = TF_NewGraph();
-    TF_SessionOptions* opts = TF_NewSessionOptions();
-    const char* tags[] = {"serve"};
-    TF_Session* session = TF_LoadSessionFromSavedModel(
-        opts, nullptr, args.model_dir.c_str(), tags, 1, graph, nullptr,
-        status);
-    check(status, "loading SavedModel");
-
-    TF_Operation* input_op =
-        TF_GraphOperationByName(graph, args.input_name.c_str());
-    TF_Operation* output_op =
-        TF_GraphOperationByName(graph, args.output_name.c_str());
-    if (input_op == nullptr || output_op == nullptr) {
-        std::fprintf(stderr,
-                     "error: graph ops not found (input %s, output %s)\n",
-                     args.input_name.c_str(), args.output_name.c_str());
-        return 1;
-    }
+    pifpaf::Model model;
+    model.load(args.model_dir, args.input_name, args.output_name);
 
     cv::VideoCapture cap;
-    bool is_camera = !args.source.empty()
+    const bool is_camera = !args.source.empty()
         && args.source.find_first_not_of("0123456789") == std::string::npos;
     if (is_camera) {
         cap.open(std::atoi(args.source.c_str()));
@@ -152,9 +145,11 @@ int main(int argc, char** argv) {
     while (cap.read(frame_bgr)) {
         if (args.max_frames && frame_i >= args.max_frames) break;
 
-        // fit the frame into (w, h) preserving aspect ratio
-        const double scale = std::min(double(w) / frame_bgr.cols,
-                                      double(h) / frame_bgr.rows);
+        // fit the frame into (w, h), preserving aspect ratio, without
+        // upscaling (matches the image runner's long_edge=0 behavior)
+        const double scale = std::min(
+            1.0, std::min(double(w) / frame_bgr.cols,
+                          double(h) / frame_bgr.rows));
         const int sw = std::max(1, int(frame_bgr.cols * scale));
         const int sh = std::max(1, int(frame_bgr.rows * scale));
         cv::resize(frame_bgr, resized, cv::Size(sw, sh), 0, 0,
@@ -187,72 +182,16 @@ int main(int argc, char** argv) {
             }
         }
 
-        TF_Output input_port{input_op, 0};
-        TF_Output output_ports[2] = {{output_op, 0}, {output_op, 1}};
         TF_Tensor* outputs[2] = {nullptr, nullptr};
-        TF_SessionRun(session, nullptr, &input_port, &input, 1,
-                      output_ports, outputs, 2, nullptr, 0, nullptr, status);
-        check(status, "running session");
+        model.run(input, outputs);
 
-        TF_Tensor* poses_t = outputs[0];
-        TF_Tensor* keep_t = outputs[1];
-        if (TF_NumDims(poses_t) == 3 || TF_NumDims(keep_t) == 4) {
-            TF_Tensor* tmp = poses_t;
-            poses_t = keep_t;
-            keep_t = tmp;
-        }
-        const int n_poses = int(TF_Dim(poses_t, 1));
-        const int n_kp = int(TF_Dim(poses_t, 2));
-        const float* poses = static_cast<const float*>(TF_TensorData(poses_t));
-        const void* keep_data = TF_TensorData(keep_t);
-        const TF_DataType keep_type = TF_TensorType(keep_t);
+        int n_kp = 0;
+        const std::vector<pifpaf::Pose> found = pifpaf::extract_poses(
+            outputs, rescale_x, rescale_y, args.instance_threshold, &n_kp);
 
-        std::vector<Pose> found;
-        for (int p = 0; p < n_poses; ++p) {
-            bool keep = false;
-            if (keep_type == TF_BOOL) {
-                keep = static_cast<const uint8_t*>(keep_data)[p] != 0;
-            } else if (keep_type == TF_INT32) {
-                keep = static_cast<const int32_t*>(keep_data)[p] != 0;
-            } else {
-                keep = static_cast<const float*>(keep_data)[p] > 0.5f;
-            }
-            if (!keep) continue;
-            const float* pose = poses + size_t(p) * n_kp * 4;
-            float score = 0.0f;
-            int n_vis = 0;
-            for (int k = 0; k < n_kp; ++k) {
-                if (pose[k * 4] > 0.0f) {
-                    score += pose[k * 4];
-                    ++n_vis;
-                }
-            }
-            if (n_vis == 0) continue;
-            score /= float(n_kp);
-            if (score < args.instance_threshold) continue;
-            Pose out;
-            out.score = score;
-            out.kps.resize(size_t(n_kp) * 3);
-            for (int k = 0; k < n_kp; ++k) {
-                out.kps[k * 3 + 0] = pose[k * 4 + 1] * rescale_x;
-                out.kps[k * 3 + 1] = pose[k * 4 + 2] * rescale_y;
-                out.kps[k * 3 + 2] = pose[k * 4 + 0];
-            }
-            found.push_back(std::move(out));
-        }
-
-        std::printf("{\"frame\": %d, \"predictions\": [", frame_i);
-        for (size_t p = 0; p < found.size(); ++p) {
-            if (p) std::printf(", ");
-            std::printf("{\"score\": %.4f, \"keypoints\": [", found[p].score);
-            for (int k = 0; k < n_kp; ++k) {
-                std::printf("%s%.2f, %.2f, %.3f", k ? ", " : "",
-                            found[p].kps[k * 3], found[p].kps[k * 3 + 1],
-                            found[p].kps[k * 3 + 2]);
-            }
-            std::printf("]}");
-        }
-        std::printf("]}\n");
+        std::printf("{\"frame\": %d, \"predictions\": ", frame_i);
+        pifpaf::print_predictions(found, n_kp);
+        std::printf("}\n");
         std::fflush(stdout);
 
         if (!args.video_output.empty()) {
@@ -262,27 +201,14 @@ int main(int argc, char** argv) {
                             cap.get(cv::CAP_PROP_FPS) > 0
                                 ? cap.get(cv::CAP_PROP_FPS) : 25.0,
                             frame_bgr.size());
-            }
-            for (const Pose& pose : found) {
-                const float th = args.keypoint_threshold;
-                if (n_kp == 17) {
-                    for (const auto& edge : kSkeleton) {
-                        const int a = edge[0] - 1, b = edge[1] - 1;
-                        if (pose.kps[a * 3 + 2] <= th
-                            || pose.kps[b * 3 + 2] <= th) continue;
-                        cv::line(frame_bgr,
-                                 {int(pose.kps[a * 3]), int(pose.kps[a * 3 + 1])},
-                                 {int(pose.kps[b * 3]), int(pose.kps[b * 3 + 1])},
-                                 {0, 255, 0}, 2);
-                    }
-                }
-                for (int k = 0; k < n_kp; ++k) {
-                    if (pose.kps[k * 3 + 2] <= th) continue;
-                    cv::circle(frame_bgr,
-                               {int(pose.kps[k * 3]), int(pose.kps[k * 3 + 1])},
-                               3, {0, 0, 255}, -1);
+                if (!writer.isOpened()) {
+                    std::fprintf(stderr,
+                                 "error: cannot open --video-output %s\n",
+                                 args.video_output.c_str());
+                    return 1;
                 }
             }
+            draw_poses(&frame_bgr, found, n_kp, args.keypoint_threshold);
             writer.write(frame_bgr);
         }
 
@@ -292,10 +218,6 @@ int main(int argc, char** argv) {
         ++frame_i;
     }
 
-    TF_CloseSession(session, status);
-    TF_DeleteSession(session, status);
-    TF_DeleteSessionOptions(opts);
-    TF_DeleteGraph(graph);
-    TF_DeleteStatus(status);
+    model.close();
     return 0;
 }

@@ -28,16 +28,12 @@ class SkeletonGraph(NamedTuple):
     """Static directed-edge structure derived from a skeleton.
 
     Directed edge d in [0, E): forward on edge d; d in [E, 2E): backward.
-    ``adjacency`` is (n_keypoints, max_degree) of directed-edge indices
-    starting at each joint, padded with 2E (a dummy slot).
     """
     n_keypoints: int
     n_edges: int
     dir_start: np.ndarray   # (2E,) int32
     dir_end: np.ndarray     # (2E,) int32
     dir_reverse: np.ndarray  # (2E,) int32
-    adjacency: np.ndarray   # (n_keypoints, max_degree) int32
-    adjacency_valid: np.ndarray  # (n_keypoints, max_degree) bool
 
 
 def make_skeleton_graph(n_keypoints, skeleton) -> SkeletonGraph:
@@ -49,18 +45,8 @@ def make_skeleton_graph(n_keypoints, skeleton) -> SkeletonGraph:
     dir_end = np.concatenate([j2, j1]).astype(np.int32)
     dir_reverse = np.concatenate([
         np.arange(n_edges) + n_edges, np.arange(n_edges)]).astype(np.int32)
-
-    degree = np.bincount(dir_start, minlength=n_keypoints)
-    max_degree = int(degree.max()) if len(degree) else 1
-    adjacency = np.full((n_keypoints, max_degree), 2 * n_edges, dtype=np.int32)
-    adjacency_valid = np.zeros((n_keypoints, max_degree), dtype=bool)
-    fill = np.zeros(n_keypoints, dtype=np.int32)
-    for d, s in enumerate(dir_start):
-        adjacency[s, fill[s]] = d
-        adjacency_valid[s, fill[s]] = True
-        fill[s] += 1
     return SkeletonGraph(n_keypoints, n_edges, dir_start, dir_end,
-                         dir_reverse, adjacency, adjacency_valid)
+                         dir_reverse)
 
 
 def blend_batch(cc, sx, sy, tx, ty, ts, x, y, s, *,
