@@ -28,12 +28,18 @@ class SkeletonGraph(NamedTuple):
     """Static directed-edge structure derived from a skeleton.
 
     Directed edge d in [0, E): forward on edge d; d in [E, 2E): backward.
+    ``adjacency`` lists the directed edges starting at each joint,
+    (n_keypoints, max_degree) padded int32 with ``adjacency_valid`` flags —
+    the incremental growth loop re-evaluates exactly these edges when a
+    joint commits.
     """
     n_keypoints: int
     n_edges: int
     dir_start: np.ndarray   # (2E,) int32
     dir_end: np.ndarray     # (2E,) int32
     dir_reverse: np.ndarray  # (2E,) int32
+    adjacency: np.ndarray   # (n_keypoints, max_degree) int32
+    adjacency_valid: np.ndarray  # (n_keypoints, max_degree) bool
 
 
 def make_skeleton_graph(n_keypoints, skeleton) -> SkeletonGraph:
@@ -45,8 +51,18 @@ def make_skeleton_graph(n_keypoints, skeleton) -> SkeletonGraph:
     dir_end = np.concatenate([j2, j1]).astype(np.int32)
     dir_reverse = np.concatenate([
         np.arange(n_edges) + n_edges, np.arange(n_edges)]).astype(np.int32)
+
+    degree = np.bincount(dir_start, minlength=n_keypoints)
+    max_degree = int(degree.max()) if len(degree) else 1
+    adjacency = np.zeros((n_keypoints, max_degree), dtype=np.int32)
+    adjacency_valid = np.zeros((n_keypoints, max_degree), dtype=bool)
+    fill = np.zeros(n_keypoints, dtype=np.int32)
+    for d, s in enumerate(dir_start):
+        adjacency[s, fill[s]] = d
+        adjacency_valid[s, fill[s]] = True
+        fill[s] += 1
     return SkeletonGraph(n_keypoints, n_edges, dir_start, dir_end,
-                         dir_reverse)
+                         dir_reverse, adjacency, adjacency_valid)
 
 
 def blend_batch(cc, sx, sy, tx, ty, ts, x, y, s, *,
@@ -306,27 +322,73 @@ def grow_from_pose(caf, graph: SkeletonGraph, pose0, *,
 
     # non-greedy: evaluate-all / commit-global-argmax fixpoint. A frontier
     # edge's value depends only on its committed (immutable) source joint,
-    # so a dense re-evaluation each round selects exactly the edge the
+    # so the cached value of every edge stays correct until its source
+    # commits — one dense pass initializes the cache, and each committed
+    # joint re-evaluates only its <= max_degree outgoing edges (a small
+    # static-size row gather + blend), exactly reproducing what the
     # reference's lazily-refreshed priority queue pops.
+    adjacency = jnp.asarray(graph.adjacency)
+    adjacency_valid = jnp.asarray(graph.adjacency_valid)
+
+    def eval_adjacent(pose, joint):
+        """(max_degree, 4) connection values of the edges leaving joint."""
+        edges = adjacency[joint]
+        valid = adjacency_valid[joint]
+        rows = {k: v[edges] for k, v in caf.items()}
+        rows_rev = {k: v[edges] for k, v in caf_rev.items()}
+
+        sv = pose[joint, 0]
+        sx = pose[joint, 1]
+        sy = pose[joint, 2]
+        ss = pose[joint, 3]
+        deg = edges.shape[0]
+        sxs = jnp.broadcast_to(sx, (deg,))
+        sys_ = jnp.broadcast_to(sy, (deg,))
+        sss = jnp.broadcast_to(ss, (deg,))
+
+        nv, nx, ny, ns = blend_batch(
+            rows['c'], rows['sx'], rows['sy'], rows['tx'], rows['ty'],
+            rows['ts'], sxs, sys_, sss,
+            filter_sigmas=filter_sigmas, only_max=only_max)
+        v = jnp.sqrt(nv * sv)
+        ok = ((nv > 0.0) & (v >= keypoint_threshold)
+              & (v >= sv * keypoint_threshold_rel))
+        if reverse_match:
+            rv, rx, ry, _ = blend_batch(
+                rows_rev['c'], rows_rev['sx'], rows_rev['sy'],
+                rows_rev['tx'], rows_rev['ty'], rows_rev['ts'],
+                nx, ny, ns, filter_sigmas=filter_sigmas, only_max=only_max)
+            rev_ok = ((rv > 0.0)
+                      & (jnp.abs(sxs - rx) + jnp.abs(sys_ - ry) <= sss))
+            ok = ok & rev_ok
+        v = jnp.where(ok & valid & (sv > 0.0), v, 0.0)
+        return jnp.stack([v, nx, ny, ns], axis=-1), edges, valid
+
     def body(state):
-        pose, step, _ = state
-        vals = eval_all_edges(pose)
+        pose, cache, step, _ = state
         target_empty = pose[dir_end, 0] == 0.0
-        cand = jnp.where(target_empty, vals[:, 0], 0.0)
+        cand = jnp.where(target_empty, cache[:n_dir, 0], 0.0)
         best = jnp.argmax(cand)
         best_v = cand[best]
 
         commit = best_v > 0.0
         new_joint = dir_end[best]
-        pose = jnp.where(commit, pose.at[new_joint].set(vals[best]), pose)
-        return pose, step + 1, commit
+        pose = jnp.where(commit, pose.at[new_joint].set(cache[best]), pose)
+
+        vals, edges, valid = eval_adjacent(pose, new_joint)
+        slots = jnp.where(valid & commit, edges, n_dir)
+        cache = cache.at[slots].set(
+            jnp.where((valid & commit)[:, None], vals, cache[slots]))
+        return pose, cache, step + 1, commit
 
     def cond(state):
-        _, step, alive = state
+        _, _, step, alive = state
         return alive & (step < n_kp)
 
-    state0 = (pose0, jnp.int32(0), jnp.array(True))
-    pose, _, _ = jax.lax.while_loop(cond, body, state0)
+    cache0 = jnp.concatenate(
+        [eval_all_edges(pose0), jnp.zeros((1, 4))], axis=0)
+    state0 = (pose0, cache0, jnp.int32(0), jnp.array(True))
+    pose, _, _, _ = jax.lax.while_loop(cond, body, state0)
     return _apply_block_joints(pose, dir_start, dir_end,
                                n_kp) if block_joints else pose
 
