@@ -170,15 +170,16 @@ class CifCaf(Decoder):
                 and isinstance(caf_meta, headmeta.Caf))
         ]
 
-    def _decoder(self, stride, with_initial=False):
-        key = (stride, with_initial)
+    def _decoder(self, stride, with_initial=False, crowd=False):
+        key = (stride, with_initial, crowd)
         if key not in self._decoders:
             self._decoders[key] = build_cifcaf_decoder(
                 stride=stride,
                 skeleton=self.skeleton,
-                config=self.config,
+                config=self.config.crowd() if crowd else self.config,
                 n_keypoints=self.n_keypoints,
-                with_initial_annotations=with_initial)
+                with_initial_annotations=with_initial,
+                with_overflow=not crowd)
         return self._decoders[key]
 
     def _fields(self, fields_batch):
@@ -210,7 +211,13 @@ class CifCaf(Decoder):
 
         start = time.perf_counter()
         if initial_annotations_batch is None:
-            poses, keep, order = self._decoder(stride)(cif, caf)
+            poses, keep, order, overflow = self._decoder(stride)(cif, caf)
+            if bool(np.any(np.asarray(overflow))):
+                # a static work budget was exceeded (crowded scene):
+                # re-decode exactly with the scaled crowd-tier graph
+                LOG.debug('decoder budget overflow: using crowd tier')
+                poses, keep, order = self._decoder(
+                    stride, crowd=True)(cif, caf)
             ids_batch = None
         else:
             # pad initial annotations to a bucketed static size
@@ -228,8 +235,13 @@ class CifCaf(Decoder):
                     initial_poses[b, i, :, 2] = ann.data[:, 1]
                     initial_poses[b, i, :, 3] = ann.joint_scales
                     ids_batch[b, i] = getattr(ann, 'id_', -1) or -1
-            poses, keep, order = self._decoder(stride, with_initial=True)(
-                cif, caf, initial_poses)
+            poses, keep, order, overflow = self._decoder(
+                stride, with_initial=True)(cif, caf, initial_poses)
+            if bool(np.any(np.asarray(overflow))):
+                LOG.debug('decoder budget overflow: using crowd tier')
+                poses, keep, order = self._decoder(
+                    stride, with_initial=True, crowd=True)(
+                        cif, caf, initial_poses)
 
         poses = np.asarray(poses)
         keep = np.asarray(keep)

@@ -18,7 +18,7 @@ from .cifhr import cifhr_lookup
 
 
 def caf_scored(caf, hr, stride, skeleton, *, score_th=0.3, cif_floor=0.1,
-               rescore=True, n_candidates=0):
+               rescore=True, n_candidates=0, return_overflow=False):
     """Build dense directed association candidates.
 
     caf: (E, 8, H, W) decoded field [logb, c, x1, y1, x2, y2, s1, s2].
@@ -49,9 +49,11 @@ def caf_scored(caf, hr, stride, skeleton, *, score_th=0.3, cif_floor=0.1,
     s1 = caf[:, 6].reshape(n_edges, hw) * stride
     s2 = caf[:, 7].reshape(n_edges, hw) * stride
 
+    overflow = jnp.array(False)
     if n_candidates and n_candidates < hw:
         k = int(n_candidates)
         c_masked = jnp.where(c >= score_th, c, 0.0)
+        overflow = jnp.any(jnp.sum(c_masked > 0.0, axis=-1) > k)
         c, idx = jax.lax.top_k(c_masked, k)
         take = lambda a: jnp.take_along_axis(a, idx, axis=-1)
         x1, y1, x2, y2, s1, s2 = (take(a) for a in (x1, y1, x2, y2, s1, s2))
@@ -77,7 +79,7 @@ def caf_scored(caf, hr, stride, skeleton, *, score_th=0.3, cif_floor=0.1,
     c_fwd = jnp.where(base_mask & (c_fwd > score_th), c_fwd, 0.0)
     c_bwd = jnp.where(base_mask & (c_bwd > score_th), c_bwd, 0.0)
 
-    return {
+    cands = {
         'c': jnp.concatenate([c_fwd, c_bwd], axis=0),
         'sx': jnp.concatenate([x1, x2], axis=0),
         'sy': jnp.concatenate([y1, y2], axis=0),
@@ -85,3 +87,6 @@ def caf_scored(caf, hr, stride, skeleton, *, score_th=0.3, cif_floor=0.1,
         'ty': jnp.concatenate([y2, y1], axis=0),
         'ts': jnp.concatenate([s2, s1], axis=0),
     }
+    if return_overflow:
+        return cands, overflow
+    return cands

@@ -131,6 +131,15 @@ def _build_call(hr_h, hr_w, tile_h, tile_w):
         args = [bat(v, b) for v, b in
                 zip((x, y, sigma, weight), in_batched)]
         n_fields = args[0].shape[1]
+        n_cells = args[0].shape[2]
+        # the kernel's cell parameters live in SMEM (~1 MB): folding the
+        # batch into the fields axis multiplies their footprint, so large
+        # batches run the kernel per element instead (decode is serial on
+        # one core either way)
+        smem_bytes = axis_size * n_fields * n_cells * 4 * 4
+        if smem_bytes > 512 * 1024:
+            out = jax.lax.map(lambda a: call(*a), tuple(args))
+            return out, True
         flat = [a.reshape(axis_size * n_fields, -1) for a in args]
         out = call(*flat)
         return out.reshape(axis_size, n_fields, hr_h, hr_w), True
@@ -149,4 +158,16 @@ def accumulate_pallas(x, y, sigma, w, *, hr_h, hr_w, neighbors=16, factor=1.0,
     on the scalar core, large tiles by wasted vector accumulation.
     """
     weight = w / neighbors * factor
-    return _build_call(hr_h, hr_w, tile_h, tile_w)(x, y, sigma, weight)
+    call = _build_call(hr_h, hr_w, tile_h, tile_w)
+
+    # the cell parameters live in SMEM (~1 MB): chunk the fields axis so
+    # each kernel launch stays within budget (133-field wholebody at 1024
+    # cells would need 2.2 MB in one launch)
+    n_fields, n_cells = x.shape
+    per_call = max(1, (512 * 1024) // (16 * max(n_cells, 1)))
+    if n_fields <= per_call:
+        return call(x, y, sigma, weight)
+    outs = [call(x[s:s + per_call], y[s:s + per_call],
+                 sigma[s:s + per_call], weight[s:s + per_call])
+            for s in range(0, n_fields, per_call)]
+    return jnp.concatenate(outs, axis=0)

@@ -62,16 +62,33 @@ class CifCafDecoderConfig:
     occupancy_reduction: float = 2.0
     occupancy_min_scale: float = 4.0
 
-    # static work budgets (TPU shapes must be fixed)
+    # static work budgets (TPU shapes must be fixed). The defaults cover
+    # ~10 people; the decoder emits an in-graph overflow flag whenever a
+    # budget was actually exceeded, and the python CifCaf decoder then
+    # re-runs the image through a crowd-tier decoder (see
+    # :meth:`crowd`) — so sparse scenes ride the small fast graph and
+    # crowded scenes stay exact.
     n_hr_cells: int = 256
     n_seeds: int = 256
     n_poses: int = 96
     #: top-K compaction of the CAF candidate axis before growth
     #: (0 = keep full dense planes); exact whenever fewer than this many
-    #: cells of a directed-edge plane pass the score threshold
+    #: cells of a directed-edge plane pass the score threshold — a person
+    #: activates ~16 cells per plane
     n_caf_candidates: int = 256
     seed_nms: bool = True
     cifhr_impl: str = 'auto'
+
+    def crowd(self, scale: int = 16) -> 'CifCafDecoderConfig':
+        """The crowd-tier variant: budgets scaled to cover 40+ people
+        (~25 CifHr cells, ~17 seeds and ~16 CAF cells per person per
+        plane)."""
+        return dataclasses.replace(
+            self,
+            n_hr_cells=max(self.n_hr_cells, 64 * scale),
+            n_seeds=max(self.n_seeds, 256 * scale),
+            n_caf_candidates=max(self.n_caf_candidates, 64 * scale)
+            if self.n_caf_candidates else 0)
 
 
 def decode_cifcaf_single(cif, caf, initial_poses=None, *, stride, skeleton,
@@ -83,8 +100,12 @@ def decode_cifcaf_single(cif, caf, initial_poses=None, *, stride, skeleton,
     grown first; their joints suppress nearby seeds, and the output tensor
     keeps them in slots [0, K_init).
 
-    Returns (poses, keep, order): poses (K_init + n_poses, n_kp, 4)
-    [v, x, y, s] in hi-res pixels, keep mask, and score-descending order.
+    Returns (poses, keep, order, overflow): poses (K_init + n_poses,
+    n_kp, 4) [v, x, y, s] in hi-res pixels, keep mask, score-descending
+    order, and a bool scalar — True when any static work budget
+    (n_hr_cells / n_seeds / n_caf_candidates) was exceeded, i.e. the
+    result may differ from an unbounded-budget decode and the caller
+    should escalate to a crowd-tier config.
     """
     cfg = config
     _, _, h, w = cif.shape
@@ -95,6 +116,7 @@ def decode_cifcaf_single(cif, caf, initial_poses=None, *, stride, skeleton,
         # accumulation entirely (decoder/cifcaf.py:210-211)
         n_fields = cif.shape[0]
         hr = jnp.zeros((n_fields,) + hr_shape, jnp.float32)
+        hr_overflow = jnp.array(False)
     else:
         hr = cifhr_mod.cif_hr(
             cif, stride,
@@ -103,6 +125,10 @@ def decode_cifcaf_single(cif, caf, initial_poses=None, *, stride, skeleton,
             neighbors=cfg.cifhr_neighbors,
             n_cells=cfg.n_hr_cells,
             impl=cfg.cifhr_impl)
+        hr_valid = ((cif[:, 1] >= cfg.cifhr_threshold)
+                    & (cif[:, 4] >= cfg.cifhr_min_scale / stride))
+        hr_overflow = jnp.any(
+            jnp.sum(hr_valid, axis=(1, 2)) > cfg.n_hr_cells)
 
     seeds = seeds_mod.cif_seeds(
         cif, hr, stride,
@@ -111,12 +137,18 @@ def decode_cifcaf_single(cif, caf, initial_poses=None, *, stride, skeleton,
         rescore=cfg.seed_rescore,
         nms=cfg.seed_ablation_nms)
 
-    caf_cands = caf_scored_mod.caf_scored(
+    caf_cands, caf_overflow = caf_scored_mod.caf_scored(
         caf, hr, stride, skeleton,
         score_th=cfg.caf_score_th,
         cif_floor=cfg.caf_cif_floor,
         rescore=cfg.caf_rescore,
-        n_candidates=cfg.n_caf_candidates)
+        n_candidates=cfg.n_caf_candidates,
+        return_overflow=True)
+    # seed-cell counts are dominated by duplicates (~27 cells per joint),
+    # so they don't make a useful trigger; the per-field CifHr count
+    # already fires at ~10 people (n_hr_cells / ~25 cells per person),
+    # well before the 256-seed budget (~15 people x 17 joints) degrades
+    overflow = hr_overflow | caf_overflow
 
     grow_kwargs = dict(
         only_max=cfg.connection_method == 'max',
@@ -191,17 +223,21 @@ def decode_cifcaf_single(cif, caf, initial_poses=None, *, stride, skeleton,
         keypoint_threshold=cfg.nms_keypoint_threshold,
         occupancy_reduction=cfg.occupancy_reduction,
         occupancy_min_scale=cfg.occupancy_min_scale)
-    return poses, keep, order
+    return poses, keep, order, overflow
 
 
 def build_cifcaf_decoder(*, stride: int, skeleton,
                          config: Optional[CifCafDecoderConfig] = None,
                          n_keypoints: Optional[int] = None,
-                         with_initial_annotations: bool = False):
+                         with_initial_annotations: bool = False,
+                         with_overflow: bool = False):
     """Build a jitted, batched CifCaf decoder.
 
     Returns fn(cif, caf) with cif (B, F, 5, H, W), caf (B, E, 8, H, W)
     -> (poses (B, n_poses, n_kp, 4), keep (B, n_poses), order (B, n_poses)).
+    With ``with_overflow`` a fourth output (B,) bool reports per image
+    whether any static work budget was exceeded (caller should re-decode
+    with ``config.crowd()`` for exact results).
     """
     config = config or CifCafDecoderConfig()
     skeleton = np.asarray(skeleton, dtype=np.int32)
@@ -213,6 +249,9 @@ def build_cifcaf_decoder(*, stride: int, skeleton,
         decode_cifcaf_single,
         stride=stride, skeleton=skeleton, config=config, graph=graph)
 
+    def out(parts):
+        return parts if with_overflow else parts[:3]
+
     # batch 1 (the predict/video path) skips the vmap: under vmap every
     # lax.cond in the pipeline degrades to a select that computes both
     # branches, which defeats the empty-lane-chunk skipping in grow
@@ -220,15 +259,15 @@ def build_cifcaf_decoder(*, stride: int, skeleton,
         @jax.jit
         def decode(cif, caf, initial_poses):
             if cif.shape[0] == 1:
-                p, k, o = single(cif[0], caf[0], initial_poses[0])
-                return p[None], k[None], o[None]
-            return jax.vmap(single)(cif, caf, initial_poses)
+                parts = single(cif[0], caf[0], initial_poses[0])
+                return out(tuple(p[None] for p in parts))
+            return out(jax.vmap(single)(cif, caf, initial_poses))
     else:
         @jax.jit
         def decode(cif, caf):
             if cif.shape[0] == 1:
-                p, k, o = single(cif[0], caf[0])
-                return p[None], k[None], o[None]
-            return jax.vmap(single)(cif, caf)
+                parts = single(cif[0], caf[0])
+                return out(tuple(p[None] for p in parts))
+            return out(jax.vmap(single)(cif, caf))
 
     return decode

@@ -150,3 +150,70 @@ def test_full_decode_parity(two_person_fields):
     for po, pd in zip(poses_oracle, decoded):
         mask = po[:, 0] > 0
         assert np.mean(np.abs(po[mask, 0] - pd[mask, 0])) < 0.05
+
+
+def _crowd_fields(n_people=40):
+    rng = np.random.RandomState(7)
+    anns = []
+    centers = []
+    for i in range(n_people):
+        cx = 35.0 + (i % 8) * 80.0
+        cy = 60.0 + (i // 8) * 90.0
+        centers.append((cx, cy))
+        anns.append(field_fixtures.annotation_dict(
+            field_fixtures.synthetic_person(cx, cy, 65.0, rng)))
+    cif, caf, _ = field_fixtures.fields_from_annotations(
+        anns, (529, 673), stride=16)
+    return cif, caf, np.array(centers)
+
+
+def test_crowd_overflow_flag():
+    """The small default budgets must flag a 40-person scene as overflowed
+    (its active cells exceed n_hr_cells/n_seeds/n_caf_candidates)."""
+    cif, caf, _ = _crowd_fields()
+    decode = decode_mod.build_cifcaf_decoder(
+        stride=16, skeleton=SKELETON, n_keypoints=17,
+        config=decode_mod.CifCafDecoderConfig(), with_overflow=True)
+    _, _, _, overflow = decode(cif[None], caf[None])
+    assert bool(np.asarray(overflow)[0])
+
+    # a 2-person scene must NOT overflow (stays on the fast tier)
+    rng = np.random.RandomState(3)
+    anns = [field_fixtures.annotation_dict(
+        field_fixtures.synthetic_person(60.0 + 90.0 * i, 90.0, 70.0, rng))
+        for i in range(2)]
+    cif2, caf2, _ = field_fixtures.fields_from_annotations(
+        anns, (257, 321), stride=16)
+    decode2 = decode_mod.build_cifcaf_decoder(
+        stride=16, skeleton=SKELETON, n_keypoints=17,
+        config=decode_mod.CifCafDecoderConfig(), with_overflow=True)
+    _, keep2, _, overflow2 = decode2(cif2[None], caf2[None])
+    assert not bool(np.asarray(overflow2)[0])
+    assert int(np.asarray(keep2).sum()) == 2
+
+
+def test_crowd_decode():
+    """A 40-person scene exercises the adaptive crowd tier: the default
+    budgets overflow, the CifCaf decoder escalates to config.crowd(), and
+    all people decode. Also covers the seed-lane chunk conds (poses in
+    chunks 2 and 3 of the n_poses budget) and CAF candidate-compaction
+    overflow (more active cells per edge plane than the top-K budget)."""
+    import openpifpaf_tpu
+    from openpifpaf_tpu.decoder.cifcaf import CifCaf
+
+    cif, caf, centers = _crowd_fields()
+    datamodule = openpifpaf_tpu.datasets.factory('cocokp')
+    for i, m in enumerate(datamodule.head_metas):
+        m.head_index = i
+        m.base_stride = 16
+    dec = CifCaf(*datamodule.head_metas)
+    annotations = dec.batch_decode([cif[None], caf[None]])[0]
+
+    n_found = len(annotations)
+    assert n_found >= 36, f'only {n_found} of 40 crowd poses decoded'
+
+    # every decoded pose should be near one synthesized person center
+    for ann in annotations:
+        vis = ann.data[ann.data[:, 2] > 0]
+        c = vis[:, :2].mean(axis=0)
+        assert np.min(np.linalg.norm(centers - c, axis=1)) < 45.0
