@@ -179,8 +179,31 @@ class CifCaf(Decoder):
                 config=self.config.crowd() if crowd else self.config,
                 n_keypoints=self.n_keypoints,
                 with_initial_annotations=with_initial,
-                with_overflow=not crowd)
+                with_overflow=True)
         return self._decoders[key]
+
+    def _decode_adaptive(self, stride, args, with_initial=False):
+        """Fast-tier decode; escalate to the crowd tier on budget overflow.
+
+        The whole batch re-runs through the crowd graph when any image
+        overflows: per-image escalation would recompile the crowd graph
+        for every distinct flagged-subset size, which costs far more than
+        decoding a few sparse images through the big graph.
+        """
+        poses, keep, order, overflow = self._decoder(
+            stride, with_initial=with_initial)(*args)
+        if bool(np.any(np.asarray(overflow))):
+            LOG.debug('decoder budget overflow: using crowd tier')
+            poses, keep, order, overflow = self._decoder(
+                stride, with_initial=with_initial, crowd=True)(*args)
+            if bool(np.any(np.asarray(overflow))):
+                LOG.warning(
+                    'decode budgets exceeded even at the crowd tier '
+                    '(>~40 people or force-complete on a very large '
+                    'image); some instances may be missed — raise '
+                    'CifCafDecoderConfig budgets via --decoder-seeds '
+                    'or a custom config')
+        return poses, keep, order
 
     def _fields(self, fields_batch):
         # keep device arrays on device (no host round trip between the
@@ -211,13 +234,7 @@ class CifCaf(Decoder):
 
         start = time.perf_counter()
         if initial_annotations_batch is None:
-            poses, keep, order, overflow = self._decoder(stride)(cif, caf)
-            if bool(np.any(np.asarray(overflow))):
-                # a static work budget was exceeded (crowded scene):
-                # re-decode exactly with the scaled crowd-tier graph
-                LOG.debug('decoder budget overflow: using crowd tier')
-                poses, keep, order = self._decoder(
-                    stride, crowd=True)(cif, caf)
+            poses, keep, order = self._decode_adaptive(stride, (cif, caf))
             ids_batch = None
         else:
             # pad initial annotations to a bucketed static size
@@ -235,13 +252,8 @@ class CifCaf(Decoder):
                     initial_poses[b, i, :, 2] = ann.data[:, 1]
                     initial_poses[b, i, :, 3] = ann.joint_scales
                     ids_batch[b, i] = getattr(ann, 'id_', -1) or -1
-            poses, keep, order, overflow = self._decoder(
-                stride, with_initial=True)(cif, caf, initial_poses)
-            if bool(np.any(np.asarray(overflow))):
-                LOG.debug('decoder budget overflow: using crowd tier')
-                poses, keep, order = self._decoder(
-                    stride, with_initial=True, crowd=True)(
-                        cif, caf, initial_poses)
+            poses, keep, order = self._decode_adaptive(
+                stride, (cif, caf, initial_poses), with_initial=True)
 
         poses = np.asarray(poses)
         keep = np.asarray(keep)

@@ -32,8 +32,9 @@ def select_cells(cif, stride, *, threshold, min_scale, n_cells):
     """Top-``n_cells`` contributing cells per field.
 
     cif: (F, 5, H, W) decoded CIF field [logb, conf, x, y, scale].
-    Returns (x, y, sigma, w), each (F, n_cells), positions in hi-res pixels.
-    Invalid cells have w == 0.
+    Returns (x, y, sigma, w, overflow): each (F, n_cells), positions in
+    hi-res pixels, invalid cells have w == 0; overflow is a bool scalar —
+    True when any field had more valid cells than the static budget kept.
     """
     n_fields, _, h, w = cif.shape
     v = cif[:, 1].reshape(n_fields, h * w)
@@ -43,6 +44,7 @@ def select_cells(cif, stride, *, threshold, min_scale, n_cells):
     scored = jnp.where(valid, v, -jnp.inf)
     k = min(n_cells, h * w)
     top_v, top_i = jax.lax.top_k(scored, k)
+    overflow = jnp.any(jnp.sum(valid, axis=1) > k)
 
     gather = lambda c: jnp.take_along_axis(c.reshape(n_fields, h * w), top_i, axis=1)
     x = gather(cif[:, 2]) * stride
@@ -50,7 +52,7 @@ def select_cells(cif, stride, *, threshold, min_scale, n_cells):
     cell_scale = gather(cif[:, 4])
     sigma = jnp.maximum(1.0, 0.5 * cell_scale * stride)
     weight = jnp.where(jnp.isfinite(top_v), top_v, 0.0)
-    return x, y, sigma, weight
+    return x, y, sigma, weight, overflow
 
 
 def accumulate_dense(x, y, sigma, w, *, hr_h, hr_w, neighbors=16, factor=1.0):
@@ -84,25 +86,33 @@ def accumulate_dense(x, y, sigma, w, *, hr_h, hr_w, neighbors=16, factor=1.0):
 
 
 def cif_hr(cif, stride, *, threshold=0.3, min_scale=0.0, neighbors=16,
-           factor=1.0, n_cells=256, impl='auto'):
+           factor=1.0, n_cells=256, impl='auto', return_overflow=False):
     """Full CifHr from a decoded CIF field. Returns (F, HS, WS).
 
     impl: 'auto' (Pallas on TPU, dense jnp elsewhere), 'pallas' or 'dense'.
+    With ``return_overflow`` also returns a bool scalar: True when a field
+    had more cells above the threshold than the static ``n_cells`` budget
+    splats (the accumulated map then underestimates around the dropped
+    cells).
     """
     _, _, h, w = cif.shape
     hr_h = (h - 1) * stride + 1
     hr_w = (w - 1) * stride + 1
-    x, y, sigma, wgt = select_cells(
+    x, y, sigma, wgt, overflow = select_cells(
         cif, stride, threshold=threshold, min_scale=min_scale, n_cells=n_cells)
 
     if impl == 'auto':
         impl = 'pallas' if jax.default_backend() not in ('cpu',) else 'dense'
     if impl == 'pallas':
         from .cifhr_pallas import accumulate_pallas
-        return accumulate_pallas(x, y, sigma, wgt, hr_h=hr_h, hr_w=hr_w,
-                                 neighbors=neighbors, factor=factor)
-    return accumulate_dense(x, y, sigma, wgt, hr_h=hr_h, hr_w=hr_w,
-                            neighbors=neighbors, factor=factor)
+        hr = accumulate_pallas(x, y, sigma, wgt, hr_h=hr_h, hr_w=hr_w,
+                               neighbors=neighbors, factor=factor)
+    else:
+        hr = accumulate_dense(x, y, sigma, wgt, hr_h=hr_h, hr_w=hr_w,
+                              neighbors=neighbors, factor=factor)
+    if return_overflow:
+        return hr, overflow
+    return hr
 
 
 def cifhr_lookup(hr, f, x, y, default=-1.0):

@@ -21,6 +21,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 _CHUNK = 16
+#: cell parameters (x, y, sigma, w as f32) live in SMEM (1 MB hardware
+#: budget); both the field-group chunking in :func:`accumulate_pallas`
+#: and the vmap rule's per-element fallback size against these
+_SMEM_BUDGET = 512 * 1024
+_BYTES_PER_CELL = 4 * 4
 
 
 def _kernel(active_ref, x_ref, y_ref, sig_ref, w_ref, out_ref, *,
@@ -136,8 +141,8 @@ def _build_call(hr_h, hr_w, tile_h, tile_w):
         # batch into the fields axis multiplies their footprint, so large
         # batches run the kernel per element instead (decode is serial on
         # one core either way)
-        smem_bytes = axis_size * n_fields * n_cells * 4 * 4
-        if smem_bytes > 512 * 1024:
+        smem_bytes = axis_size * n_fields * n_cells * _BYTES_PER_CELL
+        if smem_bytes > _SMEM_BUDGET:
             out = jax.lax.map(lambda a: call(*a), tuple(args))
             return out, True
         flat = [a.reshape(axis_size * n_fields, -1) for a in args]
@@ -164,7 +169,7 @@ def accumulate_pallas(x, y, sigma, w, *, hr_h, hr_w, neighbors=16, factor=1.0,
     # each kernel launch stays within budget (133-field wholebody at 1024
     # cells would need 2.2 MB in one launch)
     n_fields, n_cells = x.shape
-    per_call = max(1, (512 * 1024) // (16 * max(n_cells, 1)))
+    per_call = max(1, _SMEM_BUDGET // (_BYTES_PER_CELL * max(n_cells, 1)))
     if n_fields <= per_call:
         return call(x, y, sigma, weight)
     outs = [call(x[s:s + per_call], y[s:s + per_call],

@@ -118,17 +118,14 @@ def decode_cifcaf_single(cif, caf, initial_poses=None, *, stride, skeleton,
         hr = jnp.zeros((n_fields,) + hr_shape, jnp.float32)
         hr_overflow = jnp.array(False)
     else:
-        hr = cifhr_mod.cif_hr(
+        hr, hr_overflow = cifhr_mod.cif_hr(
             cif, stride,
             threshold=cfg.cifhr_threshold,
             min_scale=cfg.cifhr_min_scale,
             neighbors=cfg.cifhr_neighbors,
             n_cells=cfg.n_hr_cells,
-            impl=cfg.cifhr_impl)
-        hr_valid = ((cif[:, 1] >= cfg.cifhr_threshold)
-                    & (cif[:, 4] >= cfg.cifhr_min_scale / stride))
-        hr_overflow = jnp.any(
-            jnp.sum(hr_valid, axis=(1, 2)) > cfg.n_hr_cells)
+            impl=cfg.cifhr_impl,
+            return_overflow=True)
 
     seeds = seeds_mod.cif_seeds(
         cif, hr, stride,
@@ -200,13 +197,18 @@ def decode_cifcaf_single(cif, caf, initial_poses=None, *, stride, skeleton,
         # second grow pass on low-threshold candidates, no reverse match,
         # wide filter window (cifcaf.cpp:414-426), then flood fill
         # the near-zero threshold keeps many more cells active; use a
-        # wider budget for the completion pass
-        caf_low = caf_scored_mod.caf_scored(
+        # wider budget for the completion pass, and include its
+        # truncation in the overflow flag (the crowd tier's 4*4096
+        # budget exceeds the plane size at typical resolutions, i.e. it
+        # keeps the full dense planes)
+        caf_low, caf_low_overflow = caf_scored_mod.caf_scored(
             caf, hr, stride, skeleton,
             score_th=cfg.force_complete_caf_th,
             cif_floor=cfg.caf_cif_floor,
             rescore=cfg.caf_rescore,
-            n_candidates=4 * cfg.n_caf_candidates)
+            n_candidates=4 * cfg.n_caf_candidates,
+            return_overflow=True)
+        overflow = overflow | caf_low_overflow
         poses = grow_mod.grow_from_poses(
             caf_low, graph, poses,
             keypoint_threshold=cfg.keypoint_threshold,

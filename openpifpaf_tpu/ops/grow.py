@@ -257,6 +257,31 @@ def grow_from_pose(caf, graph: SkeletonGraph, pose0, *,
             only_max=only_max)
         return jnp.stack([v, x, y, s])
 
+    def _connection_values(rows, rows_rev, sv, sx, sy, ss):
+        """Connection values for candidate rows with source (sv, sx, sy,
+        ss), shapes broadcasting over the leading edge axis. The single
+        scoring path shared by the dense init and the per-commit update —
+        the cache's exactness invariant requires them bit-identical."""
+        nv, nx, ny, ns = blend_batch(
+            rows['c'], rows['sx'], rows['sy'], rows['tx'], rows['ty'],
+            rows['ts'], sx, sy, ss,
+            filter_sigmas=filter_sigmas, only_max=only_max)
+
+        v = jnp.sqrt(nv * sv)
+        ok = ((nv > 0.0) & (v >= keypoint_threshold)
+              & (v >= sv * keypoint_threshold_rel))
+
+        if reverse_match:
+            rv, rx, ry, _ = blend_batch(
+                rows_rev['c'], rows_rev['sx'], rows_rev['sy'],
+                rows_rev['tx'], rows_rev['ty'], rows_rev['ts'],
+                nx, ny, ns, filter_sigmas=filter_sigmas, only_max=only_max)
+            rev_ok = (rv > 0.0) & (jnp.abs(sx - rx) + jnp.abs(sy - ry) <= ss)
+            ok = ok & rev_ok
+
+        v = jnp.where(ok & (sv > 0.0), v, 0.0)
+        return jnp.stack([v, nx, ny, ns], axis=-1)
+
     def eval_all_edges(pose):
         """Connection values of ALL directed edges at once: (n_dir, 4).
 
@@ -266,29 +291,9 @@ def grow_from_pose(caf, graph: SkeletonGraph, pose0, *,
         (``cifcaf.cpp:309-346``) with static-shape VPU work (no gathers
         beyond the tiny pose-row lookup).
         """
-        sv = pose[dir_start, 0]
-        sx = pose[dir_start, 1]
-        sy = pose[dir_start, 2]
-        ss = pose[dir_start, 3]
-
-        nv, nx, ny, ns = blend_batch(
-            caf['c'], caf['sx'], caf['sy'], caf['tx'], caf['ty'], caf['ts'],
-            sx, sy, ss, filter_sigmas=filter_sigmas, only_max=only_max)
-
-        v = jnp.sqrt(nv * sv)
-        ok = ((nv > 0.0) & (v >= keypoint_threshold)
-              & (v >= sv * keypoint_threshold_rel))
-
-        if reverse_match:
-            rv, rx, ry, _ = blend_batch(
-                caf_rev['c'], caf_rev['sx'], caf_rev['sy'],
-                caf_rev['tx'], caf_rev['ty'], caf_rev['ts'],
-                nx, ny, ns, filter_sigmas=filter_sigmas, only_max=only_max)
-            rev_ok = (rv > 0.0) & (jnp.abs(sx - rx) + jnp.abs(sy - ry) <= ss)
-            ok = ok & rev_ok
-
-        v = jnp.where(ok & (sv > 0.0), v, 0.0)
-        return jnp.stack([v, nx, ny, ns], axis=-1)
+        return _connection_values(
+            caf, caf_rev, pose[dir_start, 0], pose[dir_start, 1],
+            pose[dir_start, 2], pose[dir_start, 3])
 
     if greedy:
         # greedy mode (cifcaf.cpp:298-307 with greedy=True): pick the
@@ -337,32 +342,14 @@ def grow_from_pose(caf, graph: SkeletonGraph, pose0, *,
         rows = {k: v[edges] for k, v in caf.items()}
         rows_rev = {k: v[edges] for k, v in caf_rev.items()}
 
-        sv = pose[joint, 0]
-        sx = pose[joint, 1]
-        sy = pose[joint, 2]
-        ss = pose[joint, 3]
         deg = edges.shape[0]
-        sxs = jnp.broadcast_to(sx, (deg,))
-        sys_ = jnp.broadcast_to(sy, (deg,))
-        sss = jnp.broadcast_to(ss, (deg,))
-
-        nv, nx, ny, ns = blend_batch(
-            rows['c'], rows['sx'], rows['sy'], rows['tx'], rows['ty'],
-            rows['ts'], sxs, sys_, sss,
-            filter_sigmas=filter_sigmas, only_max=only_max)
-        v = jnp.sqrt(nv * sv)
-        ok = ((nv > 0.0) & (v >= keypoint_threshold)
-              & (v >= sv * keypoint_threshold_rel))
-        if reverse_match:
-            rv, rx, ry, _ = blend_batch(
-                rows_rev['c'], rows_rev['sx'], rows_rev['sy'],
-                rows_rev['tx'], rows_rev['ty'], rows_rev['ts'],
-                nx, ny, ns, filter_sigmas=filter_sigmas, only_max=only_max)
-            rev_ok = ((rv > 0.0)
-                      & (jnp.abs(sxs - rx) + jnp.abs(sys_ - ry) <= sss))
-            ok = ok & rev_ok
-        v = jnp.where(ok & valid & (sv > 0.0), v, 0.0)
-        return jnp.stack([v, nx, ny, ns], axis=-1), edges, valid
+        vals = _connection_values(
+            rows, rows_rev, pose[joint, 0],
+            jnp.broadcast_to(pose[joint, 1], (deg,)),
+            jnp.broadcast_to(pose[joint, 2], (deg,)),
+            jnp.broadcast_to(pose[joint, 3], (deg,)))
+        vals = vals.at[:, 0].set(jnp.where(valid, vals[:, 0], 0.0))
+        return vals, edges, valid
 
     def body(state):
         pose, cache, step, _ = state

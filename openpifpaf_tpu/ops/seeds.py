@@ -13,16 +13,16 @@ from .cifhr import cifhr_lookup
 
 
 def cif_seeds(cif, hr, stride, *, threshold=0.2, n_seeds=256,
-              rescore=True, seed_mask=None, nms=False,
-              return_overflow=False):
+              rescore=True, seed_mask=None, nms=False):
     """Extract top-``n_seeds`` seeds.
 
     cif: (F, 5, H, W); hr: (F, HS, WS).
     Returns dict of arrays, all length ``n_seeds``, sorted by v descending:
       f (int32), v, x, y, s (hi-res pixels). Invalid seeds have v == 0.
-    With ``return_overflow`` also returns a bool scalar: True when more
-    cells passed the thresholds than the static budget kept (the result
-    then differs from an unbounded-budget decode).
+
+    No overflow flag here: above-threshold cell counts are dominated by
+    ~27 duplicate cells per joint, so they don't indicate lost people —
+    the CifHr budget flag fires first (see decode_cifcaf).
     """
     n_fields, _, h, w = cif.shape
     hw = h * w
@@ -58,16 +58,13 @@ def cif_seeds(cif, hr, stride, *, threshold=0.2, n_seeds=256,
     top_v, top_i = jax.lax.top_k(scored, k)
 
     valid = jnp.isfinite(top_v)
-    seeds = {
+    return {
         'f': jnp.where(valid, (top_i // hw).astype(jnp.int32), 0),
         'v': jnp.where(valid, top_v, 0.0),
         'x': jnp.where(valid, x.reshape(-1)[top_i], 0.0),
         'y': jnp.where(valid, y.reshape(-1)[top_i], 0.0),
         's': jnp.where(valid, s.reshape(-1)[top_i], 0.0),
     }
-    if return_overflow:
-        return seeds, jnp.sum(mask) > k
-    return seeds
 
 
 def seed_nms(seeds, n_fields, hr_shape, *, n_keep, reduction=2.0,
