@@ -27,7 +27,19 @@ import time
 
 import numpy as np
 
-BASELINE_IMG_PER_SEC = 25.0  # reference shufflenetv2k16, GTX1080Ti, 641px
+GTX1080TI_IMG_PER_SEC = 25.0  # published: shufflenetv2k16, GTX1080Ti, 641px
+
+
+def torch_cpu_baseline():
+    """Measured in-env PyTorch-CPU reference baseline (BASELINE.json's
+    north-star denominator); cached in BASELINE_TORCH_CPU.json."""
+    try:
+        import bench_torch_cpu
+        return bench_torch_cpu.cached_measure()
+    except Exception as e:  # reference mount or toolchain missing
+        print(json.dumps({'torch_cpu_baseline_error': str(e)[:200]}),
+              file=sys.stderr)
+        return None
 
 
 def _field_fixtures():
@@ -291,11 +303,20 @@ def main():
 
     e2e = nn_time + decode_time
     img_per_sec = 1.0 / e2e
+    # north star (BASELINE.json): ratio vs the *measured* in-env
+    # PyTorch-CPU reference pipeline (reference-layout NN + reference C++
+    # decoder at 641px); falls back to the published GTX1080Ti number if
+    # the reference mount is unavailable
+    torch_cpu = torch_cpu_baseline()
+    if torch_cpu:
+        vs_baseline = img_per_sec / torch_cpu['img_per_sec']
+    else:
+        vs_baseline = img_per_sec / GTX1080TI_IMG_PER_SEC
     result = {
         'metric': 'images_per_sec_641px_e2e',
         'value': round(img_per_sec, 2),
         'unit': 'img/s',
-        'vs_baseline': round(img_per_sec / BASELINE_IMG_PER_SEC, 3),
+        'vs_baseline': round(vs_baseline, 3),
     }
     print(json.dumps(result))
     print(json.dumps({
@@ -314,6 +335,12 @@ def main():
             'batch8_decode_ms': round(dec8_time * 1e3, 3),
             'wholebody133_decode_ms': round(wb_decode_time * 1e3, 3),
             'wholebody133_poses': wb_poses,
+            'vs_gtx1080ti': round(img_per_sec / GTX1080TI_IMG_PER_SEC, 3),
+            'torch_cpu_img_per_sec': (torch_cpu['img_per_sec']
+                                      if torch_cpu else None),
+            'torch_cpu_nn_ms': torch_cpu['nn_ms'] if torch_cpu else None,
+            'torch_cpu_decode_ms': (torch_cpu['decode_ms']
+                                    if torch_cpu else None),
         }}), file=sys.stderr)
 
 
