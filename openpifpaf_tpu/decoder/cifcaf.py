@@ -188,7 +188,11 @@ class CifCaf(Decoder):
         The whole batch re-runs through the crowd graph when any image
         overflows: per-image escalation would recompile the crowd graph
         for every distinct flagged-subset size, which costs far more than
-        decoding a few sparse images through the big graph.
+        decoding a few sparse images through the big graph. On
+        crowd-heavy datasets where most batches overflow, batches pay
+        both tiers; either size the fast tier up (--decoder-seeds) so
+        overflow is rare, or eval at --batch-size 1 so only the crowded
+        images escalate.
         """
         poses, keep, order, overflow = self._decoder(
             stride, with_initial=with_initial)(*args)

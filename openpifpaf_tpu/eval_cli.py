@@ -216,9 +216,12 @@ def main():
                 if (Evaluator.skip_epoch0
                         and checkpoint.endswith('.epoch000')):
                     continue
-                if (Evaluator.skip_existing and os.path.exists(
+                # multi-metric datamodules write '<output>.<i>.stats.json'
+                # instead of '<output>.stats.json'; glob covers both so
+                # already-evaluated checkpoints survive a watch restart
+                if (Evaluator.skip_existing and glob.glob(
                         checkpoint + '.eval-' + args.dataset
-                        + '.stats.json')):
+                        + '*.stats.json')):
                     evaluated.add(checkpoint)
                     continue
                 LOG.info('watch: evaluating %s', checkpoint)

@@ -78,6 +78,10 @@ class CifCafDecoderConfig:
     n_caf_candidates: int = 256
     seed_nms: bool = True
     cifhr_impl: str = 'auto'
+    #: skip candidate compaction in the force-complete pass (keep full
+    #: dense planes); the crowd tier sets this so the near-zero-threshold
+    #: completion candidates can never be truncated at any resolution
+    force_complete_dense: bool = False
 
     def crowd(self, scale: int = 16) -> 'CifCafDecoderConfig':
         """The crowd-tier variant: budgets scaled to cover 40+ people
@@ -88,7 +92,8 @@ class CifCafDecoderConfig:
             n_hr_cells=max(self.n_hr_cells, 64 * scale),
             n_seeds=max(self.n_seeds, 256 * scale),
             n_caf_candidates=max(self.n_caf_candidates, 64 * scale)
-            if self.n_caf_candidates else 0)
+            if self.n_caf_candidates else 0,
+            force_complete_dense=True)
 
 
 def decode_cifcaf_single(cif, caf, initial_poses=None, *, stride, skeleton,
@@ -195,18 +200,19 @@ def decode_cifcaf_single(cif, caf, initial_poses=None, *, stride, skeleton,
                 occupancy_min_scale=cfg.occupancy_min_scale)
             poses = jnp.where(pre_keep[:, None, None], poses, 0.0)
         # second grow pass on low-threshold candidates, no reverse match,
-        # wide filter window (cifcaf.cpp:414-426), then flood fill
-        # the near-zero threshold keeps many more cells active; use a
-        # wider budget for the completion pass, and include its
-        # truncation in the overflow flag (the crowd tier's 4*4096
-        # budget exceeds the plane size at typical resolutions, i.e. it
-        # keeps the full dense planes)
+        # wide filter window (cifcaf.cpp:414-426), then flood fill.
+        # The near-zero threshold keeps many more cells active, so the
+        # completion pass gets a 4x budget at the fast tier (truncation
+        # there raises the overflow flag, which escalates the decode);
+        # the crowd tier skips compaction entirely so the completion
+        # candidates can never be truncated at any resolution.
+        fc_budget = 0 if cfg.force_complete_dense else 4 * cfg.n_caf_candidates
         caf_low, caf_low_overflow = caf_scored_mod.caf_scored(
             caf, hr, stride, skeleton,
             score_th=cfg.force_complete_caf_th,
             cif_floor=cfg.caf_cif_floor,
             rescore=cfg.caf_rescore,
-            n_candidates=4 * cfg.n_caf_candidates,
+            n_candidates=fc_budget,
             return_overflow=True)
         overflow = overflow | caf_low_overflow
         poses = grow_mod.grow_from_poses(

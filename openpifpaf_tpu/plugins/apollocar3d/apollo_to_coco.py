@@ -47,6 +47,9 @@ def cli():
     parser.add_argument('--split-images', '--split_images',
                         dest='split_images', action='store_true',
                         help='copy images into train/val split folders')
+    parser.add_argument('--histogram', action='store_true',
+                        help='show a per-keypoint annotation-count '
+                             'histogram after each phase')
     return parser.parse_args()
 
 
@@ -54,6 +57,7 @@ class ApolloToCoco:
     sample = False
     single_sample = False
     split_images = False
+    histogram = False
 
     def __init__(self, dir_dataset, dir_out):
         assert os.path.isdir(dir_dataset), 'dataset directory not found'
@@ -135,6 +139,8 @@ class ApolloToCoco:
             LOG.info('phase %s: %d instances, avg keypoints %.1f/66',
                      phase, n_instances,
                      kp_counts.sum() / max(1, n_instances))
+            if self.histogram:
+                show_histogram(kp_counts)
 
     @staticmethod
     def _empty_json(n_kp):
@@ -228,11 +234,29 @@ class ApolloToCoco:
             json_66['annotations'].append(entry)
 
 
+def show_histogram(kp_counts):
+    """Bar chart of per-keypoint annotation counts (reference
+    apollo_to_coco.py:308-315)."""
+    try:
+        import matplotlib.pyplot as plt
+    except ImportError:
+        LOG.warning('matplotlib not available: keypoint counts = %s',
+                    kp_counts.tolist())
+        return
+    bins = np.arange(len(kp_counts))
+    plt.figure()
+    plt.title('Distribution of the keypoints')
+    plt.bar(bins, np.asarray(kp_counts))
+    plt.xticks(np.arange(len(kp_counts), step=5))
+    plt.show()
+
+
 def main():
     args = cli()
     ApolloToCoco.sample = args.sample
     ApolloToCoco.single_sample = args.single_sample
     ApolloToCoco.split_images = args.split_images
+    ApolloToCoco.histogram = args.histogram
     converter = ApolloToCoco(args.dir_data, args.dir_out)
     converter.process()
 

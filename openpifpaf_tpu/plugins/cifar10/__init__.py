@@ -112,7 +112,8 @@ class Cifar10(DataModule):
         tar_path = os.path.join(root_dir, 'cifar-10-python.tar.gz')
         urllib.request.urlretrieve(url, tar_path)
         with tarfile.open(tar_path, 'r:gz') as tar:
-            tar.extractall(root_dir)
+            # filter='data' blocks path traversal from a tampered archive
+            tar.extractall(root_dir, filter='data')
 
     def _preprocess(self):
         enc = encoder.CifDet(self.head_metas[0])

@@ -102,13 +102,21 @@ class CrowdPose(KpDataModule):
     def eval_loader(self):
         loader = super().eval_loader()
         if self.eval_crowdpose_index:
+            # half-open buckets like the reference (min <= ci < max), except
+            # the top bucket which includes its upper bound so crowdIndex 1.0
+            # is evaluated exactly once
             lo, hi = {'easy': (0.0, 0.1), 'medium': (0.1, 0.8),
                       'hard': (0.8, 1.0)}[self.eval_crowdpose_index]
+            top = self.eval_crowdpose_index == 'hard'
             data = loader.dataset
+
+            def _in_bucket(ci):
+                return lo <= ci < hi or (top and ci == hi)
+
             data.ids = [
                 image_id for image_id in data.ids
-                if lo <= data.coco.images[image_id].get('crowdIndex', 0.0)
-                <= hi]
+                if _in_bucket(
+                    data.coco.images[image_id].get('crowdIndex', 0.0))]
         return loader
 
 
