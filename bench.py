@@ -244,6 +244,25 @@ def main():
     cif_syn, caf_syn = synthetic_fields(fh, fw, stride)
     cif_syn = jnp.asarray(cif_syn[None])
     caf_syn = jnp.asarray(caf_syn[None])
+
+    # one-shot Pallas-vs-dense CifHr parity on the real device before any
+    # timing: CI covers the kernel only in interpret mode
+    # (tests/test_cifhr_pallas.py), so this guards against a
+    # Mosaic-lowering-specific miscompile silently corrupting decodes
+    if jax.default_backend() != 'cpu':
+        from openpifpaf_tpu.ops import cifhr as cifhr_mod
+        hr_pallas = np.asarray(cifhr_mod.cif_hr(cif_syn[0], stride,
+                                                impl='pallas'))
+        hr_dense = np.asarray(cifhr_mod.cif_hr(cif_syn[0], stride,
+                                               impl='dense'))
+        max_diff = float(np.abs(hr_pallas - hr_dense).max())
+        if max_diff > 1e-5:
+            raise AssertionError(
+                f'pallas CifHr diverges from dense on device: '
+                f'max abs diff {max_diff}')
+        print(json.dumps({'pallas_parity_max_diff': max_diff}),
+              file=sys.stderr)
+
     decoded = decoder(cif_syn, caf_syn)
     n_poses = int(np.sum(np.asarray(decoded[1])))
     decode_time = time_op(

@@ -88,7 +88,7 @@ def _kernel(active_ref, x_ref, y_ref, sig_ref, w_ref, out_ref, *,
 
 
 @functools.lru_cache(maxsize=32)
-def _build_call(hr_h, hr_w, tile_h, tile_w):
+def _build_call(hr_h, hr_w, tile_h, tile_w, interpret=False):
     """pallas_call wrapped with a custom vmap rule that folds a batch axis
     into the (independent) fields axis, keeping the SMEM parameter arrays
     flat — direct vmap of the call would produce blocked SMEM layouts the
@@ -123,6 +123,7 @@ def _build_call(hr_h, hr_w, tile_h, tile_w):
             out_specs=pl.BlockSpec((1, tile_h, tile_w),
                                    lambda f, i, j: (f, i, j),
                                    memory_space=pltpu.VMEM),
+            interpret=interpret,
         )(active.reshape(-1), x.reshape(-1), y.reshape(-1),
           sigma.reshape(-1), weight.reshape(-1))
 
@@ -153,7 +154,7 @@ def _build_call(hr_h, hr_w, tile_h, tile_w):
 
 
 def accumulate_pallas(x, y, sigma, w, *, hr_h, hr_w, neighbors=16, factor=1.0,
-                      tile_h=128, tile_w=256):
+                      tile_h=128, tile_w=256, interpret=False):
     """Pallas CifHr accumulation. Same contract as
     :func:`cifhr.accumulate_dense`.
 
@@ -161,9 +162,12 @@ def accumulate_pallas(x, y, sigma, w, *, hr_h, hr_w, neighbors=16, factor=1.0,
     (32x128: 14ms, 64x128: 5.3ms, 128x256: 2.5ms, 256x256: 3.5ms,
     full plane: 11ms): small tiles are bound by the per-cell cull loop
     on the scalar core, large tiles by wasted vector accumulation.
+
+    ``interpret=True`` runs the kernel through the Pallas interpreter
+    (works on CPU; used by tests/test_cifhr_pallas.py for CI parity).
     """
     weight = w / neighbors * factor
-    call = _build_call(hr_h, hr_w, tile_h, tile_w)
+    call = _build_call(hr_h, hr_w, tile_h, tile_w, interpret)
 
     # the cell parameters live in SMEM (~1 MB): chunk the fields axis so
     # each kernel launch stays within budget (133-field wholebody at 1024
