@@ -108,6 +108,7 @@ class Evaluator:
             additional = {
                 'total_time': total_time,
                 'checkpoint': checkpoint,
+                'dataset': self.dataset_name,
                 'count_ops': counted_ops,
                 'file_size': file_size,
                 'n_images': predictor.total_images,

@@ -15,6 +15,10 @@ class JsonFormatter(logging.Formatter):
         return json.dumps({
             'levelname': record.levelname,
             'name': record.name,
+            # wall-clock stamp in the reference's format (logs.py parses
+            # it for the time-per-epoch panels)
+            'asctime': self.formatTime(record, '%Y-%m-%d %H:%M:%S')
+            + ',{:03.0f}'.format(record.msecs),
             **payload,
         })
 

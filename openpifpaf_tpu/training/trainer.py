@@ -12,6 +12,7 @@ Reference: ``network/trainer.py:17-425``. TPU-native redesign:
 
 import dataclasses
 import logging
+import sys
 import time
 from typing import Any, Optional
 
@@ -91,6 +92,26 @@ def _head_sparsity_penalty(model_params):
                 total = total + jnp.sum(
                     jnp.clip(jnp.max(jnp.abs(leaf), axis=2), 1e-6, None))
     return total
+
+
+def _accumulate_head_losses(sums, counts, head_losses):
+    """Running per-field sums/counts; None entries (heads of other
+    datasets in multi-dataset training) don't contribute."""
+    values = [float(l) if l is not None else None for l in head_losses]
+    if sums is None:
+        sums = [0.0] * len(values)
+        counts = [0] * len(values)
+    for i, v in enumerate(values):
+        if v is not None and np.isfinite(v):
+            sums[i] += v
+            counts[i] += 1
+    return sums, counts
+
+
+def _mean_head_losses(sums, counts):
+    if sums is None:
+        return []
+    return [round(s / c, 5) if c else None for s, c in zip(sums, counts)]
 
 
 def build_train_step(model, loss_fn, optimizer, schedule, *,
@@ -362,6 +383,13 @@ class Trainer:
         cls.bf16 = args.bf16
 
     def loop(self, train_loader, val_loader, start_epoch=0):
+        # reference trainer.py:58-61: a config line names the per-head
+        # loss fields so the logs CLI can label head-loss panels
+        LOG.info({
+            'type': 'config',
+            'field_names': list(getattr(self.loss_fn, 'field_names', [])),
+            'argv': sys.argv,
+        })
         if start_epoch and int(self.state.step) == 0:
             # resumed run: the lr schedule is driven by the step counter
             self.state = dataclasses.replace(
@@ -397,6 +425,8 @@ class Trainer:
         self._build_steps(fix_bn=self._fix_bn_active(epoch))
         start_time = time.time()
         epoch_loss = 0.0
+        epoch_head_losses = None
+        epoch_head_counts = None
         n = 0
         last_batch_start = time.time()
         for batch_i, (images, targets, metas) in enumerate(loader):
@@ -436,13 +466,18 @@ class Trainer:
                     f'non-finite loss {loss_value} in epoch {epoch} '
                     f'batch {batch_i}')
             epoch_loss += loss_value
+            epoch_head_losses, epoch_head_counts = _accumulate_head_losses(
+                epoch_head_losses, epoch_head_counts, head_losses)
             n += 1
             last_batch_start = time.time()
 
         LOG.info({
             'type': 'train-epoch', 'epoch': epoch + 1,
             'loss': round(epoch_loss / max(1, n), 5),
+            'head_losses': _mean_head_losses(epoch_head_losses,
+                                             epoch_head_counts),
             'time': round(time.time() - start_time, 1),
+            'n_batches': n,
         })
 
     def val(self, loader, epoch):
@@ -450,19 +485,25 @@ class Trainer:
         self._build_steps(fix_bn=self._fix_bn_active(epoch - 1))
         start_time = time.time()
         epoch_loss = 0.0
+        head_sums = None
+        head_counts = None
         n = 0
         for batch_i, (images, targets, metas) in enumerate(loader):
             if self.n_val_batches and batch_i >= self.n_val_batches:
                 break
             targets = self._prepare_targets(targets, metas)
-            loss, _ = self.val_step(
+            loss, head_losses = self.val_step(
                 self.state, jnp.asarray(images), targets)
             epoch_loss += float(loss)
+            head_sums, head_counts = _accumulate_head_losses(
+                head_sums, head_counts, head_losses)
             n += 1
         LOG.info({
             'type': 'val-epoch', 'epoch': epoch,
             'loss': round(epoch_loss / max(1, n), 5),
+            'head_losses': _mean_head_losses(head_sums, head_counts),
             'time': round(time.time() - start_time, 1),
+            'n_batches': n,
         })
 
     def write_model(self, epoch, final=True):
