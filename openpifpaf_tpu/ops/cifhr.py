@@ -86,14 +86,17 @@ def accumulate_dense(x, y, sigma, w, *, hr_h, hr_w, neighbors=16, factor=1.0):
 
 
 def cif_hr(cif, stride, *, threshold=0.3, min_scale=0.0, neighbors=16,
-           factor=1.0, n_cells=256, impl='auto', return_overflow=False):
+           factor=1.0, n_cells=256, impl='auto', exact_tiles=False,
+           return_overflow=False):
     """Full CifHr from a decoded CIF field. Returns (F, HS, WS).
 
     impl: 'auto' (Pallas on TPU, dense jnp elsewhere), 'pallas' or 'dense'.
     With ``return_overflow`` also returns a bool scalar: True when a field
     had more cells above the threshold than the static ``n_cells`` budget
-    splats (the accumulated map then underestimates around the dropped
-    cells).
+    splats, or (Pallas path) a tile intersected more cells than its
+    compaction budget — either way the accumulated map may underestimate
+    and the caller should escalate. ``exact_tiles`` disables the Pallas
+    per-tile compaction bound (the decoder's crowd tier sets it).
     """
     _, _, h, w = cif.shape
     hr_h = (h - 1) * stride + 1
@@ -105,8 +108,12 @@ def cif_hr(cif, stride, *, threshold=0.3, min_scale=0.0, neighbors=16,
         impl = 'pallas' if jax.default_backend() not in ('cpu',) else 'dense'
     if impl == 'pallas':
         from .cifhr_pallas import accumulate_pallas
-        hr = accumulate_pallas(x, y, sigma, wgt, hr_h=hr_h, hr_w=hr_w,
-                               neighbors=neighbors, factor=factor)
+        hr, tile_overflow = accumulate_pallas(
+            x, y, sigma, wgt, hr_h=hr_h, hr_w=hr_w,
+            neighbors=neighbors, factor=factor,
+            k_tile=n_cells if exact_tiles else None,
+            return_overflow=True)
+        overflow = overflow | tile_overflow
     else:
         hr = accumulate_dense(x, y, sigma, wgt, hr_h=hr_h, hr_w=hr_w,
                               neighbors=neighbors, factor=factor)

@@ -82,6 +82,9 @@ class CifCafDecoderConfig:
     #: dense planes); the crowd tier sets this so the near-zero-threshold
     #: completion candidates can never be truncated at any resolution
     force_complete_dense: bool = False
+    #: disable the Pallas CifHr per-tile cell-compaction bound (crowd
+    #: tier: a saturated tile can then never underestimate)
+    cifhr_exact_tiles: bool = False
 
     def crowd(self, scale: int = 16) -> 'CifCafDecoderConfig':
         """The crowd-tier variant: budgets scaled to cover 40+ people
@@ -93,7 +96,8 @@ class CifCafDecoderConfig:
             n_seeds=max(self.n_seeds, 256 * scale),
             n_caf_candidates=max(self.n_caf_candidates, 64 * scale)
             if self.n_caf_candidates else 0,
-            force_complete_dense=True)
+            force_complete_dense=True,
+            cifhr_exact_tiles=True)
 
 
 def decode_cifcaf_single(cif, caf, initial_poses=None, *, stride, skeleton,
@@ -130,6 +134,7 @@ def decode_cifcaf_single(cif, caf, initial_poses=None, *, stride, skeleton,
             neighbors=cfg.cifhr_neighbors,
             n_cells=cfg.n_hr_cells,
             impl=cfg.cifhr_impl,
+            exact_tiles=cfg.cifhr_exact_tiles,
             return_overflow=True)
 
     seeds = seeds_mod.cif_seeds(
