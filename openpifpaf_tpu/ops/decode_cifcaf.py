@@ -137,12 +137,13 @@ def decode_cifcaf_single(cif, caf, initial_poses=None, *, stride, skeleton,
             exact_tiles=cfg.cifhr_exact_tiles,
             return_overflow=True)
 
-    seeds = seeds_mod.cif_seeds(
+    seeds, seed_overflow = seeds_mod.cif_seeds(
         cif, hr, stride,
         threshold=cfg.seed_threshold,
         n_seeds=cfg.n_seeds,
         rescore=cfg.seed_rescore,
-        nms=cfg.seed_ablation_nms)
+        nms=cfg.seed_ablation_nms,
+        return_overflow=True)
 
     caf_cands, caf_overflow = caf_scored_mod.caf_scored(
         caf, hr, stride, skeleton,
@@ -151,11 +152,7 @@ def decode_cifcaf_single(cif, caf, initial_poses=None, *, stride, skeleton,
         rescore=cfg.caf_rescore,
         n_candidates=cfg.n_caf_candidates,
         return_overflow=True)
-    # seed-cell counts are dominated by duplicates (~27 cells per joint),
-    # so they don't make a useful trigger; the per-field CifHr count
-    # already fires at ~10 people (n_hr_cells / ~25 cells per person),
-    # well before the 256-seed budget (~15 people x 17 joints) degrades
-    overflow = hr_overflow | caf_overflow
+    overflow = hr_overflow | caf_overflow | seed_overflow
 
     grow_kwargs = dict(
         only_max=cfg.connection_method == 'max',

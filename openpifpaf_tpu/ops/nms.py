@@ -7,9 +7,13 @@ window (side 2*sigma at reduction 2, min scale 4). Then joints below the
 keypoint threshold are zeroed and annotations below the instance threshold
 are dropped.
 
-Here the annotation loop is a ``lax.scan`` over score-sorted poses with the
-occupancy grid as carry; the per-joint window writes are vectorized over all
-keypoint fields at once.
+Here the sequential annotation loop becomes a per-field pairwise relation:
+joint k of pose j is suppressed iff an *accepted* (unsuppressed) joint k of
+an earlier-ordered pose i covers j's query cell with its occupancy window.
+The greedy scan only ever point-queries the grid, so its result is the
+closure of that relation, computed by fixpoint iteration (the same
+argument as :func:`openpifpaf_tpu.ops.seeds.seed_nms`) — a few rounds over
+a (n_kp, K, K) bool tensor instead of K sequential grid updates.
 """
 
 import jax
@@ -76,41 +80,43 @@ def nms_keypoints(poses, hr_shape, *, suppression=1e-5,
     sort_order = jnp.argsort(-pre_scores)
     sorted_poses = poses[sort_order]
 
-    ys_grid = jnp.arange(gh, dtype=jnp.float32)[None, :, None]
-    xs_grid = jnp.arange(gw, dtype=jnp.float32)[None, None, :]
+    v = sorted_poses[:, :, 0]                                   # (K, n_kp)
+    x = sorted_poses[:, :, 1] / occupancy_reduction
+    y = sorted_poses[:, :, 2] / occupancy_reduction
+    sigma = jnp.maximum(min_scale_reduced,
+                        sorted_poses[:, :, 3] / occupancy_reduction)
 
-    def body(occ, pose):
-        v = pose[:, 0]
-        x = pose[:, 1] / occupancy_reduction
-        y = pose[:, 2] / occupancy_reduction
-        sigma = jnp.maximum(min_scale_reduced, pose[:, 3] / occupancy_reduction)
+    # query cell of each joint, and the window an accepted joint marks
+    # ([x - sigma, x + sigma) like Occupancy::set, clamped to the grid)
+    xi = jnp.clip(x.astype(jnp.int32), 0, gw - 1).astype(jnp.float32)
+    yi = jnp.clip(y.astype(jnp.int32), 0, gh - 1).astype(jnp.float32)
+    minx = jnp.clip(jnp.floor(x - sigma), 0, gw - 1)
+    maxx = jnp.clip(jnp.floor(x + sigma), minx + 1, gw)
+    miny = jnp.clip(jnp.floor(y - sigma), 0, gh - 1)
+    maxy = jnp.clip(jnp.floor(y + sigma), miny + 1, gh)
 
-        xi = jnp.clip(x.astype(jnp.int32), 0, gw - 1)
-        yi = jnp.clip(y.astype(jnp.int32), 0, gh - 1)
-        f_idx = jnp.arange(n_kp)
-        occupied = occ[f_idx, yi, xi]
+    active = v > 0.0
+    # covers[f, i, j]: would accepted joint f of (sorted) pose i suppress
+    # joint f of the later pose j? Joints of one pose live in distinct
+    # fields, so strict pose order i < j is exactly the scan order.
+    order_ij = jnp.arange(k)[:, None] < jnp.arange(k)[None, :]  # (K, K)
+    covers = (active.T[:, :, None]
+              & (xi.T[:, None, :] >= minx.T[:, :, None])
+              & (xi.T[:, None, :] < maxx.T[:, :, None])
+              & (yi.T[:, None, :] >= miny.T[:, :, None])
+              & (yi.T[:, None, :] < maxy.T[:, :, None])
+              & order_ij[None, :, :])                           # (n_kp, K, K)
 
-        active = v > 0.0
-        v_new = jnp.where(active & occupied, v * suppression, v)
+    def body(state):
+        accept, _ = state
+        new = active.T & ~jnp.any(accept[:, :, None] & covers, axis=1)
+        return new, jnp.any(new != accept)
 
-        # joints that were not suppressed mark their window
-        mark = active & ~occupied
-        minx = jnp.clip(jnp.floor(x - sigma), 0, gw - 1)
-        maxx = jnp.clip(jnp.floor(x + sigma), minx + 1, gw)
-        miny = jnp.clip(jnp.floor(y - sigma), 0, gh - 1)
-        maxy = jnp.clip(jnp.floor(y + sigma), miny + 1, gh)
-        window = ((ys_grid >= miny[:, None, None])
-                  & (ys_grid < maxy[:, None, None])
-                  & (xs_grid >= minx[:, None, None])
-                  & (xs_grid < maxx[:, None, None])
-                  & mark[:, None, None])
-        occ = occ | window
+    accepted, _ = jax.lax.while_loop(
+        lambda st: st[1], body, (active.T, jnp.array(True)))    # (n_kp, K)
 
-        pose_out = pose.at[:, 0].set(v_new)
-        return occ, pose_out
-
-    occ0 = jnp.zeros((n_kp, gh, gw), dtype=bool)
-    _, out_sorted = jax.lax.scan(body, occ0, sorted_poses)
+    v_new = jnp.where(active & ~accepted.T, v * suppression, v)
+    out_sorted = sorted_poses.at[:, :, 0].set(v_new)
 
     # zero joints below keypoint threshold
     v = out_sorted[:, :, 0]

@@ -13,16 +13,18 @@ from .cifhr import cifhr_lookup
 
 
 def cif_seeds(cif, hr, stride, *, threshold=0.2, n_seeds=256,
-              rescore=True, seed_mask=None, nms=False):
+              rescore=True, seed_mask=None, nms=False,
+              return_overflow=False):
     """Extract top-``n_seeds`` seeds.
 
     cif: (F, 5, H, W); hr: (F, HS, WS).
     Returns dict of arrays, all length ``n_seeds``, sorted by v descending:
       f (int32), v, x, y, s (hi-res pixels). Invalid seeds have v == 0.
 
-    No overflow flag here: above-threshold cell counts are dominated by
-    ~27 duplicate cells per joint, so they don't indicate lost people —
-    the CifHr budget flag fires first (see decode_cifcaf).
+    With ``return_overflow`` also returns a bool scalar: True when more
+    than ``4 * n_seeds`` cells passed the threshold, i.e. the pre-rescore
+    compaction may have dropped a candidate and the caller should
+    escalate to a crowd-tier budget.
     """
     n_fields, _, h, w = cif.shape
     hw = h * w
@@ -44,27 +46,49 @@ def cif_seeds(cif, hr, stride, *, threshold=0.2, n_seeds=256,
             padding='SAME')
         mask = mask & (cif[:, 1] >= pooled).reshape(n_fields, hw)
 
+    f_idx = jnp.broadcast_to(
+        jnp.arange(n_fields, dtype=jnp.int32)[:, None], (n_fields, hw))
+    c, x, y, s, f_idx = (a.reshape(-1) for a in (c, x, y, s, f_idx))
+    mask = mask.reshape(-1)
+
+    overflow = jnp.array(False)
     if rescore:
-        f_idx = jnp.arange(n_fields, dtype=jnp.int32)[:, None]
-        hr_val = cifhr_lookup(hr, jnp.broadcast_to(f_idx, (n_fields, hw)), x, y,
-                              default=-1.0)
-        v = 0.9 * hr_val + 0.1 * c
+        # compact the above-threshold cells to 4 * n_seeds BEFORE the
+        # CifHr point gather: the rescore ``0.9 * hr + 0.1 * c`` only
+        # applies to cells already >= threshold, so gathering hr for the
+        # full plane (F * H * W points, the dominant cost of this stage on
+        # TPU) is wasted on cells that can never become seeds. Exact
+        # whenever at most 4 * n_seeds cells pass the threshold (dropped
+        # cells are the lowest-c cells; they could only outrank a kept one
+        # via a higher CifHr value at a *different* joint location, which
+        # requires ~4 * n_seeds active cells = far beyond the scene the
+        # fast-tier budgets are sized for); truncation raises overflow.
+        m = min(4 * n_seeds, c.shape[0])
+        overflow = jnp.sum(mask) > m
+        pre_v, pre_i = jax.lax.top_k(jnp.where(mask, c, -jnp.inf), m)
+        x, y, s, f_idx = (a[pre_i] for a in (x, y, s, f_idx))
+        hr_val = cifhr_lookup(hr, f_idx, x, y, default=-1.0)
+        v = 0.9 * hr_val + 0.1 * pre_v
+        mask = jnp.isfinite(pre_v)
     else:
         v = c
-    mask = mask & (v >= threshold)
 
-    scored = jnp.where(mask, v, -jnp.inf).reshape(-1)
+    mask = mask & (v >= threshold)
+    scored = jnp.where(mask, v, -jnp.inf)
     k = min(n_seeds, scored.shape[0])
     top_v, top_i = jax.lax.top_k(scored, k)
 
     valid = jnp.isfinite(top_v)
-    return {
-        'f': jnp.where(valid, (top_i // hw).astype(jnp.int32), 0),
+    out = {
+        'f': jnp.where(valid, f_idx[top_i], 0),
         'v': jnp.where(valid, top_v, 0.0),
-        'x': jnp.where(valid, x.reshape(-1)[top_i], 0.0),
-        'y': jnp.where(valid, y.reshape(-1)[top_i], 0.0),
-        's': jnp.where(valid, s.reshape(-1)[top_i], 0.0),
+        'x': jnp.where(valid, x[top_i], 0.0),
+        'y': jnp.where(valid, y[top_i], 0.0),
+        's': jnp.where(valid, s[top_i], 0.0),
     }
+    if return_overflow:
+        return out, overflow
+    return out
 
 
 def seed_nms(seeds, n_fields, hr_shape, *, n_keep, reduction=2.0,
