@@ -70,6 +70,7 @@ def nms_keypoints(poses, hr_shape, *, suppression=1e-5,
       keep      — (K,) bool, annotations above the instance threshold
       order     — (K,) indices sorting poses by final score descending
     """
+    poses = jnp.asarray(poses)
     k, n_kp, _ = poses.shape
     hs, ws = hr_shape
     gh = int(hs / occupancy_reduction) + 1

@@ -217,3 +217,52 @@ def test_crowd_decode():
         vis = ann.data[ann.data[:, 2] > 0]
         c = vis[:, :2].mean(axis=0)
         assert np.min(np.linalg.norm(centers - c, axis=1)) < 45.0
+
+
+def test_nms_suppression_chain():
+    """Fixpoint keypoint NMS must match the sequential greedy scan on a
+    suppression chain: A suppresses B, so B (suppressed) must NOT
+    suppress C even though B's window covers C's cell
+    (``nms_keypoints.cpp:17-69`` marks only unsuppressed joints)."""
+    from openpifpaf_tpu.ops import nms as nms_mod
+
+    n_kp = 3
+    poses = np.zeros((3, n_kp, 4), dtype=np.float32)
+    # joint 0 of each pose, reduction 2, sigma 4 -> reduced sigma 2:
+    # A at x=10 marks reduced cells [3, 7); B at x=12 (cell 6, inside A)
+    # would mark [4, 8); C at x=15 (cell 7: inside B's window, outside
+    # A's)
+    poses[0, 0] = [0.9, 10.0, 10.0, 4.0]
+    poses[1, 0] = [0.8, 12.0, 10.0, 4.0]
+    poses[2, 0] = [0.7, 15.0, 10.0, 4.0]
+    # give every pose a second strong joint far away so the instance
+    # score survives the per-joint suppression
+    for i in range(3):
+        poses[i, 1] = [0.9, 200.0 + 40.0 * i, 200.0, 4.0]
+
+    out, keep, _ = nms_mod.nms_keypoints(poses, (321, 321))
+    out = np.asarray(out)
+    assert out[0, 0, 0] == pytest.approx(0.9)    # A kept
+    # B suppressed by A (0.8 * 1e-5, then zeroed by keypoint threshold)
+    assert out[1, 0, 0] == 0.0
+    assert out[2, 0, 0] == pytest.approx(0.7)    # C survives: B marked nothing
+    assert bool(np.asarray(keep)[2])
+
+
+def test_seed_compaction_overflow():
+    """cif_seeds raises its overflow flag when more cells pass the
+    threshold than the pre-rescore compaction budget (4 * n_seeds)."""
+    rng = np.random.RandomState(0)
+    f, h, w = 17, 9, 9
+    cif = rng.uniform(0.5, 1.0, size=(f, 5, h, w)).astype(np.float32)
+    hr = np.zeros((f, 65, 65), dtype=np.float32)
+    n_above = f * h * w  # all 1377 cells pass
+    _, overflow = seeds_mod.cif_seeds(
+        cif, hr, 8, threshold=0.2, n_seeds=16, return_overflow=True)
+    assert n_above > 4 * 16
+    assert bool(np.asarray(overflow))
+
+    _, overflow2 = seeds_mod.cif_seeds(
+        cif, hr, 8, threshold=0.2, n_seeds=512, return_overflow=True)
+    assert n_above <= 4 * 512
+    assert not bool(np.asarray(overflow2))
