@@ -13,16 +13,22 @@ vectorized reductions over the full plane.
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-from .cifhr import cifhr_lookup
+from .cifhr import cifhr_lookup, eval_cells
 
 
 def caf_scored(caf, hr, stride, skeleton, *, score_th=0.3, cif_floor=0.1,
-               rescore=True, n_candidates=0, return_overflow=False):
+               rescore=True, n_candidates=0, hr_cells=None, hr_shape=None,
+               return_overflow=False):
     """Build dense directed association candidates.
 
     caf: (E, 8, H, W) decoded field [logb, c, x1, y1, x2, y2, s1, s2].
-    hr: (F, HS, WS) CifHr map.
+    hr: (F, HS, WS) CifHr map, or None with ``hr_cells``/``hr_shape`` set —
+    the lazy splat cells are then evaluated at the candidates' target
+    positions directly. Each directed edge's target joint is static
+    (from the skeleton), so the cell rows are selected at trace time and
+    the rescore is pure dense (E, K_cand, K_cells) vector math.
     skeleton: (E, 2) int array of 1-based joint indices.
 
     Returns dict with arrays of shape (2E, H*W):
@@ -70,11 +76,23 @@ def caf_scored(caf, hr, stride, skeleton, *, score_th=0.3, cif_floor=0.1,
     else:
         base_mask = c >= score_th
 
-    skeleton = jnp.asarray(skeleton, dtype=jnp.int32)
+    skeleton_np = np.asarray(skeleton, dtype=np.int32)
+    skeleton = jnp.asarray(skeleton_np)
     j1 = (skeleton[:, 0] - 1)[:, None]  # (E, 1)
     j2 = (skeleton[:, 1] - 1)[:, None]
 
-    if rescore:
+    if rescore and hr_cells is not None:
+        j1_np = skeleton_np[:, 0] - 1
+        j2_np = skeleton_np[:, 1] - 1
+        rows_fwd = {k_: a[j2_np] for k_, a in hr_cells.items()}  # (E, Kc)
+        rows_bwd = {k_: a[j1_np] for k_, a in hr_cells.items()}
+        fwd_hr = eval_cells(rows_fwd, x2, y2,
+                            hs=hr_shape[0], ws=hr_shape[1], default=0.0)
+        bwd_hr = eval_cells(rows_bwd, x1, y1,
+                            hs=hr_shape[0], ws=hr_shape[1], default=0.0)
+        c_fwd = c * (cif_floor + (1.0 - cif_floor) * fwd_hr)
+        c_bwd = c * (cif_floor + (1.0 - cif_floor) * bwd_hr)
+    elif rescore:
         fwd_hr = cifhr_lookup(hr, jnp.broadcast_to(j2, c.shape), x2, y2,
                               default=0.0)
         bwd_hr = cifhr_lookup(hr, jnp.broadcast_to(j1, c.shape), x1, y1,

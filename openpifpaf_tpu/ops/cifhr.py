@@ -46,11 +46,15 @@ def select_cells(cif, stride, *, threshold, min_scale, n_cells):
     top_v, top_i = jax.lax.top_k(scored, k)
     overflow = jnp.any(jnp.sum(valid, axis=1) > k)
 
-    gather = lambda c: jnp.take_along_axis(c.reshape(n_fields, h * w), top_i, axis=1)
-    x = gather(cif[:, 2]) * stride
-    y = gather(cif[:, 3]) * stride
-    cell_scale = gather(cif[:, 4])
-    sigma = jnp.maximum(1.0, 0.5 * cell_scale * stride)
+    # one-hot matmul payload extraction (TPU serializes per-row gathers;
+    # exact because the one-hot factor is exactly 1.0/0.0 — see caf_scored)
+    onehot = (top_i[..., None] == jnp.arange(h * w)).astype(jnp.float32)
+    payload = cif[:, 2:5].reshape(n_fields, 3, h * w)
+    out = jnp.einsum('fkc,fpc->fkp', onehot, payload,
+                     precision=jax.lax.Precision.HIGHEST)
+    x = out[..., 0] * stride
+    y = out[..., 1] * stride
+    sigma = jnp.maximum(1.0, 0.5 * out[..., 2] * stride)
     weight = jnp.where(jnp.isfinite(top_v), top_v, 0.0)
     return x, y, sigma, weight, overflow
 
@@ -120,6 +124,65 @@ def cif_hr(cif, stride, *, threshold=0.3, min_scale=0.0, neighbors=16,
     if return_overflow:
         return hr, overflow
     return hr
+
+
+def cif_hr_cells(cif, stride, *, threshold=0.3, min_scale=0.0, neighbors=16,
+                 factor=1.0, n_cells=256):
+    """Lazy CifHr: the splat-cell representation instead of the full map.
+
+    The decode pipeline only ever *point-reads* CifHr (seed rescoring,
+    CAF candidate rescoring), so materializing the (F, HS, WS) map — 28 MB
+    for COCO-17 at 641px, 219 MB for wholebody-133 — and gathering from it
+    is wasted HBM traffic plus TPU-serialized gathers. Instead keep the
+    top-K contributing cells per field and evaluate
+
+        hr[f](X, Y) = min(1, sum_k w_k * g_k(X, Y))
+
+    directly at the query points (:func:`eval_cells`): dense (Q, K) vector
+    math that fuses into the consumer. Returns (cells dict with x, y,
+    sigma, w each (F, n_cells) — w pre-scaled by 1/neighbors*factor —,
+    hr_h, hr_w, overflow).
+    """
+    _, _, h, w = cif.shape
+    hr_h = (h - 1) * stride + 1
+    hr_w = (w - 1) * stride + 1
+    x, y, sigma, wgt, overflow = select_cells(
+        cif, stride, threshold=threshold, min_scale=min_scale,
+        n_cells=n_cells)
+    cells = {'x': x, 'y': y, 'sigma': sigma, 'w': wgt / neighbors * factor}
+    return cells, hr_h, hr_w, overflow
+
+
+def eval_cells(cells, xq, yq, *, hs, ws, default=-1.0):
+    """Evaluate the lazy CifHr at query points with the rounded-pixel
+    semantics of :func:`cifhr_lookup` (``cif_seeds.cpp:17-30``).
+
+    cells: dict of (..., K) arrays; xq, yq: (..., Q) hi-res float
+    coordinates broadcasting against the leading cell axes. Returns
+    (..., Q) values; out-of-bounds queries return ``default``.
+    Matches ``accumulate_dense`` + ``cifhr_lookup`` up to float summation
+    order (same approx_exp, truncation, closest-pixel and min(sum, 1)
+    clamp evaluated at the query's rounded integer pixel).
+    """
+    max_x = ws - 0.51
+    max_y = hs - 0.51
+    inb = (xq >= -0.49) & (yq >= -0.49) & (xq <= max_x) & (yq <= max_y)
+    xi = jnp.clip(jnp.floor(xq + 0.5), 0, ws - 1)
+    yi = jnp.clip(jnp.floor(yq + 0.5), 0, hs - 1)
+
+    cx = cells['x'][..., None, :]        # (..., 1, K)
+    cy = cells['y'][..., None, :]
+    cs = cells['sigma'][..., None, :]
+    cw = cells['w'][..., None, :]
+    dx2 = (xi[..., :, None] - cx) ** 2   # (..., Q, K)
+    dy2 = (yi[..., :, None] - cy) ** 2
+    d2 = dx2 + dy2
+    s2 = cs * cs
+    inside = d2 <= s2
+    closest = (dx2 < 0.25) & (dy2 < 0.25)
+    g = jnp.where(closest, 1.0, approx_exp(-0.5 * d2 / s2))
+    val = jnp.minimum(jnp.sum(jnp.where(inside, cw * g, 0.0), axis=-1), 1.0)
+    return jnp.where(inb, val, default)
 
 
 def cifhr_lookup(hr, f, x, y, default=-1.0):

@@ -77,6 +77,9 @@ class CifCafDecoderConfig:
     #: activates ~16 cells per plane
     n_caf_candidates: int = 256
     seed_nms: bool = True
+    #: 'auto' (-> 'lazy'), 'lazy' (splat cells evaluated at query points,
+    #: no map materialization), 'pallas' (materialized map via the TPU
+    #: kernel) or 'dense' (materialized via jnp)
     cifhr_impl: str = 'auto'
     #: skip candidate compaction in the force-complete pass (keep full
     #: dense planes); the crowd tier sets this so the near-zero-threshold
@@ -120,12 +123,28 @@ def decode_cifcaf_single(cif, caf, initial_poses=None, *, stride, skeleton,
     _, _, h, w = cif.shape
     hr_shape = ((h - 1) * stride + 1, (w - 1) * stride + 1)
 
+    impl = cfg.cifhr_impl
+    if impl == 'auto':
+        impl = 'lazy'
+
+    hr = None
+    hr_cells = None
     if cfg.cifhr_skip:
         # both rescore ablations active: the reference skips CifHr
         # accumulation entirely (decoder/cifcaf.py:210-211)
-        n_fields = cif.shape[0]
-        hr = jnp.zeros((n_fields,) + hr_shape, jnp.float32)
         hr_overflow = jnp.array(False)
+        if impl == 'lazy':
+            z = jnp.zeros((cif.shape[0], 1), jnp.float32)
+            hr_cells = {'x': z, 'y': z, 'sigma': z, 'w': z}
+        else:
+            hr = jnp.zeros((cif.shape[0],) + hr_shape, jnp.float32)
+    elif impl == 'lazy':
+        hr_cells, _, _, hr_overflow = cifhr_mod.cif_hr_cells(
+            cif, stride,
+            threshold=cfg.cifhr_threshold,
+            min_scale=cfg.cifhr_min_scale,
+            neighbors=cfg.cifhr_neighbors,
+            n_cells=cfg.n_hr_cells)
     else:
         hr, hr_overflow = cifhr_mod.cif_hr(
             cif, stride,
@@ -133,7 +152,7 @@ def decode_cifcaf_single(cif, caf, initial_poses=None, *, stride, skeleton,
             min_scale=cfg.cifhr_min_scale,
             neighbors=cfg.cifhr_neighbors,
             n_cells=cfg.n_hr_cells,
-            impl=cfg.cifhr_impl,
+            impl=impl,
             exact_tiles=cfg.cifhr_exact_tiles,
             return_overflow=True)
 
@@ -143,6 +162,7 @@ def decode_cifcaf_single(cif, caf, initial_poses=None, *, stride, skeleton,
         n_seeds=cfg.n_seeds,
         rescore=cfg.seed_rescore,
         nms=cfg.seed_ablation_nms,
+        hr_cells=hr_cells, hr_shape=hr_shape,
         return_overflow=True)
 
     caf_cands, caf_overflow = caf_scored_mod.caf_scored(
@@ -151,6 +171,7 @@ def decode_cifcaf_single(cif, caf, initial_poses=None, *, stride, skeleton,
         cif_floor=cfg.caf_cif_floor,
         rescore=cfg.caf_rescore,
         n_candidates=cfg.n_caf_candidates,
+        hr_cells=hr_cells, hr_shape=hr_shape,
         return_overflow=True)
     overflow = hr_overflow | caf_overflow | seed_overflow
 
@@ -215,6 +236,7 @@ def decode_cifcaf_single(cif, caf, initial_poses=None, *, stride, skeleton,
             cif_floor=cfg.caf_cif_floor,
             rescore=cfg.caf_rescore,
             n_candidates=fc_budget,
+            hr_cells=hr_cells, hr_shape=hr_shape,
             return_overflow=True)
         overflow = overflow | caf_low_overflow
         poses = grow_mod.grow_from_poses(

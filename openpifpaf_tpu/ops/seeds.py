@@ -9,15 +9,19 @@ static seed budget.
 import jax
 import jax.numpy as jnp
 
-from .cifhr import cifhr_lookup
+from .cifhr import cifhr_lookup, eval_cells
 
 
 def cif_seeds(cif, hr, stride, *, threshold=0.2, n_seeds=256,
               rescore=True, seed_mask=None, nms=False,
+              hr_cells=None, hr_shape=None,
               return_overflow=False):
     """Extract top-``n_seeds`` seeds.
 
-    cif: (F, 5, H, W); hr: (F, HS, WS).
+    cif: (F, 5, H, W); hr: (F, HS, WS) materialized CifHr, or None with
+    ``hr_cells``/``hr_shape`` set — the lazy splat-cell representation
+    from :func:`cifhr.cif_hr_cells` is then evaluated directly at the
+    seed positions (no map materialization, no gathers).
     Returns dict of arrays, all length ``n_seeds``, sorted by v descending:
       f (int32), v, x, y, s (hi-res pixels). Invalid seeds have v == 0.
 
@@ -67,7 +71,15 @@ def cif_seeds(cif, hr, stride, *, threshold=0.2, n_seeds=256,
         overflow = jnp.sum(mask) > m
         pre_v, pre_i = jax.lax.top_k(jnp.where(mask, c, -jnp.inf), m)
         x, y, s, f_idx = (a[pre_i] for a in (x, y, s, f_idx))
-        hr_val = cifhr_lookup(hr, f_idx, x, y, default=-1.0)
+        if hr_cells is not None:
+            # lazy CifHr: pull each query's field-row of splat cells
+            # (contiguous-K row gather) and evaluate in place
+            rows = {k_: a[f_idx] for k_, a in hr_cells.items()}  # (M, K)
+            hr_val = eval_cells(rows, x[:, None], y[:, None],
+                                hs=hr_shape[0], ws=hr_shape[1],
+                                default=-1.0)[:, 0]
+        else:
+            hr_val = cifhr_lookup(hr, f_idx, x, y, default=-1.0)
         v = 0.9 * hr_val + 0.1 * pre_v
         mask = jnp.isfinite(pre_v)
     else:

@@ -1,6 +1,7 @@
 """Parity tests: vectorized JAX decoder vs the sequential numpy oracle."""
 
 import numpy as np
+import jax.numpy as jnp
 import pytest
 
 import oracle
@@ -266,3 +267,35 @@ def test_seed_compaction_overflow():
         cif, hr, 8, threshold=0.2, n_seeds=512, return_overflow=True)
     assert n_above <= 4 * 512
     assert not bool(np.asarray(overflow2))
+
+
+def test_lazy_cifhr_matches_materialized():
+    """eval_cells (lazy CifHr) must match accumulate_dense + cifhr_lookup
+    at arbitrary query points, including out-of-bounds defaults."""
+    rng = np.random.RandomState(7)
+    F, K = 5, 64
+    hs, ws = 97, 129
+    cells = {
+        'x': rng.uniform(-5, ws + 5, (F, K)).astype(np.float32),
+        'y': rng.uniform(-5, hs + 5, (F, K)).astype(np.float32),
+        'sigma': rng.uniform(1.0, 12.0, (F, K)).astype(np.float32),
+        'w': rng.uniform(0.0, 0.08, (F, K)).astype(np.float32),
+    }
+    cells['w'][:, K // 2:] = 0.0  # padding lanes
+
+    hr = cifhr_mod.accumulate_dense(
+        jnp.asarray(cells['x']), jnp.asarray(cells['y']),
+        jnp.asarray(cells['sigma']), jnp.asarray(cells['w'] * 16.0),
+        hr_h=hs, hr_w=ws)
+
+    q = 200
+    xq = rng.uniform(-3, ws + 3, (F, q)).astype(np.float32)
+    yq = rng.uniform(-3, hs + 3, (F, q)).astype(np.float32)
+    f_idx = np.broadcast_to(np.arange(F, dtype=np.int32)[:, None], (F, q))
+
+    ref = cifhr_mod.cifhr_lookup(np.asarray(hr), f_idx, xq, yq, default=-1.0)
+    lazy = cifhr_mod.eval_cells(
+        {k: jnp.asarray(v) for k, v in cells.items()},
+        xq, yq, hs=hs, ws=ws, default=-1.0)
+    np.testing.assert_allclose(np.asarray(lazy), np.asarray(ref),
+                               rtol=0, atol=1e-5)
