@@ -52,20 +52,23 @@ def _field_fixtures():
 
 
 def synthetic_fields(h_cells, w_cells, stride, *, pose=None, metas=None,
-                     seed=0):
-    """Six synthetic people on a 3x2 grid, encoded to decoded-field layout.
+                     seed=0, n_people=6, size=120.0):
+    """Synthetic people on a grid, encoded to decoded-field layout.
 
     pose/metas switch the skeleton (default COCO-17; pass a datamodule's
     metas e.g. for the 133-keypoint wholebody configuration).
     """
     field_fixtures = _field_fixtures()
     rng = np.random.RandomState(seed)
+    cols = max(1, int(np.ceil(np.sqrt(n_people * 1.5))))
+    rows = max(1, int(np.ceil(n_people / cols)))
     anns = []
-    for i in range(6):
-        cx = 40 + (i % 3) * ((w_cells - 1) * stride - 80) / 2.0
-        cy = 60 + (i // 3) * ((h_cells - 1) * stride - 120) / 1.0
+    for i in range(n_people):
+        cx = 40 + (i % cols) * ((w_cells - 1) * stride - 80) / max(cols - 1, 1)
+        cy = 60 + (i // cols) * ((h_cells - 1) * stride - 120) / max(rows - 1,
+                                                                     1)
         anns.append(field_fixtures.annotation_dict(
-            field_fixtures.synthetic_person(cx, cy, 120.0, rng, pose=pose)))
+            field_fixtures.synthetic_person(cx, cy, size, rng, pose=pose)))
     cif, caf, _ = field_fixtures.fields_from_annotations(
         anns, ((h_cells - 1) * stride + 1, (w_cells - 1) * stride + 1),
         stride=stride, metas=metas)
@@ -320,6 +323,27 @@ def main():
         lambda s: _tree_scalar(wb_decoder(wb_cif + s * 1e-12, wb_caf)),
         n_lo=2, n_hi=6)
 
+    # crowd tier: the 16x-budget escalation graph. Measures (a) its
+    # one-off compile cost (what the first overflowing image pays) and
+    # (b) decode latency on a realistic 40-person scene, so the two-tier
+    # policy is backed by numbers rather than assumed cheap.
+    crowd_decoder = build_cifcaf_decoder(
+        stride=stride, skeleton=caf_meta.skeleton,
+        n_keypoints=len(cif_meta.keypoints),
+        config=CifCafDecoderConfig().crowd())
+    crowd_cif, crowd_caf = synthetic_fields(fh, fw, stride, n_people=40,
+                                            size=70.0, seed=2)
+    crowd_cif = jnp.asarray(crowd_cif[None])
+    crowd_caf = jnp.asarray(crowd_caf[None])
+    t0 = time.perf_counter()
+    crowd_out = crowd_decoder(crowd_cif, crowd_caf)
+    crowd_poses = int(np.sum(np.asarray(crowd_out[1])))  # sync
+    crowd_compile_s = time.perf_counter() - t0
+    crowd_decode_time = time_op(
+        lambda s: _tree_scalar(crowd_decoder(crowd_cif + s * 1e-12,
+                                             crowd_caf)),
+        n_lo=2, n_hi=6)
+
     e2e = nn_time + decode_time
     img_per_sec = 1.0 / e2e
     # north star (BASELINE.json): ratio vs the *measured* in-env
@@ -354,6 +378,9 @@ def main():
             'batch8_decode_ms': round(dec8_time * 1e3, 3),
             'wholebody133_decode_ms': round(wb_decode_time * 1e3, 3),
             'wholebody133_poses': wb_poses,
+            'crowd40_decode_ms': round(crowd_decode_time * 1e3, 3),
+            'crowd40_poses': crowd_poses,
+            'crowd_compile_s': round(crowd_compile_s, 1),
             'vs_gtx1080ti': round(img_per_sec / GTX1080TI_IMG_PER_SEC, 3),
             'torch_cpu_img_per_sec': (torch_cpu['img_per_sec']
                                       if torch_cpu else None),

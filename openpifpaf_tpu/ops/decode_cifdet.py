@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from . import cifhr as cifhr_mod
-from .cifhr import cifhr_lookup
+
 
 
 @dataclasses.dataclass(frozen=True)
@@ -45,11 +45,16 @@ def select_det_cells(cifdet, stride, *, threshold, min_scale, n_cells):
 
     scored = jnp.where(valid, v, -jnp.inf)
     top_v, top_i = jax.lax.top_k(scored, min(n_cells, hw))
-    gather = lambda c: jnp.take_along_axis(c.reshape(n_fields, hw), top_i, axis=1)
-    x = gather(cifdet[:, 2]) * stride
-    y = gather(cifdet[:, 3]) * stride
-    sigma = jnp.maximum(1.0, 0.1 * jnp.minimum(gather(cifdet[:, 4]),
-                                               gather(cifdet[:, 5])) * stride)
+    # one-hot matmul payload extraction (see caf_scored: exact, and avoids
+    # TPU-serialized take_along_axis gathers)
+    onehot = (top_i[..., None] == jnp.arange(hw)).astype(jnp.float32)
+    payload = cifdet[:, 2:6].reshape(n_fields, 4, hw)
+    out = jnp.einsum('fkc,fpc->fkp', onehot, payload,
+                     precision=jax.lax.Precision.HIGHEST)
+    x = out[..., 0] * stride
+    y = out[..., 1] * stride
+    sigma = jnp.maximum(1.0, 0.1 * jnp.minimum(out[..., 2],
+                                               out[..., 3]) * stride)
     weight = jnp.where(jnp.isfinite(top_v), top_v, 0.0)
     return x, y, sigma, weight
 
@@ -73,35 +78,46 @@ def decode_cifdet_single(cifdet, *, stride, config):
     hw = h * w
     hr_shape = ((h - 1) * stride + 1, (w - 1) * stride + 1)
 
-    # CifDetHr
+    # CifDetHr, kept lazy (splat cells; see cifhr.eval_cells) — the 80-class
+    # map would be 131 MB at 641px and is only ever point-read here
     x, y, sigma, wgt = select_det_cells(
         cifdet, stride, threshold=cfg.cifhr_threshold,
         min_scale=cfg.cifhr_min_scale, n_cells=cfg.n_hr_cells)
-    hr = cifhr_mod.accumulate_dense(
-        x, y, sigma, wgt, hr_h=hr_shape[0], hr_w=hr_shape[1],
-        neighbors=cfg.cifhr_neighbors)
+    hr_cells = {'x': x, 'y': y, 'sigma': sigma,
+                'w': wgt / cfg.cifhr_neighbors}
 
-    # seeds (cif_seeds.cpp:69-90): v = 0.9 * hr + 0.1 * c
-    c = cifdet[:, 1].reshape(n_fields, hw)
-    sx = cifdet[:, 2].reshape(n_fields, hw) * stride
-    sy = cifdet[:, 3].reshape(n_fields, hw) * stride
-    sw = cifdet[:, 4].reshape(n_fields, hw) * stride
-    sh = cifdet[:, 5].reshape(n_fields, hw) * stride
+    # seeds (cif_seeds.cpp:69-90): v = 0.9 * hr + 0.1 * c, with the
+    # rescore restricted to the top 4*n_seeds above-threshold cells
+    # (the same pre-rescore compaction as cif_seeds)
+    c = cifdet[:, 1].reshape(-1)
+    sx = cifdet[:, 2].reshape(-1) * stride
+    sy = cifdet[:, 3].reshape(-1) * stride
+    sw = cifdet[:, 4].reshape(-1) * stride
+    sh = cifdet[:, 5].reshape(-1) * stride
     f_idx = jnp.broadcast_to(
-        jnp.arange(n_fields, dtype=jnp.int32)[:, None], (n_fields, hw))
-    hr_val = cifhr_lookup(hr, f_idx, sx, sy, default=-1.0)
-    v = 0.9 * hr_val + 0.1 * c
-    mask = (c >= cfg.seed_threshold) & (v >= cfg.seed_threshold)
+        jnp.arange(n_fields, dtype=jnp.int32)[:, None],
+        (n_fields, hw)).reshape(-1)
+    mask = c >= cfg.seed_threshold
 
-    scored = jnp.where(mask, v, -jnp.inf).reshape(-1)
+    m = min(4 * cfg.n_seeds, c.shape[0])
+    pre_v, pre_i = jax.lax.top_k(jnp.where(mask, c, -jnp.inf), m)
+    sx, sy, sw, sh, f_idx = (a[pre_i] for a in (sx, sy, sw, sh, f_idx))
+    rows = {k_: a[f_idx] for k_, a in hr_cells.items()}
+    hr_val = cifhr_mod.eval_cells(rows, sx[:, None], sy[:, None],
+                                  hs=hr_shape[0], ws=hr_shape[1],
+                                  default=-1.0)[:, 0]
+    v = 0.9 * hr_val + 0.1 * pre_v
+    mask = jnp.isfinite(pre_v) & (v >= cfg.seed_threshold)
+
+    scored = jnp.where(mask, v, -jnp.inf)
     top_v, top_i = jax.lax.top_k(scored, min(cfg.n_seeds, scored.shape[0]))
     valid = jnp.isfinite(top_v)
-    seed_f = jnp.where(valid, (top_i // hw).astype(jnp.int32), 0)
+    seed_f = jnp.where(valid, f_idx[top_i], 0)
     seed_v = jnp.where(valid, top_v, 0.0)
-    seed_x = sx.reshape(-1)[top_i]
-    seed_y = sy.reshape(-1)[top_i]
-    seed_w = sw.reshape(-1)[top_i]
-    seed_h = sh.reshape(-1)[top_i]
+    seed_x = sx[top_i]
+    seed_y = sy[top_i]
+    seed_w = sw[top_i]
+    seed_h = sh[top_i]
 
     # greedy occupancy extraction (cifdet.cpp:50-65)
     red = cfg.occupancy_reduction

@@ -120,19 +120,24 @@ class Predictor:
                 base_net = model.base_net
                 head_nets = model.head_nets
 
+                # cast the backbone parameters ONCE outside jit: the
+                # backbone is HBM-bandwidth-bound (see docs/perf.md), so
+                # casting per call inside the graph keeps the f32 copies
+                # of every weight in the HBM traffic and gains nothing
+                base_vars_bf16 = {
+                    'params': jax.tree_util.tree_map(
+                        lambda x: jnp.asarray(x, jnp.bfloat16),
+                        self.variables['params']['base_net']),
+                    'batch_stats': jax.tree_util.tree_map(
+                        lambda x: jnp.asarray(x, jnp.bfloat16),
+                        self.variables.get('batch_stats', {}).get(
+                            'base_net', {})),
+                }
+
                 @jax.jit
                 def forward(variables, image_batch):
-                    base_vars = {
-                        'params': jax.tree_util.tree_map(
-                            lambda x: x.astype(jnp.bfloat16),
-                            variables['params']['base_net']),
-                        'batch_stats': jax.tree_util.tree_map(
-                            lambda x: x.astype(jnp.bfloat16),
-                            variables.get('batch_stats', {}).get(
-                                'base_net', {})),
-                    }
                     feats = base_net.apply(
-                        base_vars, image_batch.astype(jnp.bfloat16),
+                        base_vars_bf16, image_batch.astype(jnp.bfloat16),
                         train=False)
                     feats = feats.astype(jnp.float32)
                     return tuple(
