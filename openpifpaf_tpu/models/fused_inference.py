@@ -280,11 +280,38 @@ def fold_shufflenet(base_net: ShuffleNetV2K, params, batch_stats
     return FoldedShuffleNetV2K(stem=stem, blocks=blocks, conv5=conv5)
 
 
+def _halves_block(x1, x2, w, *, k, dilation, leaky):
+    """One non-first block in the lane-aligned halves formulation, as
+    plain XLA ops (same math as the Pallas kernel, see shuffle_pallas):
+    both channel halves are separate Ca-channel arrays (Ca a lane
+    multiple), the shuffle lives in the static scatter matrices, and
+    the graph contains no split/concat/interleave ops at all — only
+    aligned 1x1 dots and one native depthwise conv."""
+    def act(v):
+        return jax.nn.leaky_relu(v) if leaky else jax.nn.relu(v)
+
+    ca = x2.shape[-1]
+    y1 = act(jnp.einsum('bhwi,io->bhwo', x2, w.w1) + w.b1)
+    pad = (k - 1) // 2 * dilation
+    z = lax.conv_general_dilated(
+        y1, w.wdw[:, :, None, :],
+        window_strides=(1, 1), padding=[(pad, pad), (pad, pad)],
+        rhs_dilation=(dilation, dilation),
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+        feature_group_count=ca) + w.bdw
+    outa = act(jnp.einsum('bhwi,io->bhwo', z, w.w3a)
+               + jnp.einsum('bhwi,io->bhwo', x1, w.s1a) + w.b3a)
+    outb = act(jnp.einsum('bhwi,io->bhwo', z, w.w3b)
+               + jnp.einsum('bhwi,io->bhwo', x1, w.s1b) + w.b3b)
+    return outa, outb
+
+
 def build_pallas_forward(base_net: ShuffleNetV2K,
                          folded: FoldedShuffleNetV2K, *,
                          dtype=jnp.bfloat16, tile_rows=16,
-                         interpret=False):
-    """Forward fn with non-first blocks fused into Pallas kernels.
+                         interpret=False, impl='pallas'):
+    """Forward fn with non-first blocks fused (impl='pallas') or in the
+    lane-aligned halves formulation on plain XLA (impl='halves').
 
     Stem / first-in-stage blocks (strided, two branches) stay on XLA
     convs; each stage's run of non-first blocks chains through one
@@ -334,6 +361,17 @@ def build_pallas_forward(base_net: ShuffleNetV2K,
             halo = (k - 1) // 2 * d
             cb = x.shape[-1] // 2
             height, width = x.shape[1], x.shape[2]
+            if impl == 'halves':
+                ca = payload[0].w1.shape[0]
+                cpad = ((0, 0), (0, 0), (0, 0), (0, ca - cb))
+                x1h = jnp.pad(x[..., :cb], cpad)
+                x2h = jnp.pad(x[..., cb:], cpad)
+                for weights in payload:
+                    x1h, x2h = _halves_block(x1h, x2h, weights, k=k,
+                                             dilation=d, leaky=leaky)
+                x = jnp.concatenate([x1h[..., :cb], x2h[..., :cb]],
+                                    axis=-1)
+                continue
             x1p = sp.pad_half(x[..., :cb], halo)
             x2p = sp.pad_half(x[..., cb:], halo)
             for weights in payload:

@@ -68,7 +68,8 @@ def test_fused_block_parity(shape, cb, k, dilation, tile_rows, leaky):
         assert np.abs(frame).max() == 0.0
 
 
-def test_build_pallas_forward_matches_flax():
+@pytest.mark.parametrize('impl', ['pallas', 'halves'])
+def test_build_fused_forward_matches_flax(impl):
     net = ShuffleNetV2K(stages_repeats=[2, 3, 2],
                         stages_out_channels=[8, 12, 16, 20, 24])
     variables = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 33, 49, 3)),
@@ -76,11 +77,11 @@ def test_build_pallas_forward_matches_flax():
     folded = fold_shufflenet(net, variables['params'],
                              variables['batch_stats'])
     forward = build_pallas_forward(net, folded, dtype=jnp.float32,
-                                   tile_rows=8, interpret=True)
+                                   tile_rows=8, interpret=True, impl=impl)
 
     rng = np.random.RandomState(1)
     x = jnp.asarray(rng.randn(1, 33, 49, 3).astype(np.float32))
     ref = np.asarray(net.apply(variables, x, train=False))
-    out = np.asarray(forward(x))
+    out = np.asarray(jax.jit(forward)(x))
     assert out.shape == ref.shape
     np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
