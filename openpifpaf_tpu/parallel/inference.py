@@ -30,26 +30,45 @@ class ShardedForward:
         self.axis = axis
         replicated = NamedSharding(self.mesh, P())
         sharded = NamedSharding(self.mesh, P(axis))
+        out_sharded = sharded
+        # 2-D ('data', 'space') mesh: additionally shard image height —
+        # serving-side spatial partitioning for large images; GSPMD
+        # inserts the conv halo exchanges. Applied inside jit
+        # (with_sharding_constraint) because H is usually not divisible
+        # by the spatial axis. Outputs stay batch-sharded.
+        spatial = NamedSharding(self.mesh, P(axis, 'space')) \
+            if 'space' in self.mesh.axis_names else None
 
         self.variables = jax.device_put(variables, replicated)
 
         if decoder is not None:
             def forward(variables, images):
+                if spatial is not None:
+                    images = jax.lax.with_sharding_constraint(
+                        images, spatial)
                 fields = model.apply(variables, images, train=False)
                 return decoder(*fields[:2])
         else:
             def forward(variables, images):
+                if spatial is not None:
+                    images = jax.lax.with_sharding_constraint(
+                        images, spatial)
                 return model.apply(variables, images, train=False)
 
         self._fn = jax.jit(
             forward,
             in_shardings=(replicated, sharded),
-            out_shardings=sharded)
+            out_shardings=out_sharded)
+        self._in_sharding = sharded
 
     @property
     def n_devices(self) -> int:
         return self.mesh.devices.size
 
     def __call__(self, images):
-        images = shard_batch(images, self.mesh, axis=self.axis)
+        import numpy as np
+        if jax.process_count() > 1:
+            images = shard_batch(images, self.mesh, axis=self.axis)
+        else:
+            images = jax.device_put(np.asarray(images), self._in_sharding)
         return self._fn(self.variables, images)

@@ -50,6 +50,49 @@ def data_mesh(n_devices: Optional[int] = None, *, axis: str = 'data') -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
+def grid_mesh(n_devices: Optional[int] = None, *, spatial: int = 1) -> Mesh:
+    """2-D ``('data', 'space')`` mesh: data parallelism x spatial
+    partitioning of the image height.
+
+    Spatial partitioning is TPU-native model parallelism the reference's
+    NCCL DDP (``train.py:146-165``) has no counterpart for: images are
+    sharded along H, XLA/GSPMD inserts the convolution halo exchanges
+    over ICI, and BatchNorm statistics stay exact because the mean/var
+    reductions become cross-device collectives automatically. Use it
+    when per-device batch would drop below 1 (large crops / few chips)
+    or to cut per-device activation memory at high resolution.
+
+    With ``spatial=1`` this degrades to the 1-D data mesh.
+    """
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    if spatial <= 1:
+        return Mesh(np.asarray(devices), ('data',))
+    if len(devices) % spatial:
+        raise ValueError(
+            f'{len(devices)} devices not divisible by '
+            f'spatial={spatial}')
+    arr = np.asarray(devices).reshape(len(devices) // spatial, spatial)
+    return Mesh(arr, ('data', 'space'))
+
+
+def image_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for (B, H, W, C) images: batch over 'data', H over
+    'space' when the mesh has a spatial axis."""
+    if 'space' in mesh.axis_names:
+        return NamedSharding(mesh, P('data', 'space'))
+    return NamedSharding(mesh, P('data'))
+
+
+def field_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for (B, F, C, fh, fw) target/field tensors matching
+    :func:`image_sharding` (field rows align with image rows / stride)."""
+    if 'space' in mesh.axis_names:
+        return NamedSharding(mesh, P('data', None, None, 'space'))
+    return NamedSharding(mesh, P('data'))
+
+
 def replicate(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

@@ -55,6 +55,11 @@ def cli():
     parser.add_argument('--loader-workers', default=0, type=int)
     parser.add_argument('--n-devices', default=None, type=int,
                         help='restrict the mesh to the first N devices')
+    parser.add_argument('--spatial-partitions', default=1, type=int,
+                        help='shard image height over this many devices '
+                             '(2-D data x space mesh; use when the '
+                             'per-device batch would drop below 1 or to '
+                             'cut activation memory at high resolution)')
     parser.add_argument('--seed', default=42, type=int)
     parser.add_argument('--profile', default=None, nargs='?',
                         const='jax_trace',
@@ -132,11 +137,13 @@ def main():
         args, training_batches_per_epoch=len(train_loader))
 
     n_devices = args.n_devices or len(jax.devices())
-    if args.batch_size < n_devices:
-        LOG.warning('batch size %d < %d devices: shrinking the data mesh',
-                    args.batch_size, n_devices)
-        n_devices = max(1, args.batch_size)
-    mesh = make_mesh(n_devices)
+    spatial = max(1, args.spatial_partitions)
+    if args.batch_size * spatial < n_devices:
+        LOG.warning('batch size %d x spatial %d < %d devices: shrinking '
+                    'the data mesh',
+                    args.batch_size, spatial, n_devices)
+        n_devices = max(spatial, args.batch_size * spatial)
+    mesh = make_mesh(n_devices, spatial=spatial)
     LOG.info('mesh: %s', mesh)
 
     trainer = Trainer(

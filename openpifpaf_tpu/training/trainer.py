@@ -43,11 +43,34 @@ jax.tree_util.register_dataclass(
     [])
 
 
-def make_mesh(n_devices: Optional[int] = None) -> Mesh:
-    devices = jax.devices()
-    if n_devices is not None:
-        devices = devices[:n_devices]
-    return Mesh(np.asarray(devices), ('data',))
+def make_mesh(n_devices: Optional[int] = None, *,
+              spatial: int = 1) -> Mesh:
+    """Data-parallel mesh; with ``spatial > 1`` a 2-D
+    ``('data', 'space')`` mesh that additionally shards the image
+    height across devices (parallel.grid_mesh)."""
+    from ..parallel.mesh import grid_mesh
+    return grid_mesh(n_devices, spatial=spatial)
+
+
+def _spatial_constraint(mesh: Optional[Mesh], images, targets):
+    """On a 2-D ('data', 'space') mesh, constrain images (B, H, W, 3)
+    to shard H and targets (B, F, C, fh, fw) to shard fh over 'space'.
+
+    Field rows are image rows / stride, so the two layouts align and
+    GSPMD keeps loss math local up to the halo exchanges it inserts for
+    the convolutions. Applied *inside* jit (with_sharding_constraint)
+    because H/fh are usually not divisible by the spatial axis — GSPMD
+    pads internally, which jit-boundary in_shardings cannot."""
+    if mesh is None or 'space' not in mesh.axis_names:
+        return images, targets
+    images = jax.lax.with_sharding_constraint(
+        images, NamedSharding(mesh, P('data', 'space')))
+    field = NamedSharding(mesh, P('data', None, None, 'space'))
+    targets = tuple(
+        jax.lax.with_sharding_constraint(t, field) if t is not None
+        else None
+        for t in targets)
+    return images, targets
 
 
 def _bf16_split_forward(model, model_params, batch_stats, images, *,
@@ -133,6 +156,7 @@ def build_train_step(model, loss_fn, optimizer, schedule, *,
 
     def step_fn(state: TrainState, images, targets):
         head_mask = tuple(t is not None for t in targets)
+        images, targets = _spatial_constraint(mesh, images, targets)
         if cross_talk:
             # train-time input cross-talk augmentation: blend each image
             # with the previous batch element (reference nets.py:51-60)
@@ -250,6 +274,7 @@ def build_val_step(model, loss_fn, *, fix_bn=False,
                    mesh: Optional[Mesh] = None):
     def val_fn(state: TrainState, images, targets):
         head_mask = tuple(t is not None for t in targets)
+        images, targets = _spatial_constraint(mesh, images, targets)
         # reference validates in train mode without grad (trainer.py:345-358)
         outputs, _ = model.apply(
             {'params': state.params, 'batch_stats': state.batch_stats},
