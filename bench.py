@@ -210,6 +210,42 @@ def bench_train():
     }))
 
 
+def bench_backbones():
+    """NN forward latency at 641px for the other BASELINE.md rows
+    (mobilenetv3small/large, resnet50, shufflenetv2k30); the flagship
+    shufflenetv2k16 is covered by the default run."""
+    import jax
+    import jax.numpy as jnp
+    import openpifpaf_tpu
+    from openpifpaf_tpu.models import factory as models_factory
+
+    published_ms = {  # guide/intro.md:82-86, GTX1080Ti NN time
+        'mobilenetv3small': 9.0,
+        'mobilenetv3large': 19.0,
+        'resnet50': 38.0,
+        'shufflenetv2k30': 71.0,
+    }
+    datamodule = openpifpaf_tpu.datasets.factory('cocokp')
+    h, w = 481, 641
+    rng = np.random.RandomState(0)
+    image = jnp.asarray(rng.randn(1, h, w, 3).astype(np.float32))
+    out = {}
+    for name, ref_ms in published_ms.items():
+        net_factory = models_factory.Factory(base_name=name)
+        model, init_fn = net_factory.from_scratch(datamodule.head_metas)
+        variables = init_fn(jax.random.PRNGKey(0), (1, 97, 129, 3))
+        t = time_op(
+            lambda s, m=model, v=variables: _tree_scalar(
+                m.apply(v, image + s * 1e-12, train=False)))
+        out[name] = {'nn_ms': round(t * 1e3, 3),
+                     'ref_gtx1080ti_nn_ms': ref_ms,
+                     'speedup': round(ref_ms / (t * 1e3), 1)}
+        print(json.dumps({name: out[name]}), flush=True)
+    print(json.dumps({'metric': 'backbone_nn_latency_641px',
+                      'value': out['shufflenetv2k30']['nn_ms'],
+                      'unit': 'ms', 'detail': out}))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -393,5 +429,7 @@ def main():
 if __name__ == '__main__':
     if '--train' in sys.argv:
         bench_train()
+    elif '--backbones' in sys.argv:
+        bench_backbones()
     else:
         main()
