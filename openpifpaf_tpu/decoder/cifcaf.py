@@ -46,6 +46,12 @@ class CifCaf(Decoder):
     n_seeds = 256
     n_poses = 96
     n_hr_cells = 256
+    #: record each joint's committing edge + step in the device decode and
+    #: fill Annotation.decoding_order / frontier_order. Enabled by
+    #: show.cli when --show-decoding-order / --show-frontier-order /
+    #: --show-only-decoded-connections is requested (a separate jitted
+    #: graph, so it is not free by default).
+    export_decoding_order = False
 
     def __init__(self, cif_meta: headmeta.Cif, caf_meta: headmeta.Caf):
         super().__init__()
@@ -77,6 +83,7 @@ class CifCaf(Decoder):
             n_seeds=self.n_seeds,
             n_poses=self.n_poses,
             n_hr_cells=self.n_hr_cells,
+            export_decoding_order=self.export_decoding_order,
         )
         self._decoders = {}  # stride -> jitted batched decoder
 
@@ -194,11 +201,11 @@ class CifCaf(Decoder):
         overflow is rare, or eval at --batch-size 1 so only the crowded
         images escalate.
         """
-        poses, keep, order, overflow = self._decoder(
+        *parts, overflow = self._decoder(
             stride, with_initial=with_initial)(*args)
         if bool(np.any(np.asarray(overflow))):
             LOG.debug('decoder budget overflow: using crowd tier')
-            poses, keep, order, overflow = self._decoder(
+            *parts, overflow = self._decoder(
                 stride, with_initial=with_initial, crowd=True)(*args)
             if bool(np.any(np.asarray(overflow))):
                 LOG.warning(
@@ -207,7 +214,9 @@ class CifCaf(Decoder):
                     'image); some instances may be missed — raise '
                     'CifCafDecoderConfig budgets via --decoder-seeds '
                     'or a custom config')
-        return poses, keep, order
+        # (poses, keep, order) or, with export_decoding_order,
+        # (poses, keep, order, commit_edge, commit_step)
+        return parts
 
     def _fields(self, fields_batch):
         # keep device arrays on device (no host round trip between the
@@ -238,7 +247,7 @@ class CifCaf(Decoder):
 
         start = time.perf_counter()
         if initial_annotations_batch is None:
-            poses, keep, order = self._decode_adaptive(stride, (cif, caf))
+            parts = self._decode_adaptive(stride, (cif, caf))
             ids_batch = None
         else:
             # pad initial annotations to a bucketed static size
@@ -256,18 +265,18 @@ class CifCaf(Decoder):
                     initial_poses[b, i, :, 2] = ann.data[:, 1]
                     initial_poses[b, i, :, 3] = ann.joint_scales
                     ids_batch[b, i] = getattr(ann, 'id_', -1) or -1
-            poses, keep, order = self._decode_adaptive(
+            parts = self._decode_adaptive(
                 stride, (cif, caf, initial_poses), with_initial=True)
 
-        poses = np.asarray(poses)
-        keep = np.asarray(keep)
-        order = np.asarray(order)
+        poses, keep, order, *commit = [np.asarray(p) for p in parts]
         self.last_decoder_time = time.perf_counter() - start
 
         return [
             self.annotations_from_tensor(
                 poses[i], keep[i], order[i],
-                ids=None if ids_batch is None else ids_batch[i])
+                ids=None if ids_batch is None else ids_batch[i],
+                commit_edge=commit[0][i] if commit else None,
+                commit_step=commit[1][i] if commit else None)
             for i in range(poses.shape[0])
         ]
 
@@ -275,7 +284,9 @@ class CifCaf(Decoder):
         initial = [initial_annotations] if initial_annotations else None
         return self.batch_decode([f[None] for f in fields], initial)[0]
 
-    def annotations_from_tensor(self, poses, keep, order, ids=None):
+    def annotations_from_tensor(self, poses, keep, order, ids=None,
+                                commit_edge=None, commit_step=None):
+        n_edges = len(self.skeleton)
         annotations = []
         for idx in order:
             if not keep[idx]:
@@ -291,9 +302,36 @@ class CifCaf(Decoder):
             ann.joint_scales = pose[:, 3].copy()
             if ids is not None and idx < len(ids) and ids[idx] != -1:
                 ann.id_ = int(ids[idx])
+            if commit_edge is not None:
+                self._fill_decoding_order(ann, commit_edge[idx],
+                                          commit_step[idx], n_edges)
             annotations.append(ann)
         LOG.debug('annotations %d', len(annotations))
         return annotations
+
+    def _fill_decoding_order(self, ann, commit_edge, commit_step, n_edges):
+        """decoding_order entries (jsi, jti, jsxyv, jtxyv) in commit
+        order, plus frontier_order: the directed edges whose target was
+        never connected (the frontier at convergence). Joint coordinates
+        are read back from the final pose (committed joints are immutable
+        in the device grow loop, so they equal the commit-time values)."""
+        committed = [(int(s), int(e)) for e, s in
+                     zip(commit_edge, commit_step) if e >= 0]
+        for _, edge in sorted(committed):
+            if edge < n_edges:
+                jsi, jti = (int(self.skeleton[edge][0]) - 1,
+                            int(self.skeleton[edge][1]) - 1)
+            else:
+                jti, jsi = (int(self.skeleton[edge - n_edges][0]) - 1,
+                            int(self.skeleton[edge - n_edges][1]) - 1)
+            ann.decoding_order.append(
+                (jsi, jti, ann.data[jsi].copy(), ann.data[jti].copy()))
+        connected = {jti for _, jti, _, __ in ann.decoding_order}
+        v = ann.data[:, 2]
+        for jsi, jti in (np.asarray(self.skeleton) - 1):
+            for s, t in ((int(jsi), int(jti)), (int(jti), int(jsi))):
+                if v[s] > 0 and v[t] <= 1e-5 and t not in connected:
+                    ann.frontier_order.append((s, t))
 
 
 class CifCafDense(Decoder):

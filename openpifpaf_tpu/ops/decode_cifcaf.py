@@ -88,6 +88,11 @@ class CifCafDecoderConfig:
     #: disable the Pallas CifHr per-tile cell-compaction bound (crowd
     #: tier: a saturated tile can then never underestimate)
     cifhr_exact_tiles: bool = False
+    #: additionally output per-joint (commit_edge, commit_step) arrays —
+    #: the reference's per-annotation decoding_order (cifcaf.cpp:309-346),
+    #: consumed by --show-decoding-order / --show-frontier-order /
+    #: --show-only-decoded-connections
+    export_decoding_order: bool = False
 
     def crowd(self, scale: int = 16) -> 'CifCafDecoderConfig':
         """The crowd-tier variant: budgets scaled to cover 40+ people
@@ -184,11 +189,18 @@ def decode_cifcaf_single(cif, caf, initial_poses=None, *, stride, skeleton,
         greedy=cfg.greedy,
         block_joints=cfg.block_joints)
 
+    record = cfg.export_decoding_order
+    if record:
+        grow_kwargs['record_order'] = True
+
     initial_grown = None
+    initial_ce = initial_cs = None
     seed_occ0 = None
     if initial_poses is not None:
         initial_grown = grow_mod.grow_from_poses(
             caf_cands, graph, initial_poses, **grow_kwargs)
+        if record:
+            initial_grown, initial_ce, initial_cs = initial_grown
         seed_occ0 = nms_mod.mark_occupancy(
             initial_grown, hr_shape,
             occupancy_reduction=cfg.occupancy_reduction,
@@ -207,8 +219,14 @@ def decode_cifcaf_single(cif, caf, initial_poses=None, *, stride, skeleton,
         seeds = {k: v[:cfg.n_poses] for k, v in seeds.items()}
 
     poses = grow_mod.grow_poses(caf_cands, graph, seeds, **grow_kwargs)
+    commit_edge = commit_step = None
+    if record:
+        poses, commit_edge, commit_step = poses
     if initial_grown is not None:
         poses = jnp.concatenate([initial_grown, poses], axis=0)
+        if record:
+            commit_edge = jnp.concatenate([initial_ce, commit_edge], axis=0)
+            commit_step = jnp.concatenate([initial_cs, commit_step], axis=0)
 
     if cfg.force_complete:
         if cfg.nms_before_force_complete:
@@ -245,7 +263,16 @@ def decode_cifcaf_single(cif, caf, initial_poses=None, *, stride, skeleton,
             keypoint_threshold_rel=cfg.keypoint_threshold_rel,
             reverse_match=False,
             filter_sigmas=4.0,
-            greedy=cfg.greedy)
+            greedy=cfg.greedy,
+            record_order=record)
+        if record:
+            # force-complete commits continue the decoding order after
+            # the main pass (steps offset by n_kp, the main loop's bound)
+            poses, fc_ce, fc_cs = poses
+            fresh = (commit_edge < 0) & (fc_ce >= 0)
+            commit_edge = jnp.where(fresh, fc_ce, commit_edge)
+            commit_step = jnp.where(fresh, fc_cs + graph.n_keypoints,
+                                    commit_step)
         poses = grow_mod.flood_fill_poses(graph, poses)
 
     poses, keep, order = nms_mod.nms_keypoints(
@@ -255,6 +282,8 @@ def decode_cifcaf_single(cif, caf, initial_poses=None, *, stride, skeleton,
         keypoint_threshold=cfg.nms_keypoint_threshold,
         occupancy_reduction=cfg.occupancy_reduction,
         occupancy_min_scale=cfg.occupancy_min_scale)
+    if record:
+        return poses, keep, order, commit_edge, commit_step, overflow
     return poses, keep, order, overflow
 
 
@@ -267,9 +296,11 @@ def build_cifcaf_decoder(*, stride: int, skeleton,
 
     Returns fn(cif, caf) with cif (B, F, 5, H, W), caf (B, E, 8, H, W)
     -> (poses (B, n_poses, n_kp, 4), keep (B, n_poses), order (B, n_poses)).
-    With ``with_overflow`` a fourth output (B,) bool reports per image
-    whether any static work budget was exceeded (caller should re-decode
-    with ``config.crowd()`` for exact results).
+    With ``config.export_decoding_order`` two extra outputs
+    (B, n_poses, n_kp) int32 report each joint's committing directed edge
+    and commit step. With ``with_overflow`` a final output (B,) bool
+    reports per image whether any static work budget was exceeded
+    (caller should re-decode with ``config.crowd()`` for exact results).
     """
     config = config or CifCafDecoderConfig()
     skeleton = np.asarray(skeleton, dtype=np.int32)
@@ -282,7 +313,8 @@ def build_cifcaf_decoder(*, stride: int, skeleton,
         stride=stride, skeleton=skeleton, config=config, graph=graph)
 
     def out(parts):
-        return parts if with_overflow else parts[:3]
+        # parts: (poses, keep, order[, commit_edge, commit_step], overflow)
+        return parts if with_overflow else parts[:-1]
 
     # batch 1 (the predict/video path) skips the vmap: under vmap every
     # lax.cond in the pipeline degrades to a select that computes both

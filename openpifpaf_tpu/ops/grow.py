@@ -226,7 +226,7 @@ def connection_value(caf, graph_arrays, pose, d, *, keypoint_threshold=0.15,
 def grow_from_pose(caf, graph: SkeletonGraph, pose0, *,
                    keypoint_threshold=0.15, keypoint_threshold_rel=0.5,
                    reverse_match=True, filter_sigmas=1.0, greedy=False,
-                   only_max=False, block_joints=False):
+                   only_max=False, block_joints=False, record_order=False):
     """Grow a (partially filled) pose to completion.
 
     pose0: (n_keypoints, 4) [v, x, y, s]; joints with v > 0 are fixed and
@@ -236,6 +236,14 @@ def grow_from_pose(caf, graph: SkeletonGraph, pose0, *,
     block_joints (--cifcaf-block-joints): unreachable frontier targets are
     marked with v=1e-5 at zero coordinates (cifcaf.cpp:291-295; here
     applied at convergence instead of in priority-queue pop order).
+
+    record_order: additionally return ``(commit_edge, commit_step)``
+    int32 (n_keypoints,) arrays — for each joint, the directed-edge index
+    that committed it and at which loop step (-1 for seed joints and
+    joints never committed). This is the reference's per-annotation
+    ``decoding_order`` (``cifcaf.cpp:309-346`` appends to it on each
+    commit), recorded as dense arrays so the jitted graph stays
+    static-shape.
     """
     n_kp = graph.n_keypoints
     n_dir = 2 * graph.n_edges
@@ -295,12 +303,14 @@ def grow_from_pose(caf, graph: SkeletonGraph, pose0, *,
             caf, caf_rev, pose[dir_start, 0], pose[dir_start, 1],
             pose[dir_start, 2], pose[dir_start, 3])
 
+    order0 = jnp.full((n_kp,), -1, jnp.int32)
+
     if greedy:
         # greedy mode (cifcaf.cpp:298-307 with greedy=True): pick the
         # frontier edge with the best source score, evaluate it once and
         # commit immediately; failed edges are excluded from re-selection.
         def body(state):
-            pose, failed, step, _ = state
+            pose, failed, step, _, ce, cs = state
             target_empty = pose[dir_end, 0] == 0.0
             source_filled = pose[dir_start, 0] > 0.0
             active = target_empty & source_filled & ~failed
@@ -313,17 +323,23 @@ def grow_from_pose(caf, graph: SkeletonGraph, pose0, *,
             pose = jnp.where(success, pose.at[dir_end[best]].set(vals), pose)
             failed = failed.at[best].set(jnp.where(any_active & ~success,
                                                    True, failed[best]))
-            return pose, failed, step + 1, any_active
+            if record_order:
+                ce = ce.at[dir_end[best]].set(
+                    jnp.where(success, best, ce[dir_end[best]]))
+                cs = cs.at[dir_end[best]].set(
+                    jnp.where(success, step, cs[dir_end[best]]))
+            return pose, failed, step + 1, any_active, ce, cs
 
         def cond(state):
-            _, _, step, alive = state
+            step, alive = state[2], state[3]
             return alive & (step < n_kp + n_dir)
 
         state0 = (pose0, jnp.zeros((n_dir,), dtype=bool), jnp.int32(0),
-                  jnp.array(True))
-        pose, _, _, _ = jax.lax.while_loop(cond, body, state0)
-        return _apply_block_joints(pose, dir_start, dir_end,
-                                   n_kp) if block_joints else pose
+                  jnp.array(True), order0, order0)
+        pose, _, _, _, ce, cs = jax.lax.while_loop(cond, body, state0)
+        if block_joints:
+            pose = _apply_block_joints(pose, dir_start, dir_end, n_kp)
+        return (pose, ce, cs) if record_order else pose
 
     # non-greedy: evaluate-all / commit-global-argmax fixpoint. A frontier
     # edge's value depends only on its committed (immutable) source joint,
@@ -352,7 +368,7 @@ def grow_from_pose(caf, graph: SkeletonGraph, pose0, *,
         return vals, edges, valid
 
     def body(state):
-        pose, cache, step, _ = state
+        pose, cache, step, _, ce, cs = state
         target_empty = pose[dir_end, 0] == 0.0
         cand = jnp.where(target_empty, cache[:n_dir, 0], 0.0)
         best = jnp.argmax(cand)
@@ -366,18 +382,22 @@ def grow_from_pose(caf, graph: SkeletonGraph, pose0, *,
         slots = jnp.where(valid & commit, edges, n_dir)
         cache = cache.at[slots].set(
             jnp.where((valid & commit)[:, None], vals, cache[slots]))
-        return pose, cache, step + 1, commit
+        if record_order:
+            ce = ce.at[new_joint].set(jnp.where(commit, best, ce[new_joint]))
+            cs = cs.at[new_joint].set(jnp.where(commit, step, cs[new_joint]))
+        return pose, cache, step + 1, commit, ce, cs
 
     def cond(state):
-        _, _, step, alive = state
+        step, alive = state[2], state[3]
         return alive & (step < n_kp)
 
     cache0 = jnp.concatenate(
         [eval_all_edges(pose0), jnp.zeros((1, 4))], axis=0)
-    state0 = (pose0, cache0, jnp.int32(0), jnp.array(True))
-    pose, _, _, _ = jax.lax.while_loop(cond, body, state0)
-    return _apply_block_joints(pose, dir_start, dir_end,
-                               n_kp) if block_joints else pose
+    state0 = (pose0, cache0, jnp.int32(0), jnp.array(True), order0, order0)
+    pose, _, _, _, ce, cs = jax.lax.while_loop(cond, body, state0)
+    if block_joints:
+        pose = _apply_block_joints(pose, dir_start, dir_end, n_kp)
+    return (pose, ce, cs) if record_order else pose
 
 
 def _apply_block_joints(pose, dir_start, dir_end, n_kp):
@@ -406,11 +426,27 @@ def grow_poses(caf, graph: SkeletonGraph, seeds, *, lane_chunk=32, **kwargs):
     budget. (Under a batch vmap the cond degrades to a select, which
     matches the old always-grow behavior.)
     """
+    record = kwargs.get('record_order', False)
+
     def chunk(sl):
         def one(f, v, x, y, s):
-            pose = grow_pose(caf, graph, f, v, x, y, s, **kwargs)
-            return jnp.where(v > 0.0, pose, jnp.zeros_like(pose))
+            out = grow_pose(caf, graph, f, v, x, y, s, **kwargs)
+            if record:
+                pose, ce, cs = out
+                empty = jnp.full_like(ce, -1)
+                return (jnp.where(v > 0.0, pose, jnp.zeros_like(pose)),
+                        jnp.where(v > 0.0, ce, empty),
+                        jnp.where(v > 0.0, cs, empty))
+            return jnp.where(v > 0.0, out, jnp.zeros_like(out))
         return jax.vmap(one)(sl['f'], sl['v'], sl['x'], sl['y'], sl['s'])
+
+    def empty_chunk(s):
+        m = s['v'].shape[0]
+        poses = jnp.zeros((m, graph.n_keypoints, 4))
+        if record:
+            order = jnp.full((m, graph.n_keypoints), -1, jnp.int32)
+            return poses, order, order
+        return poses
 
     n = seeds['v'].shape[0]
     if not lane_chunk or n <= lane_chunk:
@@ -422,9 +458,10 @@ def grow_poses(caf, graph: SkeletonGraph, seeds, *, lane_chunk=32, **kwargs):
             outs.append(chunk(sl))
         else:
             outs.append(jax.lax.cond(
-                jnp.any(sl['v'] > 0.0), chunk,
-                lambda s: jnp.zeros(
-                    (s['v'].shape[0], graph.n_keypoints, 4)), sl))
+                jnp.any(sl['v'] > 0.0), chunk, empty_chunk, sl))
+    if record:
+        return tuple(jnp.concatenate([o[i] for o in outs], axis=0)
+                     for i in range(3))
     return jnp.concatenate(outs, axis=0)
 
 
@@ -435,12 +472,26 @@ def grow_from_poses(caf, graph: SkeletonGraph, poses, *, lane_chunk=32,
     Chunked like :func:`grow_poses`: all-empty lane chunks are skipped
     behind a ``lax.cond``.
     """
+    record = kwargs.get('record_order', False)
+
     def chunk(pp):
         def one(pose0):
-            grown = grow_from_pose(caf, graph, pose0, **kwargs)
+            out = grow_from_pose(caf, graph, pose0, **kwargs)
             any_filled = jnp.any(pose0[:, 0] > 0.0)
-            return jnp.where(any_filled, grown, jnp.zeros_like(grown))
+            if record:
+                grown, ce, cs = out
+                empty = jnp.full_like(ce, -1)
+                return (jnp.where(any_filled, grown, jnp.zeros_like(grown)),
+                        jnp.where(any_filled, ce, empty),
+                        jnp.where(any_filled, cs, empty))
+            return jnp.where(any_filled, out, jnp.zeros_like(out))
         return jax.vmap(one)(pp)
+
+    def empty_chunk(p):
+        if record:
+            order = jnp.full(p.shape[:2], -1, jnp.int32)
+            return jnp.zeros_like(p), order, order
+        return jnp.zeros_like(p)
 
     n = poses.shape[0]
     if not lane_chunk or n <= lane_chunk:
@@ -452,8 +503,10 @@ def grow_from_poses(caf, graph: SkeletonGraph, poses, *, lane_chunk=32,
             outs.append(chunk(pp))
         else:
             outs.append(jax.lax.cond(
-                jnp.any(pp[:, :, 0] > 0.0), chunk,
-                lambda p: jnp.zeros_like(p), pp))
+                jnp.any(pp[:, :, 0] > 0.0), chunk, empty_chunk, pp))
+    if record:
+        return tuple(jnp.concatenate([o[i] for o in outs], axis=0)
+                     for i in range(3))
     return jnp.concatenate(outs, axis=0)
 
 

@@ -80,3 +80,10 @@ def configure(args):
         args.show_only_decoded_connections
     AnimationFrame.video_fps = args.video_fps
     AnimationFrame.video_dpi = args.video_dpi
+
+    if (args.show_decoding_order or args.show_frontier_order
+            or args.show_only_decoded_connections):
+        # these overlays need the device decoder to record each joint's
+        # committing edge + step (a separate jitted graph)
+        from ..decoder.cifcaf import CifCaf
+        CifCaf.export_decoding_order = True
