@@ -26,6 +26,7 @@ class Evaluator:
     n_images = None
     loader_warmup = 3.0
     bf16 = False
+    backbone_engine = 'auto'
     hflip_tta = False
 
     def __init__(self, dataset_name: str):
@@ -83,6 +84,7 @@ class Evaluator:
             checkpoint=checkpoint, model=model, variables=variables,
             head_metas=self.datamodule.head_metas)
         predictor.bf16 = self.bf16
+        predictor.backbone_engine = self.backbone_engine
         predictor.hflip_tta = self.hflip_tta
         metrics = self.datamodule.metrics()
 
@@ -157,6 +159,10 @@ def cli():
                         help='re-evaluate existing stats files in --watch')
     parser.add_argument('--bf16', default=False, action='store_true',
                         help='run the backbone in bfloat16')
+    parser.add_argument('--backbone-engine', default='auto',
+                        choices=('auto', 'flax', 'folded', 'halves',
+                                 'pallas'),
+                        help='serving backbone engine (see predict)')
     parser.add_argument('--hflip-tta', default=False, action='store_true',
                         help='average fields with the mirrored-image '
                              'forward pass')
@@ -196,6 +202,7 @@ def main():
     evaluator = Evaluator(args.dataset)
     evaluator.n_images = args.n_images
     evaluator.bf16 = args.bf16
+    evaluator.backbone_engine = args.backbone_engine
     evaluator.hflip_tta = args.hflip_tta
 
     if args.output is None:
@@ -229,6 +236,7 @@ def main():
                 evaluator = Evaluator(args.dataset)
                 evaluator.n_images = args.n_images
                 evaluator.bf16 = args.bf16
+    evaluator.backbone_engine = args.backbone_engine
                 evaluator.hflip_tta = args.hflip_tta
                 evaluator.evaluate(
                     checkpoint + '.eval-' + args.dataset,

@@ -32,6 +32,13 @@ def cli():
     parser.add_argument('--bf16', default=False, action='store_true',
                         help='run the backbone in bfloat16 (MXU-native); '
                              'heads and decode stay float32')
+    parser.add_argument('--backbone-engine', default='auto',
+                        choices=('auto', 'flax', 'folded', 'halves',
+                                 'pallas'),
+                        help='serving backbone engine (auto: BN-folded '
+                             'lane-aligned halves formulation when the '
+                             'backbone channel halves are 128-multiples, '
+                             'flax graph otherwise)')
     parser.add_argument('--hflip-tta', default=False, action='store_true',
                         help='average fields with the mirrored-image '
                              'forward pass (test-time augmentation)')
@@ -89,6 +96,7 @@ def main():
                       fast_rescaling=args.fast_rescaling)
     predictor.batch_size = args.batch_size
     predictor.bf16 = args.bf16
+    predictor.backbone_engine = args.backbone_engine
     predictor.hflip_tta = args.hflip_tta
     predictor.multi_scale = args.multi_scale
     predictor.n_devices = args.n_devices

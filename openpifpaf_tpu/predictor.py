@@ -30,6 +30,16 @@ class Predictor:
     #: run the backbone in bfloat16 (MXU-native). Heads and decode stay
     #: float32 so regression coordinates keep full precision.
     bf16 = False
+    #: serving backbone engine: 'auto' | 'flax' | 'folded' | 'halves' |
+    #: 'pallas'. 'halves' runs ShuffleNetV2K's non-first blocks in the
+    #: BN-folded lane-aligned halves formulation (1x1 convs as einsum
+    #: dots, shuffle folded into static scatter matrices) — measured
+    #: 1.7x faster than the flax graph for backbones whose channel
+    #: halves are 128-lane multiples (shufflenetv2k30: 9.7 -> 5.7 ms at
+    #: 641px on a v5e-1; docs/perf.md). 'auto' picks 'halves' exactly in
+    #: that case and the flax graph otherwise (k16's 174-channel halves
+    #: pad to 256 lanes, which costs more than it saves).
+    backbone_engine = 'auto'
     #: horizontal-flip test-time augmentation: forward the mirrored image,
     #: map the fields back (models.heads.pif_hflip/paf_hflip) and average
     #: with the direct fields before the single decode. One jitted graph.
@@ -109,14 +119,66 @@ class Predictor:
             transforms.EVAL_TRANSFORM,
         ])
 
+    def _resolve_backbone_engine(self):
+        """The fused-engine forward for ``backbone_engine``, or None for
+        the flax graph. Returns ``fn(images) -> features`` computing in
+        ``dtype`` (bf16 when the --bf16 flag is on)."""
+        engine = self.backbone_engine
+        if engine in (None, 'flax'):
+            return None
+        model = self.model
+        base_net = getattr(model, 'base_net', None)
+        params = self.variables.get('params', {}).get('base_net')
+        stats = self.variables.get('batch_stats', {}).get('base_net')
+        if base_net is None or params is None or stats is None:
+            return None
+
+        from .models.basenetworks import ShuffleNetV2K
+        from .models import fused_inference as fi
+        if not isinstance(base_net, ShuffleNetV2K):
+            return None
+        if engine == 'auto':
+            halves_aligned = all(
+                (c // 2) % 128 == 0 for c in base_net.stages_out_channels[1:])
+            if not halves_aligned:
+                return None
+            engine = 'halves'
+        try:
+            folded = fi.fold_shufflenet(base_net, params, stats)
+        except KeyError:
+            return None
+        if folded is None:
+            return None
+        dtype = jnp.bfloat16 if self.bf16 else jnp.float32
+        if engine == 'folded':
+            folded = folded.cast(dtype)
+            return lambda images: folded(images.astype(dtype))
+        fwd = fi.build_pallas_forward(base_net, folded, dtype=dtype,
+                                      impl=engine)
+        LOG.info('backbone engine: %s (%s)', engine, dtype.__name__)
+        return fwd
+
     @property
     def forward_fn(self):
         if self._forward_fn is None:
             model = self.model
 
+            engine_fwd = self._resolve_backbone_engine()
             use_bf16 = self.bf16 and hasattr(model, 'base_net') \
                 and 'base_net' in self.variables.get('params', {})
-            if use_bf16:
+            if engine_fwd is not None:
+                head_nets = model.head_nets
+
+                @jax.jit
+                def forward(variables, image_batch):
+                    feats = engine_fwd(image_batch).astype(jnp.float32)
+                    return tuple(
+                        hn.apply(
+                            {'params':
+                             variables['params'][f'head_nets_{i}']},
+                            feats, train=False)
+                        for i, hn in enumerate(head_nets))
+            elif use_bf16:
                 base_net = model.base_net
                 head_nets = model.head_nets
 

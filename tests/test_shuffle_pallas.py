@@ -85,3 +85,59 @@ def test_build_fused_forward_matches_flax(impl):
     out = np.asarray(jax.jit(forward)(x))
     assert out.shape == ref.shape
     np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
+
+
+def test_predictor_backbone_engine_auto_policy():
+    """'auto' resolves to the halves engine only for lane-aligned channel
+    halves (k30-style); k16's 174-channel halves stay on the flax graph."""
+    import openpifpaf_tpu
+    from openpifpaf_tpu.models import factory as models_factory
+    from openpifpaf_tpu.predictor import Predictor
+
+    datamodule = openpifpaf_tpu.datasets.factory('cocokp')
+    f = models_factory.Factory(base_name='shufflenetv2k16')
+    model, init_fn = f.from_scratch(datamodule.head_metas)
+    variables = init_fn(jax.random.PRNGKey(0), (1, 97, 129, 3))
+    p = Predictor(model=model, variables=variables)
+    assert p.backbone_engine == 'auto'
+    assert p._resolve_backbone_engine() is None  # 174 not a lane multiple
+
+
+def test_predictor_backbone_engine_halves_parity():
+    """The halves serving engine produces the same head fields as the
+    flax graph (f32), through the full Predictor forward."""
+    import openpifpaf_tpu
+    from openpifpaf_tpu.models.shell import Shell
+    from openpifpaf_tpu.models import heads as heads_mod
+    from openpifpaf_tpu.predictor import Predictor
+
+    datamodule = openpifpaf_tpu.datasets.factory('cocokp')
+    # tiny ShuffleNetV2K with lane-aligned halves (256 = 2*128)
+    net = ShuffleNetV2K(stages_repeats=[2, 2, 2],
+                        stages_out_channels=[16, 256, 256, 256, 256])
+    for i, m in enumerate(datamodule.head_metas):
+        m.head_index = i
+        m.base_stride = net.stride
+    head_nets = [heads_mod.CompositeField4(meta=m)
+                 for m in datamodule.head_metas]
+    model = Shell(base_net=net, head_nets=head_nets)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 33, 49, 3)), train=False)
+
+    rng = np.random.RandomState(2)
+    images = rng.randn(1, 33, 49, 3).astype(np.float32)
+
+    p_flax = Predictor(model=model, variables=variables)
+    p_flax.backbone_engine = 'flax'
+    p_flax.size_bucket = 0
+    ref = p_flax.forward_fn(variables, images)
+
+    p_eng = Predictor(model=model, variables=variables)
+    p_eng.backbone_engine = 'auto'
+    p_eng.size_bucket = 0
+    assert p_eng._resolve_backbone_engine() is not None
+    out = p_eng.forward_fn(variables, images)
+
+    for r, o in zip(ref, out):
+        np.testing.assert_allclose(np.asarray(r), np.asarray(o),
+                                   atol=2e-5, rtol=2e-4)
