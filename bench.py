@@ -225,6 +225,8 @@ def bench_backbones():
         'resnet50': 38.0,
         'shufflenetv2k30': 71.0,
     }
+    from openpifpaf_tpu.predictor import Predictor
+
     datamodule = openpifpaf_tpu.datasets.factory('cocokp')
     h, w = 481, 641
     rng = np.random.RandomState(0)
@@ -234,9 +236,15 @@ def bench_backbones():
         net_factory = models_factory.Factory(base_name=name)
         model, init_fn = net_factory.from_scratch(datamodule.head_metas)
         variables = init_fn(jax.random.PRNGKey(0), (1, 97, 129, 3))
+        # what `predict` actually runs: the Predictor forward with the
+        # auto-selected backbone engine (halves formulation for
+        # lane-aligned ShuffleNets, flax graph otherwise)
+        predictor = Predictor(model=model, variables=variables)
+        predictor.size_bucket = 0
+        fwd = predictor.forward_fn
         t = time_op(
-            lambda s, m=model, v=variables: _tree_scalar(
-                m.apply(v, image + s * 1e-12, train=False)))
+            lambda s, v=variables: _tree_scalar(
+                fwd(v, image + s * 1e-12)))
         out[name] = {'nn_ms': round(t * 1e3, 3),
                      'ref_gtx1080ti_nn_ms': ref_ms,
                      'speedup': round(ref_ms / (t * 1e3), 1)}
