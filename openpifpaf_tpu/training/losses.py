@@ -42,9 +42,17 @@ COMPONENT_CONFIG = ComponentConfig()
 
 
 def soft_clamp(x, max_value=5.0):
-    """Log-damped clamp (components.py:10-23)."""
+    """Log-damped clamp (components.py:10-23).
+
+    The log1p argument is pre-clamped to the branch's domain: jnp.where
+    does NOT protect the backward pass from the untaken branch
+    (jax FAQ "gradients contain NaN where using where"), and
+    d/dx log1p(x - max) has a pole at x = max - 1 — an exact float hit
+    there injects 0 * inf = NaN into the gradients. Observed as
+    once-in-~10^3-epochs training NaNs before the clamp."""
+    overflow = jnp.maximum(x, max_value) - max_value
     return jnp.where(x > max_value,
-                     max_value + jnp.log1p(x - max_value),
+                     max_value + jnp.log1p(overflow),
                      x)
 
 
@@ -110,8 +118,12 @@ def regression_loss(x_all, t_all, *, xi, ti, weights=None,
     t_reg_y = t_all[..., ti[1]]
     t_sigma_min = t_all[..., ti[2]]
     if scale_from_wh:
-        x_scales = jnp.sqrt(x_all[..., xi[2]] ** 2 + x_all[..., xi[3]] ** 2)
-        t_scales = jnp.sqrt(t_all[..., ti[3]] ** 2 + t_all[..., ti[4]] ** 2)
+        # +eps: sqrt'(0) is inf and w = h = 0 does occur (empty targets);
+        # the same where-gradient leak as in soft_clamp
+        x_scales = jnp.sqrt(x_all[..., xi[2]] ** 2
+                            + x_all[..., xi[3]] ** 2 + 1e-12)
+        t_scales = jnp.sqrt(t_all[..., ti[3]] ** 2
+                            + t_all[..., ti[4]] ** 2 + 1e-12)
     else:
         x_scales = x_all[..., xi[2]]
         t_scales = t_all[..., ti[3]]

@@ -2,6 +2,7 @@
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -186,3 +187,21 @@ def test_task_sparsity_penalty():
     p = float(_head_sparsity_penalty(params))
     # max over cin of |2.0| = 2.0, summed over (1, 1, 10) = 20
     np.testing.assert_allclose(p, 20.0, rtol=1e-6)
+
+
+def test_soft_clamp_gradient_finite_at_pole():
+    """d/dx of the untaken log1p branch has a pole at x = max_value - 1;
+    jnp.where does not protect the backward pass, so the unclamped
+    formulation produced grad = NaN on an exact float hit (observed as
+    rare full-training NaNs). The argument pre-clamp must keep the
+    gradient finite everywhere."""
+    from openpifpaf_tpu.training.losses import soft_clamp
+
+    for x in (4.0, 5.0, 6.0, 3.0, 0.0, -2.0, -100.0):
+        g = jax.grad(lambda v: soft_clamp(v, 5.0))(jnp.float32(x))
+        assert np.isfinite(float(g)), f'grad NaN at x={x}'
+        val = float(soft_clamp(jnp.float32(x), 5.0))
+        assert np.isfinite(val)
+    # clamped region still log-damped
+    assert float(soft_clamp(jnp.float32(10.0), 5.0)) == pytest.approx(
+        5.0 + np.log1p(5.0))
