@@ -328,9 +328,17 @@ class CifCaf(Decoder):
                 (jsi, jti, ann.data[jsi].copy(), ann.data[jti].copy()))
         connected = {jti for _, jti, _, __ in ann.decoding_order}
         v = ann.data[:, 2]
+        # --cifcaf-block-joints marks unreachable targets with v=1e-5 AT
+        # THE ORIGIN; exclude those markers (the painter would draw a
+        # line to (0, 0)). Truly-unconnected targets (v=0) stay in the
+        # list for its semantic value; the painter's v>0 endpoint check
+        # naturally skips drawing them.
+        blocked = (v > 0.0) & (ann.data[:, 0] == 0.0) \
+            & (ann.data[:, 1] == 0.0)
         for jsi, jti in (np.asarray(self.skeleton) - 1):
             for s, t in ((int(jsi), int(jti)), (int(jti), int(jsi))):
-                if v[s] > 0 and v[t] <= 1e-5 and t not in connected:
+                if v[s] > 0 and v[t] <= 1e-5 and t not in connected \
+                        and not blocked[t]:
                     ann.frontier_order.append((s, t))
 
 

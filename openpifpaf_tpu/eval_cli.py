@@ -236,7 +236,7 @@ def main():
                 evaluator = Evaluator(args.dataset)
                 evaluator.n_images = args.n_images
                 evaluator.bf16 = args.bf16
-    evaluator.backbone_engine = args.backbone_engine
+                evaluator.backbone_engine = args.backbone_engine
                 evaluator.hflip_tta = args.hflip_tta
                 evaluator.evaluate(
                     checkpoint + '.eval-' + args.dataset,

@@ -267,12 +267,15 @@ def decode_cifcaf_single(cif, caf, initial_poses=None, *, stride, skeleton,
             record_order=record)
         if record:
             # force-complete commits continue the decoding order after
-            # the main pass (steps offset by n_kp, the main loop's bound)
+            # the main pass (steps offset by the main loop's bound: the
+            # greedy loop also counts failed edge attempts, so its bound
+            # is n_kp + n_dir, grow.py::grow_from_pose)
+            offset = graph.n_keypoints \
+                + (2 * len(skeleton) if cfg.greedy else 0)
             poses, fc_ce, fc_cs = poses
             fresh = (commit_edge < 0) & (fc_ce >= 0)
             commit_edge = jnp.where(fresh, fc_ce, commit_edge)
-            commit_step = jnp.where(fresh, fc_cs + graph.n_keypoints,
-                                    commit_step)
+            commit_step = jnp.where(fresh, fc_cs + offset, commit_step)
         poses = grow_mod.flood_fill_poses(graph, poses)
 
     poses, keep, order = nms_mod.nms_keypoints(

@@ -59,16 +59,11 @@ class ShardedForward:
             forward,
             in_shardings=(replicated, sharded),
             out_shardings=out_sharded)
-        self._in_sharding = sharded
 
     @property
     def n_devices(self) -> int:
         return self.mesh.devices.size
 
     def __call__(self, images):
-        import numpy as np
-        if jax.process_count() > 1:
-            images = shard_batch(images, self.mesh, axis=self.axis)
-        else:
-            images = jax.device_put(np.asarray(images), self._in_sharding)
+        images = shard_batch(images, self.mesh, axis=self.axis)
         return self._fn(self.variables, images)

@@ -136,6 +136,10 @@ class Predictor:
         from .models.basenetworks import ShuffleNetV2K
         from .models import fused_inference as fi
         if not isinstance(base_net, ShuffleNetV2K):
+            if engine != 'auto':
+                LOG.warning('backbone engine %r requested but the backbone '
+                            'is not a ShuffleNetV2K: falling back to the '
+                            'flax graph', engine)
             return None
         if engine == 'auto':
             halves_aligned = all(
@@ -146,17 +150,19 @@ class Predictor:
         try:
             folded = fi.fold_shufflenet(base_net, params, stats)
         except KeyError:
-            return None
+            folded = None
         if folded is None:
+            LOG.warning('backbone engine %r requested but BN folding '
+                        'failed (non-batch norm or unexpected param '
+                        'layout): falling back to the flax graph', engine)
             return None
         dtype = jnp.bfloat16 if self.bf16 else jnp.float32
+        LOG.info('backbone engine: %s (%s)', engine, dtype.__name__)
         if engine == 'folded':
             folded = folded.cast(dtype)
             return lambda images: folded(images.astype(dtype))
-        fwd = fi.build_pallas_forward(base_net, folded, dtype=dtype,
+        return fi.build_pallas_forward(base_net, folded, dtype=dtype,
                                       impl=engine)
-        LOG.info('backbone engine: %s (%s)', engine, dtype.__name__)
-        return fwd
 
     @property
     def forward_fn(self):

@@ -63,9 +63,9 @@ def _spatial_constraint(mesh: Optional[Mesh], images, targets):
     pads internally, which jit-boundary in_shardings cannot."""
     if mesh is None or 'space' not in mesh.axis_names:
         return images, targets
-    images = jax.lax.with_sharding_constraint(
-        images, NamedSharding(mesh, P('data', 'space')))
-    field = NamedSharding(mesh, P('data', None, None, 'space'))
+    from ..parallel.mesh import field_sharding, image_sharding
+    images = jax.lax.with_sharding_constraint(images, image_sharding(mesh))
+    field = field_sharding(mesh)
     targets = tuple(
         jax.lax.with_sharding_constraint(t, field) if t is not None
         else None
