@@ -46,6 +46,12 @@ def cli():
                         help='debug overlays on a separate axis next to '
                              'the annotated frame')
     parser.add_argument('--show', default=False, action='store_true')
+    parser.add_argument('--bf16', default=False, action='store_true',
+                        help='run the backbone in bfloat16 (MXU-native)')
+    parser.add_argument('--backbone-engine', default='auto',
+                        choices=('auto', 'flax', 'folded', 'halves',
+                                 'pallas'),
+                        help='serving backbone engine (see predict)')
     parser.add_argument('--precise-rescaling', dest='fast_rescaling',
                     default=True, action='store_false',
                     help='use more exact image rescaling (requires'
@@ -76,6 +82,8 @@ def main():
     predictor = Predictor(checkpoint=args.checkpoint,
                           fast_rescaling=args.fast_rescaling)
     predictor.long_edge = args.long_edge
+    predictor.bf16 = args.bf16
+    predictor.backbone_engine = args.backbone_engine
     predictor.preprocess = predictor._build_preprocess()
 
     stream = Stream(
