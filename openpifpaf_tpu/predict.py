@@ -48,6 +48,10 @@ def cli():
     parser.add_argument('--n-devices', default=None, type=int,
                         help='shard the forward batch over the first N '
                              'devices (batch size must be divisible)')
+    parser.add_argument('--spatial-devices', default=None, type=int,
+                        help='additionally shard the image height over '
+                             'this many of the --n-devices (2-D data x '
+                             'space serving mesh)')
     parser.add_argument('-o', '--image-output', default=None, nargs='?',
                         const=True, help='image output file or directory')
     parser.add_argument('--json-output', default=None, nargs='?',
@@ -100,6 +104,7 @@ def main():
     predictor.hflip_tta = args.hflip_tta
     predictor.multi_scale = args.multi_scale
     predictor.n_devices = args.n_devices
+    predictor.spatial_devices = args.spatial_devices
     predictor.long_edge = args.long_edge
     predictor.preprocess = predictor._build_preprocess()
 

@@ -53,6 +53,12 @@ class Predictor:
     #: shard the forward batch over the first N devices (multi-chip
     #: serving; batch size must be divisible by N)
     n_devices = None
+    #: additionally shard the image height over this many devices
+    #: (2-D data x space serving mesh, parallel.grid_mesh): cuts
+    #: single-image latency on multi-chip hosts — GSPMD inserts the
+    #: convolution halo exchanges over ICI. n_devices must be set and
+    #: divisible by this.
+    spatial_devices = None
 
     def __init__(self, checkpoint=None, head_metas=None, *,
                  model=None, variables=None,
@@ -222,14 +228,26 @@ class Predictor:
             if self.n_devices and self.n_devices > 1:
                 # multi-chip serving: batch sharded over the data axis,
                 # parameters replicated (replaces the reference's
-                # DataParallel wrap, predictor.py:33-37)
+                # DataParallel wrap, predictor.py:33-37). With
+                # spatial_devices the mesh gains a 'space' axis and the
+                # image height is sharded too (constraint applied inside
+                # jit — H is rarely divisible by the spatial axis)
                 from jax.sharding import NamedSharding, PartitionSpec as P
-                from .parallel import data_mesh
+                from .parallel import grid_mesh, image_sharding
 
-                mesh = data_mesh(self.n_devices)
+                mesh = grid_mesh(self.n_devices,
+                                 spatial=self.spatial_devices or 1)
                 inner = forward
+                spatial = image_sharding(mesh) \
+                    if 'space' in mesh.axis_names else None
+
+                def sharded_forward(v, im):
+                    if spatial is not None:
+                        im = jax.lax.with_sharding_constraint(im, spatial)
+                    return inner(v, im)
+
                 forward = jax.jit(
-                    lambda v, im: inner(v, im),
+                    sharded_forward,
                     in_shardings=(NamedSharding(mesh, P()),
                                   NamedSharding(mesh, P('data'))),
                     out_shardings=NamedSharding(mesh, P('data')))

@@ -176,3 +176,30 @@ def test_predictor_sharded_forward():
     cif, caf = p.forward_fn(variables, images)
     assert cif.shape == (8, 17, 5, 5, 5)
     assert len(cif.sharding.device_set) == 8
+
+
+def test_predictor_spatial_devices_parity():
+    """Predictor --n-devices N --spatial-devices S serves with the image
+    height sharded; fields match the unsharded forward."""
+    from openpifpaf_tpu.predictor import Predictor
+
+    datamodule = openpifpaf_tpu.datasets.factory('cocokp')
+    f = models_factory.Factory(base_name='resnet18')
+    model, init_fn = f.from_scratch(datamodule.head_metas)
+    variables = init_fn(jax.random.PRNGKey(0), (1, 65, 65, 3))
+
+    rng = np.random.RandomState(5)
+    images = rng.randn(2, 65, 65, 3).astype(np.float32)
+
+    p_ref = Predictor(model=model, variables=variables)
+    p_ref.size_bucket = 0
+    ref = p_ref.forward_fn(variables, images)
+
+    p = Predictor(model=model, variables=variables)
+    p.n_devices = 8
+    p.spatial_devices = 4
+    p.size_bucket = 0
+    out = p.forward_fn(variables, images)
+    for r, o in zip(ref, out):
+        np.testing.assert_allclose(np.asarray(r), np.asarray(o),
+                                   rtol=2e-4, atol=2e-5)
