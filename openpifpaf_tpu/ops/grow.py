@@ -303,14 +303,17 @@ def grow_from_pose(caf, graph: SkeletonGraph, pose0, *,
             caf, caf_rev, pose[dir_start, 0], pose[dir_start, 1],
             pose[dir_start, 2], pose[dir_start, 3])
 
-    order0 = jnp.full((n_kp,), -1, jnp.int32)
+    # the (commit_edge, commit_step) carries exist ONLY when recording:
+    # two extra loop-carried arrays measurably slow the hot grow loop
+    # (single-image decode 0.78 -> 1.06 ms when carried unconditionally)
+    order0 = (jnp.full((n_kp,), -1, jnp.int32),) * 2 if record_order else ()
 
     if greedy:
         # greedy mode (cifcaf.cpp:298-307 with greedy=True): pick the
         # frontier edge with the best source score, evaluate it once and
         # commit immediately; failed edges are excluded from re-selection.
         def body(state):
-            pose, failed, step, _, ce, cs = state
+            pose, failed, step, _, *order = state
             target_empty = pose[dir_end, 0] == 0.0
             source_filled = pose[dir_start, 0] > 0.0
             active = target_empty & source_filled & ~failed
@@ -324,22 +327,25 @@ def grow_from_pose(caf, graph: SkeletonGraph, pose0, *,
             failed = failed.at[best].set(jnp.where(any_active & ~success,
                                                    True, failed[best]))
             if record_order:
-                ce = ce.at[dir_end[best]].set(
-                    jnp.where(success, best, ce[dir_end[best]]))
-                cs = cs.at[dir_end[best]].set(
-                    jnp.where(success, step, cs[dir_end[best]]))
-            return pose, failed, step + 1, any_active, ce, cs
+                ce, cs = order
+                order = (
+                    ce.at[dir_end[best]].set(
+                        jnp.where(success, best, ce[dir_end[best]])),
+                    cs.at[dir_end[best]].set(
+                        jnp.where(success, step, cs[dir_end[best]])),
+                )
+            return (pose, failed, step + 1, any_active) + tuple(order)
 
         def cond(state):
             step, alive = state[2], state[3]
             return alive & (step < n_kp + n_dir)
 
         state0 = (pose0, jnp.zeros((n_dir,), dtype=bool), jnp.int32(0),
-                  jnp.array(True), order0, order0)
-        pose, _, _, _, ce, cs = jax.lax.while_loop(cond, body, state0)
+                  jnp.array(True)) + order0
+        pose, _, _, _, *order = jax.lax.while_loop(cond, body, state0)
         if block_joints:
             pose = _apply_block_joints(pose, dir_start, dir_end, n_kp)
-        return (pose, ce, cs) if record_order else pose
+        return (pose, order[0], order[1]) if record_order else pose
 
     # non-greedy: evaluate-all / commit-global-argmax fixpoint. A frontier
     # edge's value depends only on its committed (immutable) source joint,
@@ -368,7 +374,7 @@ def grow_from_pose(caf, graph: SkeletonGraph, pose0, *,
         return vals, edges, valid
 
     def body(state):
-        pose, cache, step, _, ce, cs = state
+        pose, cache, step, _, *order = state
         target_empty = pose[dir_end, 0] == 0.0
         cand = jnp.where(target_empty, cache[:n_dir, 0], 0.0)
         best = jnp.argmax(cand)
@@ -383,9 +389,14 @@ def grow_from_pose(caf, graph: SkeletonGraph, pose0, *,
         cache = cache.at[slots].set(
             jnp.where((valid & commit)[:, None], vals, cache[slots]))
         if record_order:
-            ce = ce.at[new_joint].set(jnp.where(commit, best, ce[new_joint]))
-            cs = cs.at[new_joint].set(jnp.where(commit, step, cs[new_joint]))
-        return pose, cache, step + 1, commit, ce, cs
+            ce, cs = order
+            order = (
+                ce.at[new_joint].set(jnp.where(commit, best,
+                                               ce[new_joint])),
+                cs.at[new_joint].set(jnp.where(commit, step,
+                                               cs[new_joint])),
+            )
+        return (pose, cache, step + 1, commit) + tuple(order)
 
     def cond(state):
         step, alive = state[2], state[3]
@@ -393,11 +404,11 @@ def grow_from_pose(caf, graph: SkeletonGraph, pose0, *,
 
     cache0 = jnp.concatenate(
         [eval_all_edges(pose0), jnp.zeros((1, 4))], axis=0)
-    state0 = (pose0, cache0, jnp.int32(0), jnp.array(True), order0, order0)
-    pose, _, _, _, ce, cs = jax.lax.while_loop(cond, body, state0)
+    state0 = (pose0, cache0, jnp.int32(0), jnp.array(True)) + order0
+    pose, _, _, _, *order = jax.lax.while_loop(cond, body, state0)
     if block_joints:
         pose = _apply_block_joints(pose, dir_start, dir_end, n_kp)
-    return (pose, ce, cs) if record_order else pose
+    return (pose, order[0], order[1]) if record_order else pose
 
 
 def _apply_block_joints(pose, dir_start, dir_end, n_kp):
