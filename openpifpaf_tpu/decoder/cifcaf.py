@@ -190,33 +190,60 @@ class CifCaf(Decoder):
         return self._decoders[key]
 
     def _decode_adaptive(self, stride, args, with_initial=False):
-        """Fast-tier decode; escalate to the crowd tier on budget overflow.
+        """Fast-tier decode; escalate overflowing images to the crowd tier.
 
-        The whole batch re-runs through the crowd graph when any image
-        overflows: per-image escalation would recompile the crowd graph
-        for every distinct flagged-subset size, which costs far more than
-        decoding a few sparse images through the big graph. On
-        crowd-heavy datasets where most batches overflow, batches pay
-        both tiers; either size the fast tier up (--decoder-seeds) so
-        overflow is rare, or eval at --batch-size 1 so only the crowded
-        images escalate.
+        Escalation is per image through the *batch-1* crowd graph: it
+        compiles once and is then reused for every flagged image at any
+        batch size, images that decoded exactly at the fast tier keep
+        their (already exact) results, and un-flagged images never pay
+        the 16x crowd budgets. Fast-tier outputs are padded along the
+        pose axis to the crowd tier's pose budget so flagged rows splice
+        in; padded rows carry keep=False and sort last in the decoding
+        order, so downstream annotation extraction skips them.
         """
         *parts, overflow = self._decoder(
             stride, with_initial=with_initial)(*args)
-        if bool(np.any(np.asarray(overflow))):
-            LOG.debug('decoder budget overflow: using crowd tier')
-            *parts, overflow = self._decoder(
-                stride, with_initial=with_initial, crowd=True)(*args)
-            if bool(np.any(np.asarray(overflow))):
-                LOG.warning(
-                    'decode budgets exceeded even at the crowd tier '
-                    '(>~40 people or force-complete on a very large '
-                    'image); some instances may be missed — raise '
-                    'CifCafDecoderConfig budgets via --decoder-seeds '
-                    'or a custom config')
-        # (poses, keep, order) or, with export_decoding_order,
-        # (poses, keep, order, commit_edge, commit_step)
-        return parts
+        overflow = np.asarray(overflow)
+        if not overflow.any():
+            # (poses, keep, order) or, with export_decoding_order,
+            # (poses, keep, order, commit_edge, commit_step)
+            return parts
+        LOG.debug('decoder budget overflow on %d/%d images: crowd tier',
+                  int(overflow.sum()), overflow.shape[0])
+        crowd_decoder = self._decoder(
+            stride, with_initial=with_initial, crowd=True)
+        crowd_rows = {}
+        crowd_overflow = False
+        for b in np.nonzero(overflow)[0]:
+            *crowd_parts, c_over = crowd_decoder(
+                *(a[b:b + 1] for a in args))
+            crowd_rows[int(b)] = [np.asarray(p)[0] for p in crowd_parts]
+            crowd_overflow |= bool(np.asarray(c_over)[0])
+        if crowd_overflow:
+            LOG.warning(
+                'decode budgets exceeded even at the crowd tier '
+                '(>~40 people or force-complete on a very large '
+                'image); some instances may be missed — raise '
+                'CifCafDecoderConfig budgets via --decoder-seeds '
+                'or a custom config')
+        parts = [np.asarray(p) for p in parts]
+        n_fast = parts[0].shape[1]
+        n_crowd = next(iter(crowd_rows.values()))[0].shape[0]
+        out = []
+        for i, p in enumerate(parts):
+            if n_crowd > n_fast:
+                pad = [(0, 0), (0, n_crowd - n_fast)] + \
+                    [(0, 0)] * (p.ndim - 2)
+                p = np.pad(p, pad)
+                if i == 2:  # order stays a permutation of range(n_crowd)
+                    p[:, n_fast:] = np.arange(n_fast, n_crowd,
+                                              dtype=p.dtype)
+            else:
+                p = p.copy()
+            for b, rows in crowd_rows.items():
+                p[b] = rows[i]
+            out.append(p)
+        return out
 
     def _fields(self, fields_batch):
         # keep device arrays on device (no host round trip between the

@@ -220,6 +220,54 @@ def test_crowd_decode():
         assert np.min(np.linalg.norm(centers - c, axis=1)) < 45.0
 
 
+def test_crowd_escalation_per_image():
+    """In a mixed batch only the overflowing image escalates: the sparse
+    image keeps its bit-exact fast-tier result (decoded alone for
+    comparison), the crowded image decodes through the batch-1 crowd
+    graph, and the spliced outputs stay consistent (order a permutation,
+    padded rows dropped)."""
+    import openpifpaf_tpu
+    from openpifpaf_tpu.decoder.cifcaf import CifCaf
+
+    cif_crowd, caf_crowd, centers = _crowd_fields()
+    rng = np.random.RandomState(11)
+    anns = [field_fixtures.annotation_dict(
+        field_fixtures.synthetic_person(90.0 + 170.0 * i, 140.0, 110.0, rng))
+        for i in range(3)]
+    cif_sparse, caf_sparse, _ = field_fixtures.fields_from_annotations(
+        anns, (529, 673), stride=16)
+
+    datamodule = openpifpaf_tpu.datasets.factory('cocokp')
+    for i, m in enumerate(datamodule.head_metas):
+        m.head_index = i
+        m.base_stride = 16
+    dec = CifCaf(*datamodule.head_metas)
+
+    cif_b = np.stack([cif_sparse, cif_crowd])
+    caf_b = np.stack([caf_sparse, caf_crowd])
+    anns_sparse, anns_crowd = dec.batch_decode([cif_b, caf_b])
+
+    # the sparse lane must match its solo fast-tier decode exactly
+    solo = dec.batch_decode([cif_sparse[None], caf_sparse[None]])[0]
+    assert len(anns_sparse) == len(solo) == 3
+    for a, b in zip(anns_sparse, solo):
+        np.testing.assert_array_equal(a.data, b.data)
+
+    # the crowded lane decodes through the crowd tier
+    assert len(anns_crowd) >= 36
+    for ann in anns_crowd:
+        vis = ann.data[ann.data[:, 2] > 0]
+        c = vis[:, :2].mean(axis=0)
+        assert np.min(np.linalg.norm(centers - c, axis=1)) < 45.0
+
+    # splice consistency: order stayed a permutation after padding
+    parts = dec._decode_adaptive(16, (cif_b, caf_b))
+    order = np.asarray(parts[2])
+    n = order.shape[1]
+    for row in order:
+        assert sorted(row.tolist()) == list(range(n))
+
+
 def test_nms_suppression_chain():
     """Fixpoint keypoint NMS must match the sequential greedy scan on a
     suppression chain: A suppresses B, so B (suppressed) must NOT
