@@ -45,6 +45,10 @@ class CifCaf(Decoder):
     ablation_independent_kp = False
     n_seeds = 256
     n_poses = 96
+    #: pose budget of the crowd tier (None: same as n_poses). The crowd
+    #: tier already scales cell/seed/candidate budgets 16x; raise this
+    #: when scenes can exceed n_poses *instances* (e.g. >96 people).
+    n_poses_crowd = None
     n_hr_cells = 256
     #: record each joint's committing edge + step in the device decode and
     #: fill Annotation.decoding_order / frontier_order. Enabled by
@@ -133,6 +137,10 @@ class CifCaf(Decoder):
                            help='static seed budget of the device decoder')
         group.add_argument('--decoder-poses', type=int, default=cls.n_poses,
                            help='static pose budget of the device decoder')
+        group.add_argument('--decoder-crowd-poses', type=int,
+                           default=cls.n_poses_crowd,
+                           help='pose budget of the crowd escalation tier '
+                                '(default: same as --decoder-poses)')
 
     @classmethod
     def configure(cls, args: argparse.Namespace):
@@ -164,6 +172,7 @@ class CifCaf(Decoder):
         cls.ablation_independent_kp = args.ablation_independent_kp
         cls.n_seeds = args.decoder_seeds
         cls.n_poses = args.decoder_poses
+        cls.n_poses_crowd = args.decoder_crowd_poses
 
     @classmethod
     def factory(cls, head_metas) -> List['CifCaf']:
@@ -177,13 +186,21 @@ class CifCaf(Decoder):
                 and isinstance(caf_meta, headmeta.Caf))
         ]
 
+    def _crowd_config(self):
+        import dataclasses
+        cfg = self.config.crowd()
+        if self.n_poses_crowd:
+            cfg = dataclasses.replace(
+                cfg, n_poses=max(cfg.n_poses, self.n_poses_crowd))
+        return cfg
+
     def _decoder(self, stride, with_initial=False, crowd=False):
         key = (stride, with_initial, crowd)
         if key not in self._decoders:
             self._decoders[key] = build_cifcaf_decoder(
                 stride=stride,
                 skeleton=self.skeleton,
-                config=self.config.crowd() if crowd else self.config,
+                config=self._crowd_config() if crowd else self.config,
                 n_keypoints=self.n_keypoints,
                 with_initial_annotations=with_initial,
                 with_overflow=True)
@@ -212,12 +229,17 @@ class CifCaf(Decoder):
                   int(overflow.sum()), overflow.shape[0])
         crowd_decoder = self._decoder(
             stride, with_initial=with_initial, crowd=True)
+        # dispatch every flagged image first (device arrays only), then
+        # materialize: the batch-1 crowd decodes overlap on device instead
+        # of serializing on a host sync per image
+        dispatched = {
+            int(b): crowd_decoder(*(a[b:b + 1] for a in args))
+            for b in np.nonzero(overflow)[0]
+        }
         crowd_rows = {}
         crowd_overflow = False
-        for b in np.nonzero(overflow)[0]:
-            *crowd_parts, c_over = crowd_decoder(
-                *(a[b:b + 1] for a in args))
-            crowd_rows[int(b)] = [np.asarray(p)[0] for p in crowd_parts]
+        for b, (*crowd_parts, c_over) in dispatched.items():
+            crowd_rows[b] = [np.asarray(p)[0] for p in crowd_parts]
             crowd_overflow |= bool(np.asarray(c_over)[0])
         if crowd_overflow:
             LOG.warning(

@@ -29,6 +29,8 @@ def cli(parser: argparse.ArgumentParser):
     group.add_argument('--debug-log', dest='debug_logging',
                        default=False, action='store_true')
     group.add_argument('--log-stats', default=False, action='store_true')
+    from . import compile_cache
+    compile_cache.cli(parser)
 
 
 def configure(args: argparse.Namespace, local_log=None):
@@ -41,6 +43,9 @@ def configure(args: argparse.Namespace, local_log=None):
             jax.config.update('jax_platforms', os.environ['JAX_PLATFORMS'])
         except Exception:  # pragma: no cover - jax not initialized yet
             pass
+
+    from . import compile_cache
+    compile_cache.configure(args)
 
     level = logging.INFO
     if args.quiet:

@@ -268,6 +268,51 @@ def test_crowd_escalation_per_image():
         assert sorted(row.tolist()) == list(range(n))
 
 
+def test_crowd_tier_larger_pose_budget():
+    """With n_poses_crowd > n_poses the escalation splice pads the
+    fast-tier outputs along the pose axis (decoder/cifcaf.py
+    _decode_adaptive): padded rows must stay keep=False, the order must
+    remain a permutation of the crowd budget, and decoding must still
+    find the people."""
+    import openpifpaf_tpu
+    from openpifpaf_tpu.decoder.cifcaf import CifCaf
+
+    cif_crowd, caf_crowd, centers = _crowd_fields()
+    rng = np.random.RandomState(13)
+    anns = [field_fixtures.annotation_dict(
+        field_fixtures.synthetic_person(90.0 + 170.0 * i, 140.0, 110.0, rng))
+        for i in range(2)]
+    cif_sparse, caf_sparse, _ = field_fixtures.fields_from_annotations(
+        anns, (529, 673), stride=16)
+
+    datamodule = openpifpaf_tpu.datasets.factory('cocokp')
+    for i, m in enumerate(datamodule.head_metas):
+        m.head_index = i
+        m.base_stride = 16
+    dec = CifCaf(*datamodule.head_metas)
+    dec.n_poses_crowd = 160  # crowd tier pose budget > fast tier's 96
+    assert dec._crowd_config().n_poses == 160
+
+    cif_b = np.stack([cif_sparse, cif_crowd])
+    caf_b = np.stack([caf_sparse, caf_crowd])
+
+    parts = dec._decode_adaptive(16, (cif_b, caf_b))
+    poses, keep, order = (np.asarray(p) for p in parts[:3])
+    assert poses.shape[1] == 160  # padded to the crowd budget
+    # padded fast-tier rows are dropped (keep=False beyond the fast budget)
+    assert not keep[0, 96:].any()
+    for row in order:
+        assert sorted(row.tolist()) == list(range(160))
+
+    anns_sparse, anns_crowd = dec.batch_decode([cif_b, caf_b])
+    assert len(anns_sparse) == 2
+    assert len(anns_crowd) >= 36
+    for ann in anns_crowd:
+        vis = ann.data[ann.data[:, 2] > 0]
+        c = vis[:, :2].mean(axis=0)
+        assert np.min(np.linalg.norm(centers - c, axis=1)) < 45.0
+
+
 def test_nms_suppression_chain():
     """Fixpoint keypoint NMS must match the sequential greedy scan on a
     suppression chain: A suppresses B, so B (suppressed) must NOT
