@@ -114,7 +114,7 @@ def _tree_scalar(out):
     return sum(jnp.sum(o) for o in jax.tree_util.tree_leaves(out)) * 1e-20
 
 
-def bench_train():
+def bench_train(as_dict=False):
     """Training throughput: one jitted train step, batch 8 at 385px
     (the reference's training crop size), shufflenetv2k16 + cocokp heads."""
     import types
@@ -200,14 +200,17 @@ def bench_train():
                                        mesh=mesh)
     dt_bf16 = time_steps(train_step_bf16, fresh_state())
 
-    print(json.dumps({
+    result = {
         'metric': 'train_images_per_sec_385px_b8',
         'value': round(batch / dt, 2),
         'unit': 'img/s',
         'step_ms': round(dt * 1e3, 2),
         'bf16_img_per_sec': round(batch / dt_bf16, 2),
         'bf16_step_ms': round(dt_bf16 * 1e3, 2),
-    }))
+    }
+    if as_dict:
+        return result
+    print(json.dumps(result))
 
 
 def bench_backbones():
@@ -255,11 +258,20 @@ def bench_backbones():
 
 
 def main():
+    import tempfile
+
     import jax
     import jax.numpy as jnp
     import openpifpaf_tpu
+    from openpifpaf_tpu import compile_cache
     from openpifpaf_tpu.models import factory as models_factory
     from openpifpaf_tpu.ops import build_cifcaf_decoder, CifCafDecoderConfig
+
+    # fresh persistent compilation cache: the crowd-tier cold number stays
+    # honest, and the warm number below measures what a second process
+    # (eval --watch re-run, next CLI invocation) would pay
+    cache_dir = tempfile.mkdtemp(prefix='openpifpaf_tpu_bench_cache_')
+    compile_cache.enable(cache_dir)
 
     datamodule = openpifpaf_tpu.datasets.factory('cocokp')
     net_factory = models_factory.Factory(base_name='shufflenetv2k16')
@@ -388,6 +400,40 @@ def main():
                                              crowd_caf)),
         n_lo=2, n_hi=6)
 
+    # what a SECOND process pays for the crowd graph: a fresh jitted
+    # closure of the same computation goes through the persistent
+    # compilation cache (enabled above) instead of a full compile
+    crowd_decoder2 = build_cifcaf_decoder(
+        stride=stride, skeleton=caf_meta.skeleton,
+        n_keypoints=len(cif_meta.keypoints),
+        config=CifCafDecoderConfig().crowd())
+    t0 = time.perf_counter()
+    np.asarray(crowd_decoder2(crowd_cif, crowd_caf)[1])  # sync
+    crowd_compile_warm_s = time.perf_counter() - t0
+
+    # batch-32 serving row: where does batch scaling saturate?
+    batch32 = 32
+    images32 = jnp.asarray(rng.randn(batch32, h, w, 3).astype(np.float32))
+    cif32 = jnp.asarray(np.repeat(np.asarray(cif_syn), batch32, axis=0))
+    caf32 = jnp.asarray(np.repeat(np.asarray(caf_syn), batch32, axis=0))
+    nn32_time = time_op(
+        lambda s: _tree_scalar(model.apply(variables, images32 + s * 1e-12,
+                                           train=False)),
+        n_lo=2, n_hi=6)
+    dec32_time = time_op(
+        lambda s: _tree_scalar(decoder(cif32 + s * 1e-12, caf32)),
+        n_lo=2, n_hi=6)
+    batch32_img_per_sec = batch32 / (nn32_time + dec32_time)
+
+    # training throughput in the driver-captured output (the reference's
+    # trainer hot loop, network/trainer.py:166-230, is half the framework)
+    try:
+        train = bench_train(as_dict=True)
+    except Exception as e:
+        print(json.dumps({'train_bench_error': str(e)[:300]}),
+              file=sys.stderr)
+        train = None
+
     e2e = nn_time + decode_time
     img_per_sec = 1.0 / e2e
     # north star (BASELINE.json): ratio vs the *measured* in-env
@@ -425,6 +471,14 @@ def main():
             'crowd40_decode_ms': round(crowd_decode_time * 1e3, 3),
             'crowd40_poses': crowd_poses,
             'crowd_compile_s': round(crowd_compile_s, 1),
+            'crowd_compile_warm_s': round(crowd_compile_warm_s, 2),
+            'batch32_img_per_sec': round(batch32_img_per_sec, 1),
+            'batch32_nn_ms': round(nn32_time * 1e3, 3),
+            'batch32_decode_ms': round(dec32_time * 1e3, 3),
+            'train_images_per_sec': (train['value'] if train else None),
+            'train_step_ms': (train['step_ms'] if train else None),
+            'train_bf16_images_per_sec': (train['bf16_img_per_sec']
+                                          if train else None),
             'vs_gtx1080ti': round(img_per_sec / GTX1080TI_IMG_PER_SEC, 3),
             'torch_cpu_img_per_sec': (torch_cpu['img_per_sec']
                                       if torch_cpu else None),

@@ -117,14 +117,22 @@ def bench_dw(name, h, w, c, k=5, dtype=jnp.bfloat16):
 
 # --------------------------------------------------------------------- block
 
+def _round_up(v, m):
+    return (v + m - 1) // m * m
+
+
 def branch2_kernel(x2_ref, w1_ref, b1_ref, wd_ref, bd_ref,
-                   w3_ref, b3_ref, o_ref, scratch, sem, *, k, r, w,
-                   r_tile):
+                   w3_ref, b3_ref, o_ref, scratch, sem, *, k,
+                   r_tile, wi, wo):
     """branch2 of a repeat block: y1 = relu(x2 @ w1 + b1) on the haloed
     extent, z = dw5x5(y1), y3 = relu(z @ w3 + b3). No interleave — the
-    caller keeps the channel shuffle in XLA land. Grid over row tiles
-    with a manual halo DMA (x2 stays in HBM; rows [i*rt, i*rt+rt+2p)
-    stream into a VMEM scratch)."""
+    caller keeps the channel shuffle in XLA land.
+
+    Grid over row tiles with a manual halo DMA (x2 stays in HBM; rows
+    [i*rt, i*rt+rt+2p) stream into a VMEM scratch). Mosaic requires the
+    collapsed second-minor dim of a reshape to be a sublane multiple
+    (16 for bf16), so the input width wi and output width wo are padded
+    independently (wi >= wo + 2*pad, both 16-multiples)."""
     i = pl.program_id(0)
     pad = k // 2
     cp = pltpu.make_async_copy(
@@ -133,34 +141,56 @@ def branch2_kernel(x2_ref, w1_ref, b1_ref, wd_ref, bd_ref,
     cp.wait()
 
     x2 = scratch[...]
-    rp, wp, c = x2.shape
-    y1 = jnp.dot(x2.reshape(rp * wp, c), w1_ref[...],
+    rp, _, c = x2.shape
+    y1 = jnp.dot(x2.reshape(rp * wi, c), w1_ref[...],
                  preferred_element_type=jnp.float32)
-    y1 = jnp.maximum(y1 + b1_ref[...], 0.0).reshape(rp, wp, c) \
+    y1 = jnp.maximum(y1 + b1_ref[...], 0.0).reshape(rp, wi, c) \
         .astype(x2.dtype)
 
     acc = None
     for dy in range(k):
         for dx in range(k):
-            term = (y1[dy:dy + r_tile, dx:dx + w, :].astype(jnp.float32)
+            term = (y1[dy:dy + r_tile, dx:dx + wo, :].astype(jnp.float32)
                     * wd_ref[dy, dx, :])
             acc = term if acc is None else acc + term
     z = (acc + bd_ref[...]).astype(x2.dtype)
 
-    y3 = jnp.dot(z.reshape(r_tile * w, c), w3_ref[...],
+    y3 = jnp.dot(z.reshape(r_tile * wo, c), w3_ref[...],
                  preferred_element_type=jnp.float32)
     y3 = jnp.maximum(y3 + b3_ref[...], 0.0)
-    o_ref[...] = y3.reshape(r_tile, w, c).astype(x2.dtype)
+    o_ref[...] = y3.reshape(r_tile, wo, c).astype(x2.dtype)
 
 
-def bench_branch2(name, h, w, c, k=5, dtype=jnp.bfloat16, r_tile=None):
+def build_branch2(h, w, c, k, r_tile, dtype):
+    """pallas_call for branch2 at (h, w, c); input must be
+    (n_tiles*r_tile + 2*pad, wi, c) with x2 data in cols [0, w+2*pad)."""
     pad = k // 2
-    if r_tile is None:
-        r_tile = h if (h + 2 * pad) * (w + 2 * pad) * c * 2 * 3 < 8e6 \
-            else 32
     n_tiles = (h + r_tile - 1) // r_tile
+    wo = _round_up(w, 16)
+    wi = _round_up(wo + 2 * pad, 16)
+    return pl.pallas_call(
+        functools.partial(branch2_kernel, k=k, r_tile=r_tile, wi=wi,
+                          wo=wo),
+        grid=(n_tiles,),
+        out_shape=jax.ShapeDtypeStruct((n_tiles * r_tile, wo, c), dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        out_specs=pl.BlockSpec((r_tile, wo, c), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((r_tile + 2 * pad, wi, c), dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    ), n_tiles, wi, wo
+
+
+def bench_branch2(name, h, w, c, k=5, dtype=jnp.bfloat16, r_tile=16):
+    pad = k // 2
+    call, n_tiles, wi, wo = build_branch2(h, w, c, k, r_tile, dtype)
     hp = n_tiles * r_tile + 2 * pad
-    x2 = jnp.asarray(_rng(hp, w + 2 * pad, c), dtype)
+    x2 = np.zeros((hp, wi, c), np.float32)
+    x2[:h + 2 * pad, :w + 2 * pad] = _rng(h + 2 * pad, w + 2 * pad, c)
+    x2 = jnp.asarray(x2, dtype)
     w1 = jnp.asarray(_rng(c, c), dtype)
     b1 = jnp.asarray(_rng(c), jnp.float32)
     wd = jnp.asarray(_rng(k, k, c), jnp.float32)
@@ -168,33 +198,20 @@ def bench_branch2(name, h, w, c, k=5, dtype=jnp.bfloat16, r_tile=None):
     w3 = jnp.asarray(_rng(c, c), dtype)
     b3 = jnp.asarray(_rng(c), jnp.float32)
 
-    call = pl.pallas_call(
-        functools.partial(branch2_kernel, k=k, r=h, w=w, r_tile=r_tile),
-        grid=(n_tiles,),
-        out_shape=jax.ShapeDtypeStruct((n_tiles * r_tile, w, c), dtype),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)]
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
-        out_specs=pl.BlockSpec((r_tile, w, c), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((r_tile + 2 * pad, w + 2 * pad, c), dtype),
-            pltpu.SemaphoreType.DMA,
-        ],
-    )
     args = (x2, w1, b1, wd, bd, w3, b3)
-    out = jax.block_until_ready(jax.jit(call)(*args))
-    assert out.shape == (n_tiles * r_tile, w, c)
+    out = jax.block_until_ready(jax.jit(call)(*args))[:h, :w]
 
-    # correctness vs XLA reference
+    # correctness vs XLA reference on the real extent
     def ref(x2, w1, b1, wd, bd, w3, b3):
+        x2 = x2[:h + 2 * pad, :w + 2 * pad]
         y1 = jax.nn.relu(jnp.einsum('hwc,cd->hwd', x2.astype(jnp.float32),
                                     w1.astype(jnp.float32)) + b1)
         z = jax.lax.conv_general_dilated(
             y1[None].astype(jnp.float32), wd[:, :, None, :], (1, 1),
             'VALID', dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
             feature_group_count=c)[0] + bd
-        y3 = jax.nn.relu(jnp.einsum('hwc,cd->hwd', z.astype(dtype)
-                                    .astype(jnp.float32),
+        y3 = jax.nn.relu(jnp.einsum('hwc,cd->hwd',
+                                    z.astype(dtype).astype(jnp.float32),
                                     w3.astype(jnp.float32)) + b3)
         return y3.astype(dtype)
 
@@ -208,7 +225,7 @@ def bench_branch2(name, h, w, c, k=5, dtype=jnp.bfloat16, r_tile=None):
     gflop = 2 * h * w * c * c * 2 / 1e9
     print(f'{name} branch2 pallas    : {t*1e6:9.1f} us '
           f'({gflop / t / 1e3:.1f} TFLOP/s useful, rtile {r_tile}, '
-          f'rel diff {rel:.1e})')
+          f'rel diff {rel:.1e})', flush=True)
 
 
 def main():
