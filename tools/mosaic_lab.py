@@ -185,21 +185,29 @@ def build_branch2(h, w, c, k, r_tile, dtype):
 
 
 def bench_branch2(name, h, w, c, k=5, dtype=jnp.bfloat16, r_tile=16):
+    # Mosaic DMA slices need a 128-aligned minor dim: run the kernel at
+    # cp = round_up(c, 128) lanes with zero-padded weights/activations.
+    cp = _round_up(c, 128)
     pad = k // 2
-    call, n_tiles, wi, wo = build_branch2(h, w, c, k, r_tile, dtype)
+    call, n_tiles, wi, wo = build_branch2(h, w, cp, k, r_tile, dtype)
     hp = n_tiles * r_tile + 2 * pad
-    x2 = np.zeros((hp, wi, c), np.float32)
-    x2[:h + 2 * pad, :w + 2 * pad] = _rng(h + 2 * pad, w + 2 * pad, c)
-    x2 = jnp.asarray(x2, dtype)
-    w1 = jnp.asarray(_rng(c, c), dtype)
-    b1 = jnp.asarray(_rng(c), jnp.float32)
-    wd = jnp.asarray(_rng(k, k, c), jnp.float32)
-    bd = jnp.asarray(_rng(c), jnp.float32)
-    w3 = jnp.asarray(_rng(c, c), dtype)
-    b3 = jnp.asarray(_rng(c), jnp.float32)
+    x2f = np.zeros((hp, wi, cp), np.float32)
+    x2f[:h + 2 * pad, :w + 2 * pad, :c] = _rng(h + 2 * pad, w + 2 * pad, c)
+    x2 = jnp.asarray(x2f, dtype)
+
+    def padc(a, dims):
+        widths = [(0, cp - c) if d else (0, 0) for d in dims]
+        return np.pad(a, widths)
+
+    w1 = jnp.asarray(padc(_rng(c, c), (1, 1)), dtype)
+    b1 = jnp.asarray(padc(_rng(c), (1,)), jnp.float32)
+    wd = jnp.asarray(padc(_rng(k, k, c), (0, 0, 1)), jnp.float32)
+    bd = jnp.asarray(padc(_rng(c), (1,)), jnp.float32)
+    w3 = jnp.asarray(padc(_rng(c, c), (1, 1)), dtype)
+    b3 = jnp.asarray(padc(_rng(c), (1,)), jnp.float32)
 
     args = (x2, w1, b1, wd, bd, w3, b3)
-    out = jax.block_until_ready(jax.jit(call)(*args))[:h, :w]
+    out = jax.block_until_ready(jax.jit(call)(*args))[:h, :w, :c]
 
     # correctness vs XLA reference on the real extent
     def ref(x2, w1, b1, wd, bd, w3, b3):
@@ -209,13 +217,13 @@ def bench_branch2(name, h, w, c, k=5, dtype=jnp.bfloat16, r_tile=16):
         z = jax.lax.conv_general_dilated(
             y1[None].astype(jnp.float32), wd[:, :, None, :], (1, 1),
             'VALID', dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
-            feature_group_count=c)[0] + bd
+            feature_group_count=cp)[0] + bd
         y3 = jax.nn.relu(jnp.einsum('hwc,cd->hwd',
                                     z.astype(dtype).astype(jnp.float32),
                                     w3.astype(jnp.float32)) + b3)
         return y3.astype(dtype)
 
-    expect = jax.jit(ref)(*args)
+    expect = jax.jit(ref)(*args)[:, :, :c]
     diff = jnp.max(jnp.abs(out.astype(jnp.float32)
                            - expect.astype(jnp.float32)))
     rel = float(diff) / max(float(jnp.max(jnp.abs(
@@ -226,6 +234,40 @@ def bench_branch2(name, h, w, c, k=5, dtype=jnp.bfloat16, r_tile=16):
     print(f'{name} branch2 pallas    : {t*1e6:9.1f} us '
           f'({gflop / t / 1e3:.1f} TFLOP/s useful, rtile {r_tile}, '
           f'rel diff {rel:.1e})', flush=True)
+    return t
+
+
+def bench_branch2_xla(name, h, w, c, k=5, dtype=jnp.bfloat16):
+    """XLA formulation of the same branch2 (unpadded channels), timed."""
+    pad = k // 2
+    x2 = jnp.asarray(_rng(h + 2 * pad, w + 2 * pad, c), dtype)
+    w1 = jnp.asarray(_rng(1, 1, c, c), dtype)
+    b1 = jnp.asarray(_rng(c), jnp.float32)
+    wd = jnp.asarray(_rng(k, k, 1, c), dtype)
+    bd = jnp.asarray(_rng(c), jnp.float32)
+    w3 = jnp.asarray(_rng(1, 1, c, c), dtype)
+    b3 = jnp.asarray(_rng(c), jnp.float32)
+
+    @jax.jit
+    def xla(x2):
+        y1 = jax.lax.conv_general_dilated(
+            x2[None], w1, (1, 1), 'VALID',
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+        y1 = jax.nn.relu(y1 + b1).astype(dtype)
+        z = jax.lax.conv_general_dilated(
+            y1, wd, (1, 1), 'VALID',
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+            feature_group_count=c) + bd
+        y3 = jax.lax.conv_general_dilated(
+            z.astype(dtype), w3, (1, 1), 'VALID',
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+        return jax.nn.relu(y3 + b3).astype(dtype)[0]
+
+    t = bench.time_op(lambda s: scalarize(xla(x2 + s.astype(dtype) * 0)))
+    gflop = 2 * h * w * c * c * 2 / 1e9
+    print(f'{name} branch2 xla       : {t*1e6:9.1f} us '
+          f'({gflop / t / 1e3:.1f} TFLOP/s useful)', flush=True)
+    return t
 
 
 def main():
@@ -238,6 +280,16 @@ def main():
                 bench_dw(stage, h, w, c)
             elif n == 'branch2':
                 bench_branch2(stage, h, w, c)
+            elif n == 'branch2_xla':
+                bench_branch2_xla(stage, h, w, c)
+            elif n.startswith('rtile'):
+                for rt in (8, 16, 24, 32, 40):
+                    if rt <= h:
+                        try:
+                            bench_branch2(stage, h, w, c, r_tile=rt)
+                        except Exception as e:
+                            print(f'{stage} rtile {rt}: FAIL '
+                                  f'{type(e).__name__}', flush=True)
 
 
 if __name__ == '__main__':
