@@ -6,7 +6,17 @@ configuration (BASELINE.md: shufflenetv2k16, 40 ms total = 25 img/s on a
 GTX1080Ti). To keep the decoder workload realistic with untrained weights,
 the decode stage is additionally timed on synthetic fields containing six
 people (the growth loops then run full length); the reported e2e number
-uses NN-forward + realistic-decode latency. Prints ONE JSON line.
+uses NN-forward + realistic-decode latency.
+
+Output protocol: the headline JSON line
+``{"metric": "images_per_sec_641px_e2e", ...}`` is printed to stdout as
+soon as the two numbers it needs (NN forward + decode latency) are
+measured — nothing heavier runs before it. Every further measurement
+streams as its own ``{"detail_<name>": {...}}`` JSON line to stderr the
+moment it completes, and each optional stage first checks a wall-clock
+deadline (BENCH_BUDGET_S, default 420 s) so the process always terminates
+inside the driver window with whatever rows fit. ``--full`` removes the
+deadline.
 
 Timing methodology: the tunneled TPU backend used here does not block in
 ``block_until_ready`` (dispatch is fire-and-forget), so wall-clock timing of
@@ -28,6 +38,20 @@ import time
 import numpy as np
 
 GTX1080TI_IMG_PER_SEC = 25.0  # published: shufflenetv2k16, GTX1080Ti, 641px
+
+_T0 = time.monotonic()
+_BUDGET_S = float(os.environ.get('BENCH_BUDGET_S', '420'))
+
+
+def _remaining():
+    if '--full' in sys.argv:
+        return float('inf')
+    return _BUDGET_S - (time.monotonic() - _T0)
+
+
+def _emit(name, payload):
+    print(json.dumps({f'detail_{name}': payload}), file=sys.stderr,
+          flush=True)
 
 
 def torch_cpu_baseline():
@@ -194,20 +218,23 @@ def bench_train(as_dict=False):
 
     dt = time_steps(train_step, fresh_state())
 
-    # mixed-precision step (--bf16): backbone fwd+bwd in bfloat16
-    train_step_bf16 = build_train_step(model, loss_fn, optimizer, schedule,
-                                       clip_grad_norm=1.0, bf16=True,
-                                       mesh=mesh)
-    dt_bf16 = time_steps(train_step_bf16, fresh_state())
-
     result = {
         'metric': 'train_images_per_sec_385px_b8',
         'value': round(batch / dt, 2),
         'unit': 'img/s',
         'step_ms': round(dt * 1e3, 2),
-        'bf16_img_per_sec': round(batch / dt_bf16, 2),
-        'bf16_step_ms': round(dt_bf16 * 1e3, 2),
     }
+
+    # mixed-precision step (--bf16): backbone fwd+bwd in bfloat16.
+    # Separate deadline check: the bf16 step is a second full compile.
+    if _remaining() > 60:
+        train_step_bf16 = build_train_step(model, loss_fn, optimizer,
+                                           schedule, clip_grad_norm=1.0,
+                                           bf16=True, mesh=mesh)
+        dt_bf16 = time_steps(train_step_bf16, fresh_state())
+        result['bf16_img_per_sec'] = round(batch / dt_bf16, 2)
+        result['bf16_step_ms'] = round(dt_bf16 * 1e3, 2)
+
     if as_dict:
         return result
     print(json.dumps(result))
@@ -304,136 +331,12 @@ def main():
     cif_syn = jnp.asarray(cif_syn[None])
     caf_syn = jnp.asarray(caf_syn[None])
 
-    # one-shot Pallas-vs-dense CifHr parity on the real device before any
-    # timing: CI covers the kernel only in interpret mode
-    # (tests/test_cifhr_pallas.py), so this guards against a
-    # Mosaic-lowering-specific miscompile silently corrupting decodes
-    if jax.default_backend() != 'cpu':
-        from openpifpaf_tpu.ops import cifhr as cifhr_mod
-        hr_pallas = np.asarray(cifhr_mod.cif_hr(cif_syn[0], stride,
-                                                impl='pallas'))
-        hr_dense = np.asarray(cifhr_mod.cif_hr(cif_syn[0], stride,
-                                               impl='dense'))
-        max_diff = float(np.abs(hr_pallas - hr_dense).max())
-        if max_diff > 1e-5:
-            raise AssertionError(
-                f'pallas CifHr diverges from dense on device: '
-                f'max abs diff {max_diff}')
-        print(json.dumps({'pallas_parity_max_diff': max_diff}),
-              file=sys.stderr)
-
     decoded = decoder(cif_syn, caf_syn)
     n_poses = int(np.sum(np.asarray(decoded[1])))
     decode_time = time_op(
         lambda s: _tree_scalar(decoder(cif_syn + s * 1e-12, caf_syn)))
 
-    # batched serving throughput: batch 8 through forward + decode
-    batch = 8
-    images8 = jnp.asarray(rng.randn(batch, h, w, 3).astype(np.float32))
-    cif8 = jnp.asarray(np.repeat(np.asarray(cif_syn), batch, axis=0))
-    caf8 = jnp.asarray(np.repeat(np.asarray(caf_syn), batch, axis=0))
-    nn8_time = time_op(
-        lambda s: _tree_scalar(model.apply(variables, images8 + s * 1e-12,
-                                           train=False)),
-        n_lo=4, n_hi=12)
-    dec8_time = time_op(
-        lambda s: _tree_scalar(decoder(cif8 + s * 1e-12, caf8)),
-        n_lo=3, n_hi=9)
-    batched_img_per_sec = batch / (nn8_time + dec8_time)
-
-    # model FLOPs via XLA cost analysis -> effective compute utilization
-    try:
-        cost = jax.jit(lambda v, im: model.apply(v, im, train=False)) \
-            .lower(variables, image).compile().cost_analysis()
-        nn_gflops = float(cost.get('flops', 0.0)) / 1e9 if cost else 0.0
-    except Exception:
-        nn_gflops = 0.0
-
-    # bfloat16 backbone path (what `predict --bf16` runs): conv/BN on the
-    # MXU in bf16, heads in f32 for full-precision regressions
-    from openpifpaf_tpu.predictor import Predictor
-    predictor = Predictor(model=model, variables=variables)
-    predictor.bf16 = True
-    predictor.size_bucket = 0
-    bf16_forward = predictor.forward_fn
-    nn_bf16_time = time_op(
-        lambda s: _tree_scalar(bf16_forward(variables, image + s * 1e-12)))
-
-    # 133-keypoint wholebody decode (the reference's largest field
-    # configuration): a realistic 6-person scene on the same 641px grid
-    wb = openpifpaf_tpu.datasets.factory('wholebody')
-    wb_cif_meta, wb_caf_meta = wb.head_metas
-    for m in (wb_cif_meta, wb_caf_meta):
-        m.base_stride = 16
-    wb_decoder = build_cifcaf_decoder(
-        stride=16, skeleton=wb_caf_meta.skeleton,
-        n_keypoints=len(wb_cif_meta.keypoints),
-        config=CifCafDecoderConfig())
-    wb_cif, wb_caf = synthetic_fields(
-        fh, fw, stride, pose=wb_cif_meta.pose,
-        metas=(wb_cif_meta, wb_caf_meta), seed=1)
-    wb_cif = jnp.asarray(wb_cif[None])
-    wb_caf = jnp.asarray(wb_caf[None])
-    wb_poses = int(np.sum(np.asarray(wb_decoder(wb_cif, wb_caf)[1])))
-    wb_decode_time = time_op(
-        lambda s: _tree_scalar(wb_decoder(wb_cif + s * 1e-12, wb_caf)),
-        n_lo=2, n_hi=6)
-
-    # crowd tier: the 16x-budget escalation graph. Measures (a) its
-    # one-off compile cost (what the first overflowing image pays) and
-    # (b) decode latency on a realistic 40-person scene, so the two-tier
-    # policy is backed by numbers rather than assumed cheap.
-    crowd_decoder = build_cifcaf_decoder(
-        stride=stride, skeleton=caf_meta.skeleton,
-        n_keypoints=len(cif_meta.keypoints),
-        config=CifCafDecoderConfig().crowd())
-    crowd_cif, crowd_caf = synthetic_fields(fh, fw, stride, n_people=40,
-                                            size=70.0, seed=2)
-    crowd_cif = jnp.asarray(crowd_cif[None])
-    crowd_caf = jnp.asarray(crowd_caf[None])
-    t0 = time.perf_counter()
-    crowd_out = crowd_decoder(crowd_cif, crowd_caf)
-    crowd_poses = int(np.sum(np.asarray(crowd_out[1])))  # sync
-    crowd_compile_s = time.perf_counter() - t0
-    crowd_decode_time = time_op(
-        lambda s: _tree_scalar(crowd_decoder(crowd_cif + s * 1e-12,
-                                             crowd_caf)),
-        n_lo=2, n_hi=6)
-
-    # what a SECOND process pays for the crowd graph: a fresh jitted
-    # closure of the same computation goes through the persistent
-    # compilation cache (enabled above) instead of a full compile
-    crowd_decoder2 = build_cifcaf_decoder(
-        stride=stride, skeleton=caf_meta.skeleton,
-        n_keypoints=len(cif_meta.keypoints),
-        config=CifCafDecoderConfig().crowd())
-    t0 = time.perf_counter()
-    np.asarray(crowd_decoder2(crowd_cif, crowd_caf)[1])  # sync
-    crowd_compile_warm_s = time.perf_counter() - t0
-
-    # batch-32 serving row: where does batch scaling saturate?
-    batch32 = 32
-    images32 = jnp.asarray(rng.randn(batch32, h, w, 3).astype(np.float32))
-    cif32 = jnp.asarray(np.repeat(np.asarray(cif_syn), batch32, axis=0))
-    caf32 = jnp.asarray(np.repeat(np.asarray(caf_syn), batch32, axis=0))
-    nn32_time = time_op(
-        lambda s: _tree_scalar(model.apply(variables, images32 + s * 1e-12,
-                                           train=False)),
-        n_lo=2, n_hi=6)
-    dec32_time = time_op(
-        lambda s: _tree_scalar(decoder(cif32 + s * 1e-12, caf32)),
-        n_lo=2, n_hi=6)
-    batch32_img_per_sec = batch32 / (nn32_time + dec32_time)
-
-    # training throughput in the driver-captured output (the reference's
-    # trainer hot loop, network/trainer.py:166-230, is half the framework)
-    try:
-        train = bench_train(as_dict=True)
-    except Exception as e:
-        print(json.dumps({'train_bench_error': str(e)[:300]}),
-              file=sys.stderr)
-        train = None
-
+    # ---- HEADLINE: printed before anything optional runs ----
     e2e = nn_time + decode_time
     img_per_sec = 1.0 / e2e
     # north star (BASELINE.json): ratio vs the *measured* in-env
@@ -445,47 +348,188 @@ def main():
         vs_baseline = img_per_sec / torch_cpu['img_per_sec']
     else:
         vs_baseline = img_per_sec / GTX1080TI_IMG_PER_SEC
-    result = {
+    print(json.dumps({
         'metric': 'images_per_sec_641px_e2e',
         'value': round(img_per_sec, 2),
         'unit': 'img/s',
         'vs_baseline': round(vs_baseline, 3),
-    }
-    print(json.dumps(result))
-    print(json.dumps({
-        'detail': {
-            'nn_ms': round(nn_time * 1e3, 3),
+    }), flush=True)
+    _emit('core', {
+        'nn_ms': round(nn_time * 1e3, 3),
+        'decode_ms': round(decode_time * 1e3, 3),
+        'decoded_poses': n_poses,
+        'vs_gtx1080ti': round(img_per_sec / GTX1080TI_IMG_PER_SEC, 3),
+        'torch_cpu_img_per_sec': (torch_cpu['img_per_sec']
+                                  if torch_cpu else None),
+        'torch_cpu_nn_ms': torch_cpu['nn_ms'] if torch_cpu else None,
+        'torch_cpu_decode_ms': (torch_cpu['decode_ms']
+                                if torch_cpu else None),
+    })
+
+    # ---- optional stages, cheapest-first, each behind the deadline ----
+
+    # one-shot Pallas-vs-dense CifHr parity on the real device: CI covers
+    # the kernel only in interpret mode (tests/test_cifhr_pallas.py), so
+    # this guards against a Mosaic-lowering-specific miscompile silently
+    # corrupting decodes
+    if jax.default_backend() != 'cpu' and _remaining() > 30:
+        from openpifpaf_tpu.ops import cifhr as cifhr_mod
+        hr_pallas = np.asarray(cifhr_mod.cif_hr(cif_syn[0], stride,
+                                                impl='pallas'))
+        hr_dense = np.asarray(cifhr_mod.cif_hr(cif_syn[0], stride,
+                                               impl='dense'))
+        max_diff = float(np.abs(hr_pallas - hr_dense).max())
+        if max_diff > 1e-5:
+            raise AssertionError(
+                f'pallas CifHr diverges from dense on device: '
+                f'max abs diff {max_diff}')
+        _emit('pallas_parity', {'max_diff': max_diff})
+
+    # model FLOPs via XLA cost analysis -> effective compute utilization
+    if _remaining() > 30:
+        try:
+            cost = jax.jit(lambda v, im: model.apply(v, im, train=False)) \
+                .lower(variables, image).compile().cost_analysis()
+            nn_gflops = float(cost.get('flops', 0.0)) / 1e9 if cost else 0.0
+        except Exception:
+            nn_gflops = 0.0
+        _emit('flops', {
+            'nn_gflops': round(nn_gflops, 2),
+            'nn_tflops_per_sec': round(
+                nn_gflops / max(nn_time, 1e-9) / 1e3, 1)})
+
+    # bfloat16 backbone path (what `predict --bf16` runs): conv/BN on the
+    # MXU in bf16, heads in f32 for full-precision regressions
+    if _remaining() > 60:
+        from openpifpaf_tpu.predictor import Predictor
+        predictor = Predictor(model=model, variables=variables)
+        predictor.bf16 = True
+        predictor.size_bucket = 0
+        bf16_forward = predictor.forward_fn
+        nn_bf16_time = time_op(
+            lambda s: _tree_scalar(bf16_forward(variables,
+                                                image + s * 1e-12)))
+        _emit('bf16', {
             'nn_bf16_ms': round(nn_bf16_time * 1e3, 3),
             'e2e_bf16_img_per_sec': round(
-                1.0 / (nn_bf16_time + decode_time), 1),
-            'decode_ms': round(decode_time * 1e3, 3),
-            'decoded_poses': n_poses,
-            'nn_gflops': round(nn_gflops, 2),
-            'nn_tflops_per_sec': round(nn_gflops / max(nn_time, 1e-9) / 1e3,
-                                       1),
-            'batch8_img_per_sec': round(batched_img_per_sec, 1),
+                1.0 / (nn_bf16_time + decode_time), 1)})
+
+    # batched serving throughput: batch 8 through forward + decode
+    if _remaining() > 90:
+        batch = 8
+        images8 = jnp.asarray(rng.randn(batch, h, w, 3).astype(np.float32))
+        cif8 = jnp.asarray(np.repeat(np.asarray(cif_syn), batch, axis=0))
+        caf8 = jnp.asarray(np.repeat(np.asarray(caf_syn), batch, axis=0))
+        nn8_time = time_op(
+            lambda s: _tree_scalar(model.apply(variables,
+                                               images8 + s * 1e-12,
+                                               train=False)),
+            n_lo=4, n_hi=12)
+        dec8_time = time_op(
+            lambda s: _tree_scalar(decoder(cif8 + s * 1e-12, caf8)),
+            n_lo=3, n_hi=9)
+        _emit('batch8', {
+            'batch8_img_per_sec': round(batch / (nn8_time + dec8_time), 1),
             'batch8_nn_ms': round(nn8_time * 1e3, 3),
-            'batch8_decode_ms': round(dec8_time * 1e3, 3),
+            'batch8_decode_ms': round(dec8_time * 1e3, 3)})
+
+    # batch-32 serving row: where does batch scaling saturate?
+    if _remaining() > 120:
+        batch32 = 32
+        images32 = jnp.asarray(
+            rng.randn(batch32, h, w, 3).astype(np.float32))
+        cif32 = jnp.asarray(np.repeat(np.asarray(cif_syn), batch32, axis=0))
+        caf32 = jnp.asarray(np.repeat(np.asarray(caf_syn), batch32, axis=0))
+        nn32_time = time_op(
+            lambda s: _tree_scalar(model.apply(variables,
+                                               images32 + s * 1e-12,
+                                               train=False)),
+            n_lo=2, n_hi=6)
+        dec32_time = time_op(
+            lambda s: _tree_scalar(decoder(cif32 + s * 1e-12, caf32)),
+            n_lo=2, n_hi=6)
+        _emit('batch32', {
+            'batch32_img_per_sec': round(
+                batch32 / (nn32_time + dec32_time), 1),
+            'batch32_nn_ms': round(nn32_time * 1e3, 3),
+            'batch32_decode_ms': round(dec32_time * 1e3, 3)})
+
+    # 133-keypoint wholebody decode (the reference's largest field
+    # configuration): a realistic 6-person scene on the same 641px grid
+    if _remaining() > 90:
+        wb = openpifpaf_tpu.datasets.factory('wholebody')
+        wb_cif_meta, wb_caf_meta = wb.head_metas
+        for m in (wb_cif_meta, wb_caf_meta):
+            m.base_stride = 16
+        wb_decoder = build_cifcaf_decoder(
+            stride=16, skeleton=wb_caf_meta.skeleton,
+            n_keypoints=len(wb_cif_meta.keypoints),
+            config=CifCafDecoderConfig())
+        wb_cif, wb_caf = synthetic_fields(
+            fh, fw, stride, pose=wb_cif_meta.pose,
+            metas=(wb_cif_meta, wb_caf_meta), seed=1)
+        wb_cif = jnp.asarray(wb_cif[None])
+        wb_caf = jnp.asarray(wb_caf[None])
+        wb_poses = int(np.sum(np.asarray(wb_decoder(wb_cif, wb_caf)[1])))
+        wb_decode_time = time_op(
+            lambda s: _tree_scalar(wb_decoder(wb_cif + s * 1e-12, wb_caf)),
+            n_lo=2, n_hi=6)
+        _emit('wholebody', {
             'wholebody133_decode_ms': round(wb_decode_time * 1e3, 3),
-            'wholebody133_poses': wb_poses,
+            'wholebody133_poses': wb_poses})
+
+    # crowd tier: the 16x-budget escalation graph. Measures (a) its
+    # one-off compile cost (what the first overflowing image pays) and
+    # (b) decode latency on a realistic 40-person scene, so the two-tier
+    # policy is backed by numbers rather than assumed cheap.
+    if _remaining() > 120:
+        crowd_decoder = build_cifcaf_decoder(
+            stride=stride, skeleton=caf_meta.skeleton,
+            n_keypoints=len(cif_meta.keypoints),
+            config=CifCafDecoderConfig().crowd())
+        crowd_cif, crowd_caf = synthetic_fields(fh, fw, stride, n_people=40,
+                                                size=70.0, seed=2)
+        crowd_cif = jnp.asarray(crowd_cif[None])
+        crowd_caf = jnp.asarray(crowd_caf[None])
+        t0 = time.perf_counter()
+        crowd_out = crowd_decoder(crowd_cif, crowd_caf)
+        crowd_poses = int(np.sum(np.asarray(crowd_out[1])))  # sync
+        crowd_compile_s = time.perf_counter() - t0
+        crowd_decode_time = time_op(
+            lambda s: _tree_scalar(crowd_decoder(crowd_cif + s * 1e-12,
+                                                 crowd_caf)),
+            n_lo=2, n_hi=6)
+        row = {
             'crowd40_decode_ms': round(crowd_decode_time * 1e3, 3),
             'crowd40_poses': crowd_poses,
-            'crowd_compile_s': round(crowd_compile_s, 1),
-            'crowd_compile_warm_s': round(crowd_compile_warm_s, 2),
-            'batch32_img_per_sec': round(batch32_img_per_sec, 1),
-            'batch32_nn_ms': round(nn32_time * 1e3, 3),
-            'batch32_decode_ms': round(dec32_time * 1e3, 3),
-            'train_images_per_sec': (train['value'] if train else None),
-            'train_step_ms': (train['step_ms'] if train else None),
-            'train_bf16_images_per_sec': (train['bf16_img_per_sec']
-                                          if train else None),
-            'vs_gtx1080ti': round(img_per_sec / GTX1080TI_IMG_PER_SEC, 3),
-            'torch_cpu_img_per_sec': (torch_cpu['img_per_sec']
-                                      if torch_cpu else None),
-            'torch_cpu_nn_ms': torch_cpu['nn_ms'] if torch_cpu else None,
-            'torch_cpu_decode_ms': (torch_cpu['decode_ms']
-                                    if torch_cpu else None),
-        }}), file=sys.stderr)
+            'crowd_compile_s': round(crowd_compile_s, 1)}
+
+        # what a SECOND process pays for the crowd graph: a fresh jitted
+        # closure of the same computation goes through the persistent
+        # compilation cache (enabled above) instead of a full compile
+        if _remaining() > 30:
+            crowd_decoder2 = build_cifcaf_decoder(
+                stride=stride, skeleton=caf_meta.skeleton,
+                n_keypoints=len(cif_meta.keypoints),
+                config=CifCafDecoderConfig().crowd())
+            t0 = time.perf_counter()
+            np.asarray(crowd_decoder2(crowd_cif, crowd_caf)[1])  # sync
+            row['crowd_compile_warm_s'] = round(time.perf_counter() - t0, 2)
+        _emit('crowd', row)
+
+    # training throughput (the reference's trainer hot loop,
+    # network/trainer.py:166-230, is half the framework) — heaviest
+    # stage (two full train-step compiles), so it runs last
+    if _remaining() > 180:
+        try:
+            train = bench_train(as_dict=True)
+            _emit('train', train)
+        except Exception as e:
+            print(json.dumps({'train_bench_error': str(e)[:300]}),
+                  file=sys.stderr)
+
+    _emit('elapsed', {'seconds': round(time.monotonic() - _T0, 1),
+                      'budget_s': _BUDGET_S})
 
 
 if __name__ == '__main__':
