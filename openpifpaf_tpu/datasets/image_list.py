@@ -1,64 +1,56 @@
-"""Image list datasets for the Predictor (reference ``datasets/image_list.py``)."""
+"""Ad-hoc datasets over in-memory or on-disk images for the Predictor
+(API of reference ``datasets/image_list.py``). The three variants differ
+only in how an item is materialized into a PIL image; the preprocessing
+and (raw, processed, anns, meta) packaging is shared."""
 
 import numpy as np
 import PIL.Image
 
 
-class ImageList:
-    def __init__(self, image_paths, preprocess=None, with_raw_image=False):
-        self.image_paths = image_paths
+class _ImageSource:
+    """Sequence of (processed_image, anns, meta) samples; subclasses
+    provide the raw PIL image and the per-item meta."""
+
+    def __init__(self, sources, preprocess=None, with_raw_image=False):
+        self.sources = sources
         self.preprocess = preprocess
         self.with_raw_image = with_raw_image
 
-    def __getitem__(self, index):
-        image_path = self.image_paths[index]
-        with open(image_path, 'rb') as f:
-            image = PIL.Image.open(f).convert('RGB')
-
-        anns = []
-        meta = {'dataset_index': index, 'file_name': image_path}
-        processed_image, anns, meta = self.preprocess(image, anns, meta)
-        if self.with_raw_image:
-            return image, processed_image, anns, meta
-        return processed_image, anns, meta
-
     def __len__(self):
-        return len(self.image_paths)
+        return len(self.sources)
 
+    def load(self, source):
+        raise NotImplementedError
 
-class PilImageList:
-    def __init__(self, images, preprocess=None, with_raw_image=False):
-        self.images = images
-        self.preprocess = preprocess
-        self.with_raw_image = with_raw_image
+    def meta(self, index):
+        return {'dataset_index': index}
 
     def __getitem__(self, index):
-        image = self.images[index].copy().convert('RGB')
-        anns = []
-        meta = {'dataset_index': index}
-        processed_image, anns, meta = self.preprocess(image, anns, meta)
-        if self.with_raw_image:
-            return image, processed_image, anns, meta
-        return processed_image, anns, meta
-
-    def __len__(self):
-        return len(self.images)
+        raw = self.load(self.sources[index])
+        sample = self.preprocess(raw, [], self.meta(index))
+        return (raw, *sample) if self.with_raw_image else sample
 
 
-class NumpyImageList:
-    def __init__(self, images, preprocess=None, with_raw_image=False):
-        self.images = images
-        self.preprocess = preprocess
-        self.with_raw_image = with_raw_image
+class ImageList(_ImageSource):
+    """Images addressed by file path."""
 
-    def __getitem__(self, index):
-        image = PIL.Image.fromarray(np.asarray(self.images[index]))
-        anns = []
-        meta = {'dataset_index': index}
-        processed_image, anns, meta = self.preprocess(image, anns, meta)
-        if self.with_raw_image:
-            return image, processed_image, anns, meta
-        return processed_image, anns, meta
+    def load(self, source):
+        with open(source, 'rb') as f:
+            return PIL.Image.open(f).convert('RGB')
 
-    def __len__(self):
-        return len(self.images)
+    def meta(self, index):
+        return {'dataset_index': index, 'file_name': self.sources[index]}
+
+
+class PilImageList(_ImageSource):
+    """Already-open PIL images."""
+
+    def load(self, source):
+        return source.copy().convert('RGB')
+
+
+class NumpyImageList(_ImageSource):
+    """Images as HxWx3 numpy arrays."""
+
+    def load(self, source):
+        return PIL.Image.fromarray(np.asarray(source))

@@ -1,6 +1,13 @@
-"""Pose distances for similarity-based tracking
-(reference ``decoder/pose_distance/``)."""
+"""Track-to-pose distances for similarity-based tracking (semantics of
+reference ``decoder/pose_distance/``); shared history gating lives in
+:mod:`.base`."""
 
-from .euclidean import Euclidean
-from .oks import Oks
-from .crafted import Crafted
+from . import base, crafted, euclidean, oks
+
+PoseDistance = base.PoseDistance
+UNMATCHABLE = base.UNMATCHABLE
+Crafted = crafted.Crafted
+Euclidean = euclidean.Euclidean
+Oks = oks.Oks
+
+__all__ = ['PoseDistance', 'UNMATCHABLE', 'Crafted', 'Euclidean', 'Oks']

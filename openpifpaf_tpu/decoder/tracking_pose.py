@@ -1,10 +1,13 @@
-"""TrackingPose: video pose tracking decoder
-(reference ``decoder/tracking_pose.py:18-296``).
+"""TrackingPose: video pose tracking decoder (semantics of reference
+``decoder/tracking_pose.py:18-296``).
 
-Builds a synthetic two-frame tracking skeleton (single-frame skeleton plus
-cross-frame edges kp_i -> kp_i + n_kp) and decodes the combined
-[CAF, TCAF] field with the previous frame's poses as initial annotations;
-the device decoder grows each track into the current frame.
+Tracking is folded into the pose decoder itself: the two frames are
+treated as one synthetic 2x-keypoint skeleton (single-frame skeleton plus
+one cross-frame edge per joint), the [CAF, TCAF] fields are concatenated,
+and the previous frame's poses are injected as initial annotations in the
+*past* half of the skeleton. The device decoder then grows each track
+into the current frame like any other pose; brand-new people emerge from
+ordinary seeds.
 """
 
 import argparse
@@ -13,13 +16,70 @@ import time
 
 import numpy as np
 
-from .. import headmeta
-from ..annotation import Annotation
 from .cifcaf import CifCaf
 from .track_annotation import TrackAnnotation
 from .track_base import TrackBase
+from .. import headmeta
+from ..annotation import Annotation
 
 LOG = logging.getLogger(__name__)
+
+
+def _two_frame_metas(cif_meta, caf_meta, n_frames):
+    """Synthetic Cif/Caf metas over the concatenated keypoint set."""
+    keypoints = list(cif_meta.keypoints) * n_frames
+    sigmas = list(cif_meta.sigmas) * n_frames
+    n_kp = len(cif_meta.keypoints)
+    cross_edges = [
+        (joint + 1, joint + 1 + frame * n_kp)
+        for frame in range(1, n_frames)
+        for joint in range(n_kp)
+    ]
+
+    tracking_cif = headmeta.Cif(
+        'tracking_cif', cif_meta.dataset,
+        keypoints=keypoints, sigmas=sigmas, pose=None)
+    tracking_caf = headmeta.Caf(
+        'tracking_caf', caf_meta.dataset,
+        keypoints=keypoints, sigmas=sigmas,
+        skeleton=list(caf_meta.skeleton) + cross_edges, pose=None)
+    for meta, like, head_index in ((tracking_cif, cif_meta, 0),
+                                   (tracking_caf, caf_meta, 1)):
+        meta.head_index = head_index
+        meta.base_stride = like.base_stride
+        meta.upsample_stride = like.upsample_stride
+    return tracking_cif, tracking_caf
+
+
+class _OccupancyGrid:
+    """Host-side occupancy at ``reduction``-x downsampling (the decoder's
+    Occupancy semantics for cross-track suppression)."""
+
+    def __init__(self, n_fields, height, width, reduction=2.0,
+                 min_scale=4.0):
+        self.reduction = reduction
+        self.min_span = min_scale / reduction
+        self.grid = np.zeros((n_fields,
+                              int(height / reduction) + 1,
+                              int(width / reduction) + 1), dtype=bool)
+
+    def mark(self, field, x, y, sigma):
+        x, y = x / self.reduction, y / self.reduction
+        span = max(self.min_span, sigma / self.reduction)
+        gh, gw = self.grid.shape[1:]
+        x0 = int(np.clip(int(x - span), 0, gw - 1))
+        y0 = int(np.clip(int(y - span), 0, gh - 1))
+        x1 = int(np.clip(int(x + span), x0 + 1, gw))
+        y1 = int(np.clip(int(y + span), y0 + 1, gh))
+        self.grid[field, y0:y1, x0:x1] = True
+
+    def taken(self, field, x, y):
+        if field >= self.grid.shape[0]:
+            return True
+        gh, gw = self.grid.shape[1:]
+        xi = int(np.clip(int(x / self.reduction), 0, gw - 1))
+        yi = int(np.clip(int(y / self.reduction), 0, gh - 1))
+        return bool(self.grid[field, yi, xi])
 
 
 class TrackingPose(TrackBase):
@@ -35,40 +95,15 @@ class TrackingPose(TrackBase):
         self.cif_meta = cif_meta
         self.caf_meta = caf_meta
         self.tcaf_meta = tcaf_meta
+        self.n_keypoints = len(cif_meta.keypoints)
 
         self.invalid_keypoints = [
-            i for i, kp in enumerate(cif_meta.keypoints)
-            if kp in ('left_ear', 'right_ear')
+            i for i, name in enumerate(cif_meta.keypoints)
+            if name in ('left_ear', 'right_ear')
         ] if cif_meta.dataset == 'posetrack2018' else []
 
-        self.n_keypoints = len(cif_meta.keypoints)
-        n_frames = len(self.cache_group)
-        tracking_keypoints = list(cif_meta.keypoints) * n_frames
-        tracking_sigmas = list(cif_meta.sigmas) * n_frames
-        tracking_skeleton = (
-            list(self.caf_meta.skeleton)
-            + [
-                (keypoint_i + 1, keypoint_i + 1 + frame_i * self.n_keypoints)
-                for frame_i in range(1, n_frames)
-                for keypoint_i in range(self.n_keypoints)
-            ]
-        )
-
-        self.tracking_cif_meta = headmeta.Cif(
-            'tracking_cif', cif_meta.dataset,
-            keypoints=tracking_keypoints, sigmas=tracking_sigmas, pose=None)
-        self.tracking_cif_meta.head_index = 0
-        self.tracking_cif_meta.base_stride = cif_meta.base_stride
-        self.tracking_cif_meta.upsample_stride = cif_meta.upsample_stride
-
-        self.tracking_caf_meta = headmeta.Caf(
-            'tracking_caf', caf_meta.dataset,
-            keypoints=tracking_keypoints, sigmas=tracking_sigmas,
-            skeleton=tracking_skeleton, pose=None)
-        self.tracking_caf_meta.head_index = 1
-        self.tracking_caf_meta.base_stride = caf_meta.base_stride
-        self.tracking_caf_meta.upsample_stride = caf_meta.upsample_stride
-
+        self.tracking_cif_meta, self.tracking_caf_meta = _two_frame_metas(
+            cif_meta, caf_meta, len(self.cache_group))
         self.pose_generator = pose_generator or CifCaf(
             self.tracking_cif_meta, self.tracking_caf_meta)
 
@@ -87,91 +122,95 @@ class TrackingPose(TrackBase):
 
     @classmethod
     def factory(cls, head_metas):
-        if len(head_metas) < 3:
-            return []
+        triplets = zip(head_metas, head_metas[1:], head_metas[2:])
         return [
             cls(cif_meta, caf_meta, tcaf_meta)
-            for cif_meta, caf_meta, tcaf_meta
-            in zip(head_metas, head_metas[1:], head_metas[2:])
+            for cif_meta, caf_meta, tcaf_meta in triplets
             if (isinstance(cif_meta, headmeta.TSingleImageCif)
                 and isinstance(caf_meta, headmeta.TSingleImageCaf)
                 and isinstance(tcaf_meta, headmeta.Tcaf))
         ]
 
+    def _seed_annotation(self, track):
+        """Two-frame annotation with the track's recent poses in the past
+        slots (slot 0, the current frame, stays empty for the decoder to
+        fill)."""
+        seed = Annotation(self.tracking_cif_meta.keypoints,
+                          self.tracking_caf_meta.skeleton)
+        seed.id_ = track.id_
+        for slot, frame_offset in enumerate(self.cache_group[1:], start=1):
+            past = track.pose(self.frame_number + frame_offset)
+            if past is None:
+                continue
+            block = slice(self.n_keypoints * slot,
+                          self.n_keypoints * (slot + 1))
+            seed.data[block] = past.data
+            seed.joint_scales[block] = past.joint_scales
+
+        if self.single_seed:
+            weaker = seed.data[:, 2] < np.amax(seed.data[:, 2])
+            seed.data[weaker] = 0.0
+            seed.joint_scales[weaker] = 0.0
+        seed.data[seed.data[:, 2] < 0.05] = 0.0
+        return seed if np.any(seed.data[:, 2] > 0.0) else None
+
     def soft_nms(self, tracks, frame_number):
         """Occupancy-based cross-track suppression
-        (tracking_pose.py:118-162)."""
+        (reference tracking_pose.py:118-162)."""
+        current = [(t, t.pose(frame_number)) for t in tracks]
+        current = [(t, pose) for t, pose in current if pose is not None]
         if not tracks:
             return
 
-        for t in tracks:
-            frame_ann = t.pose(frame_number)
-            if frame_ann is None:
-                continue
-            kps = frame_ann.data
-            kps[kps[:, 2] < self.nms_keypoint_threshold] = 0.0
+        for _, pose in current:
+            pose.data[pose.data[:, 2] < self.nms_keypoint_threshold] = 0.0
             if self.invalid_keypoints:
-                kps[self.invalid_keypoints] = 0.0
+                pose.data[self.invalid_keypoints] = 0.0
 
-        max_x = max(1, max(np.max(t.frame_pose[-1][1].data[:, 0])
-                           for t in tracks) + 1)
-        max_y = max(1, max(np.max(t.frame_pose[-1][1].data[:, 1])
-                           for t in tracks) + 1)
-        occupied = _HostOccupancy(self.n_keypoints, int(max_y), int(max_x))
+        latest = [t.frame_pose[-1][1].data for t in tracks]
+        grid_w = max(1, int(max(np.max(d[:, 0]) for d in latest) + 1))
+        grid_h = max(1, int(max(np.max(d[:, 1]) for d in latest) + 1))
+        occupancy = _OccupancyGrid(self.n_keypoints, grid_h, grid_w)
 
-        tracks = sorted(
-            tracks, key=lambda tr: -tr.score(frame_number,
-                                             current_importance=0.01))
-        for track in tracks:
-            ann = track.pose(frame_number)
-            if ann is None:
-                continue
-            joint_is = np.flatnonzero(ann.data[:, 2])
-            for joint_i in joint_is:
-                xyv = ann.data[joint_i]
-                if occupied.get(joint_i, xyv[0], xyv[1]):
-                    xyv[2] = 0.0
+        by_strength = sorted(
+            current,
+            key=lambda tp: -tp[0].score(frame_number,
+                                        current_importance=0.01))
+        for _, pose in by_strength:
+            for joint in np.flatnonzero(pose.data[:, 2]):
+                x, y, _ = pose.data[joint]
+                if occupancy.taken(joint, x, y):
+                    pose.data[joint, 2] = 0.0
                 else:
-                    occupied.set(joint_i, xyv[0], xyv[1],
-                                 ann.joint_scales[joint_i])
+                    occupancy.mark(joint, x, y, pose.joint_scales[joint])
 
-        for t in tracks:
-            frame_ann = t.pose(frame_number)
-            if frame_ann is None:
+        for _, pose in current:
+            pose.data[pose.data[:, 2] < self.nms_keypoint_threshold] = 0.0
+
+    def _recover_lost_tracks(self, lost, by_id):
+        """Attach single-observation newcomers to the most recently lost
+        track instead of starting fresh ids."""
+        absorbed = set()
+        for track in self.active:
+            if not lost:
+                break
+            if len(track) > 1 or track.pose(self.frame_number) is None:
                 continue
-            kps = frame_ann.data
-            kps[kps[:, 2] < self.nms_keypoint_threshold] = 0.0
+            recovered_id = max(lost.items(), key=lambda item: item[1])[0]
+            del lost[recovered_id]
+            by_id[recovered_id].add(self.frame_number,
+                                    track.pose(self.frame_number))
+            absorbed.add(track)
+        self.active = [t for t in self.active if t not in absorbed]
 
     def __call__(self, fields, *, initial_annotations=None):
         self.frame_number += 1
         start = time.perf_counter()
 
-        # build tracking initial annotations from active tracks
-        initial_annotations = []
-        for track in self.active:
-            tracking_ann = Annotation(
-                self.tracking_cif_meta.keypoints,
-                self.tracking_caf_meta.skeleton)
-            tracking_ann.id_ = track.id_
-            for position_i, frame_i in enumerate(self.cache_group[1:], start=1):
-                prev_pose = track.pose(self.frame_number + frame_i)
-                if prev_pose is not None:
-                    sl = slice(self.n_keypoints * position_i,
-                               self.n_keypoints * (position_i + 1))
-                    tracking_ann.data[sl] = prev_pose.data
-                    tracking_ann.joint_scales[sl] = prev_pose.joint_scales
-
-            if self.single_seed:
-                inverse_mask = (tracking_ann.data[:, 2]
-                                < np.amax(tracking_ann.data[:, 2]))
-                tracking_ann.data[inverse_mask] = 0.0
-                tracking_ann.joint_scales[inverse_mask] = 0.0
-            tracking_ann.data[tracking_ann.data[:, 2] < 0.05] = 0.0
-            if not np.any(tracking_ann.data[:, 2] > 0.0):
-                continue
-            initial_annotations.append(tracking_ann)
-        initial_annotations = sorted(
-            initial_annotations, key=lambda ann: ann.bbox()[3], reverse=True)
+        seeds = [seed for track in self.active
+                 for seed in [self._seed_annotation(track)]
+                 if seed is not None]
+        seeds.sort(key=lambda ann: ann.bbox()[3], reverse=True)
 
         tracking_fields = [
             fields[self.cif_meta.head_index],
@@ -180,81 +219,34 @@ class TrackingPose(TrackBase):
                 np.asarray(fields[self.tcaf_meta.head_index]),
             ], axis=0),
         ]
-        tracking_annotations = self.pose_generator(
-            tracking_fields, initial_annotations=initial_annotations)
+        decoded = self.pose_generator(tracking_fields,
+                                      initial_annotations=seeds)
 
-        # extract current-frame poses, assign track ids
-        active_by_id = {t.id_: t for t in self.active}
-        lost_trackids = {t.id_: t.frame_pose[-1][0] for t in self.active
-                         if t.frame_pose[-1][0] < self.frame_number - 1}
-        for tracking_ann in tracking_annotations:
-            single_frame_ann = Annotation(
-                self.cif_meta.keypoints, self.caf_meta.skeleton)
-            single_frame_ann.data[:] = tracking_ann.data[:self.n_keypoints]
-            single_frame_ann.joint_scales = \
+        by_id = {t.id_: t for t in self.active}
+        lost = {t.id_: t.frame_pose[-1][0] for t in self.active
+                if t.frame_pose[-1][0] < self.frame_number - 1}
+
+        for tracking_ann in decoded:
+            frame_pose = Annotation(self.cif_meta.keypoints,
+                                    self.caf_meta.skeleton)
+            frame_pose.data[:] = tracking_ann.data[:self.n_keypoints]
+            frame_pose.joint_scales = \
                 tracking_ann.joint_scales[:self.n_keypoints]
 
-            track_id = getattr(tracking_ann, 'id_', None)
-            if track_id is None or track_id not in active_by_id:
-                new_track = TrackAnnotation().add(
-                    self.frame_number, single_frame_ann)
-                self.active.append(new_track)
-                tracking_ann.id_ = new_track.id_
-                continue
-            active_by_id[track_id].add(self.frame_number, single_frame_ann)
+            source_id = getattr(tracking_ann, 'id_', None)
+            if source_id in by_id:
+                by_id[source_id].add(self.frame_number, frame_pose)
+            else:
+                fresh = TrackAnnotation().add(self.frame_number, frame_pose)
+                self.active.append(fresh)
+                tracking_ann.id_ = fresh.id_
 
         self.soft_nms(self.active, self.frame_number)
-
         if self.track_recovery:
-            removed = set()
-            for track in self.active:
-                if not lost_trackids:
-                    break
-                if len(track) > 1:
-                    continue
-                if track.pose(self.frame_number) is None:
-                    continue
-                track_id = max(lost_trackids.items(), key=lambda d: d[1])[0]
-                del lost_trackids[track_id]
-                active_by_id[track_id].add(
-                    self.frame_number, track.pose(self.frame_number))
-                removed.add(track)
-            self.active = [t for t in self.active if t not in removed]
+            self._recover_lost_tracks(lost, by_id)
 
         self.active = [t for t in self.active
                        if self.track_is_viable(t, self.frame_number)]
 
         LOG.debug('track time: %.3fs', time.perf_counter() - start)
         return self.annotations(self.frame_number)
-
-
-class _HostOccupancy:
-    """Small host-side occupancy grid (Occupancy semantics, reduction 2)."""
-
-    def __init__(self, n_fields, height, width, reduction=2.0, min_scale=4.0):
-        self.reduction = reduction
-        self.min_scale_reduced = min_scale / reduction
-        self.grid = np.zeros((n_fields,
-                              int(height / reduction) + 1,
-                              int(width / reduction) + 1), dtype=bool)
-
-    def set(self, f, x, y, sigma):
-        x /= self.reduction
-        y /= self.reduction
-        sigma = max(self.min_scale_reduced, sigma / self.reduction)
-        gh, gw = self.grid.shape[1:]
-        minx = int(np.clip(int(x - sigma), 0, gw - 1))
-        miny = int(np.clip(int(y - sigma), 0, gh - 1))
-        maxx = int(np.clip(int(x + sigma), minx + 1, gw))
-        maxy = int(np.clip(int(y + sigma), miny + 1, gh))
-        self.grid[f, miny:maxy, minx:maxx] = True
-
-    def get(self, f, x, y):
-        if f >= self.grid.shape[0]:
-            return True
-        x /= self.reduction
-        y /= self.reduction
-        gh, gw = self.grid.shape[1:]
-        xi = int(np.clip(int(x), 0, gw - 1))
-        yi = int(np.clip(int(y), 0, gh - 1))
-        return bool(self.grid[f, yi, xi])

@@ -1,8 +1,15 @@
-"""Annotation rescaling to field coordinates.
+"""Annotation conditioning for target encoding.
 
-Mirrors reference ``encoder/annrescaler.py:8-310``: keypoints / stride,
-crowd-aware background masks, valid area, and instance scale estimation from
-the reference-pose area ratio.
+Converts COCO-style annotation dicts into the arrays the target painters
+consume: keypoint sets in field (stride-divided) coordinates with the
+visibility-suppression rules applied, crowd background masks, valid areas,
+and instance scale estimates. Covers the behavior of the reference's
+``encoder/annrescaler.py:8-310`` with the suppression rules expressed as
+array broadcasts instead of per-keypoint loops.
+
+Coordinate conventions: annotation keypoints are (K, 3) [x, y, v] with
+v = 0 absent / 1 present-but-hidden / 2 visible; suppression rules operate
+in image pixels, scale estimation in field cells.
 """
 
 import logging
@@ -10,6 +17,79 @@ import logging
 import numpy as np
 
 LOG = logging.getLogger(__name__)
+
+#: suppression neighborhoods, in image pixels
+_SELFHIDDEN_RADIUS = 32.0
+_COLLISION_MIN_RADIUS = 16.0
+
+
+def _hidden_under_visible(stack):
+    """Mask of keypoints with v == 1 that sit within the suppression box
+    of some v > 1 keypoint of the same joint in another instance.
+
+    stack: (I, K, 3). Order-free: suppressible keypoints (v == 1) can
+    never themselves suppress (that needs v > 1), so there is no cascade.
+    """
+    v = stack[:, :, 2]
+    hidden = v == 1.0
+    visible = v > 1.0
+    if not (hidden.any() and visible.any()):
+        return np.zeros_like(hidden)
+    dx = np.abs(stack[:, None, :, 0] - stack[None, :, :, 0])  # (I, I, K)
+    dy = np.abs(stack[:, None, :, 1] - stack[None, :, :, 1])
+    covered = (dx <= _SELFHIDDEN_RADIUS) & (dy <= _SELFHIDDEN_RADIUS)
+    # instance i's joint k is covered if any visible j has it in range
+    return hidden & np.any(visible[None, :, :] & covered, axis=1)
+
+
+def _zero_collisions(sets_bbox):
+    """Zero out joints where two instances nearly coincide.
+
+    Sequential over instance pairs on purpose: a joint zeroed by an early
+    pair no longer registers as colliding in later pairs (the reference's
+    cascade, ``annrescaler.py:37-55``).
+    """
+    for a, (kps_a, bbox_a) in enumerate(sets_bbox[:-1]):
+        for kps_b, bbox_b in sets_bbox[a + 1:]:
+            radius = max(_COLLISION_MIN_RADIUS,
+                         0.2 * max(bbox_a[2], bbox_a[3],
+                                   bbox_b[2], bbox_b[3]))
+            near = np.abs(kps_a[:, :2] - kps_b[:, :2]) < radius
+            hit = ((kps_a[:, 2] > 0.0) & (kps_b[:, 2] > 0.0)
+                   & near[:, 0] & near[:, 1])
+            kps_a[hit, 2] = 0.0
+            kps_b[hit, 2] = 0.0
+
+
+def _box_cells(bbox, stride, margin, grid_h, grid_w):
+    """Inclusive-exclusive cell rectangle of a margin-expanded box, or
+    None when the annotation has no box."""
+    if bbox is None:
+        return None
+    x0, y0, bw, bh = (float(c) / stride for c in bbox)
+    left = min(max(int(x0 - margin), 0), grid_w - 1)
+    top = min(max(int(y0 - margin), 0), grid_h - 1)
+    right = min(max(int(np.ceil(x0 + bw + margin)) + 1, left + 1), grid_w)
+    bottom = min(max(int(np.ceil(y0 + bh + margin)) + 1, top + 1), grid_h)
+    return left, top, right, bottom
+
+
+def _grid_shape(width_height, stride):
+    return ((width_height[1] - 1) // stride + 1,
+            (width_height[0] - 1) // stride + 1)
+
+
+def _needs_masking(ann):
+    """Crowd regions and keypointless instances are don't-care areas."""
+    if ann['iscrowd']:
+        return True
+    has_kp = 'keypoints' in ann and np.any(ann['keypoints'][:, 2] > 0)
+    return not has_kp
+
+
+def _rotated_extent_area(points):
+    return ((np.max(points[:, 0]) - np.min(points[:, 0]))
+            * (np.max(points[:, 1]) - np.min(points[:, 1])))
 
 
 class AnnRescaler:
@@ -20,154 +100,94 @@ class AnnRescaler:
     def __init__(self, stride, pose=None):
         self.stride = stride
         self.pose = pose
-
-        self.pose_total_area = None
-        self.pose_45 = None
-        self.pose_45_total_area = None
         if pose is not None:
-            self.pose_total_area = (
-                (np.max(pose[:, 0]) - np.min(pose[:, 0]))
-                * (np.max(pose[:, 1]) - np.min(pose[:, 1]))
-            )
-            c, s = np.cos(np.deg2rad(45)), np.sin(np.deg2rad(45))
-            rotate = np.array(((c, -s), (s, c)))
-            self.pose_45 = np.copy(pose)
-            self.pose_45[:, :2] = np.einsum('ij,kj->ki', rotate, self.pose_45[:, :2])
-            self.pose_45_total_area = (
-                (np.max(self.pose_45[:, 0]) - np.min(self.pose_45[:, 0]))
-                * (np.max(self.pose_45[:, 1]) - np.min(self.pose_45[:, 1]))
-            )
+            c = np.cos(np.deg2rad(45))
+            s = np.sin(np.deg2rad(45))
+            pose_45 = np.copy(pose)
+            pose_45[:, :2] = np.einsum('ij,kj->ki',
+                                       np.array(((c, -s), (s, c))),
+                                       pose_45[:, :2])
+            self.pose_45 = pose_45
+            self.pose_total_area = _rotated_extent_area(pose)
+            self.pose_45_total_area = _rotated_extent_area(pose_45)
 
     def valid_area(self, meta):
         if 'valid_area' not in meta:
             return None
-        return (
-            meta['valid_area'][0] / self.stride,
-            meta['valid_area'][1] / self.stride,
-            meta['valid_area'][2] / self.stride,
-            meta['valid_area'][3] / self.stride,
-        )
+        return tuple(edge / self.stride for edge in meta['valid_area'])
 
-    @staticmethod
-    def suppress_collision_(keypoint_sets_bbox):
-        for p_i, (kps_p, bbox_p) in enumerate(keypoint_sets_bbox[:-1]):
-            for kps_s, bbox_s in keypoint_sets_bbox[p_i + 1:]:
-                d_th = 0.2 * max(bbox_p[2], bbox_p[3], bbox_s[2], bbox_s[3])
-                d_th = max(16.0, d_th)
-                diff = np.abs(kps_p[:, :2] - kps_s[:, :2])
-                collision = (
-                    (kps_p[:, 2] > 0.0)
-                    & (kps_s[:, 2] > 0.0)
-                    & (diff[:, 0] < d_th)
-                    & (diff[:, 1] < d_th)
-                )
-                if np.any(collision):
-                    kps_p[collision, 2] = 0.0
-                    kps_s[collision, 2] = 0.0
-
-    @staticmethod
-    def suppress_selfhidden_(keypoint_sets):
-        """A visible keypoint suppresses nearby hidden ones of other instances."""
-        for kpi in range(len(keypoint_sets[0])):
-            all_xyv = sorted([keypoints[kpi] for keypoints in keypoint_sets],
-                             key=lambda xyv: xyv[2], reverse=True)
-            for i, xyv in enumerate(all_xyv[1:], start=1):
-                if xyv[2] > 1.0:  # is visible
-                    continue
-                if xyv[2] < 1.0:  # does not exist
-                    break
-                for prev_xyv in all_xyv[:i]:
-                    if prev_xyv[2] <= 1.0:
-                        break
-                    if np.abs(prev_xyv[0] - xyv[0]) > 32.0 \
-                       or np.abs(prev_xyv[1] - xyv[1]) > 32.0:
-                        continue
-                    xyv[2] = 0.0
-                    break
-
-    def keypoint_sets(self, anns):
-        """Non-crowd keypoint sets in field coordinates."""
-        keypoint_sets_bbox = [(np.copy(ann['keypoints']), ann['bbox'])
-                              for ann in anns if not ann['iscrowd']]
-        if not keypoint_sets_bbox:
-            return []
-
+    def _condition(self, sets_bbox):
+        """Apply the configured suppression rules in place, then rescale
+        keypoints to field coordinates."""
         if self.suppress_collision:
-            self.suppress_collision_(keypoint_sets_bbox)
-        keypoint_sets = [kps for kps, _ in keypoint_sets_bbox]
+            _zero_collisions(sets_bbox)
+        keypoint_sets = [kps for kps, _ in sets_bbox]
 
         if self.suppress_invisible:
             for kps in keypoint_sets:
                 kps[kps[:, 2] < 2.0, 2] = 0.0
-        elif self.suppress_selfhidden:
-            self.suppress_selfhidden_(keypoint_sets)
+        elif self.suppress_selfhidden and len(keypoint_sets) > 1:
+            stack = np.stack(keypoint_sets)
+            drop = _hidden_under_visible(stack)
+            for kps, drop_row in zip(keypoint_sets, drop):
+                kps[drop_row, 2] = 0.0
 
-        for keypoints in keypoint_sets:
-            keypoints[:, :2] /= self.stride
+        for kps in keypoint_sets:
+            kps[:, :2] /= self.stride
         return keypoint_sets
 
+    def keypoint_sets(self, anns):
+        """Non-crowd keypoint sets in field coordinates."""
+        sets_bbox = [(np.copy(ann['keypoints']), ann['bbox'])
+                     for ann in anns if not ann['iscrowd']]
+        if not sets_bbox:
+            return []
+        return self._condition(sets_bbox)
+
     def bg_mask(self, anns, width_height, *, crowd_margin):
-        """Background mask: False where crowd regions / keypointless
-        instances must be ignored."""
-        mask = np.ones((
-            (width_height[1] - 1) // self.stride + 1,
-            (width_height[0] - 1) // self.stride + 1,
-        ), dtype=np.bool_)
+        """True where targets may be painted; False inside crowd regions
+        and keypointless instances."""
+        grid_h, grid_w = _grid_shape(width_height, self.stride)
+        mask = np.ones((grid_h, grid_w), dtype=np.bool_)
         for ann in anns:
-            if not ann['iscrowd']:
-                valid_keypoints = ('keypoints' in ann
-                                   and np.any(ann['keypoints'][:, 2] > 0))
-                if valid_keypoints:
-                    continue
-            if 'bbox' not in ann:
+            if not _needs_masking(ann):
                 continue
-
-            bb = np.asarray(ann['bbox'], dtype=float).copy()
-            bb /= self.stride
-            bb[2:] += bb[:2]
-
-            left = np.clip(int(bb[0] - crowd_margin), 0, mask.shape[1] - 1)
-            top = np.clip(int(bb[1] - crowd_margin), 0, mask.shape[0] - 1)
-            right = np.clip(int(np.ceil(bb[2] + crowd_margin)) + 1,
-                            left + 1, mask.shape[1])
-            bottom = np.clip(int(np.ceil(bb[3] + crowd_margin)) + 1,
-                             top + 1, mask.shape[0])
-            mask[top:bottom, left:right] = 0
+            rect = _box_cells(ann.get('bbox'), self.stride, crowd_margin,
+                              grid_h, grid_w)
+            if rect is None:
+                continue
+            left, top, right, bottom = rect
+            mask[top:bottom, left:right] = False
         return mask
 
     def scale(self, keypoints):
-        """Instance scale from visible-keypoint area, pose-ratio corrected."""
+        """Instance scale estimate in field cells.
+
+        sqrt of the visible-keypoint bounding area, corrected by how much
+        of the canonical pose the visible subset spans (evaluated both
+        upright and at 45° so elongated part subsets don't explode the
+        correction). NaN when fewer than 3 joints are visible or the
+        estimate degenerates.
+        """
         visible = keypoints[:, 2] > 0
         if np.sum(visible) < 3:
             return np.nan
 
-        area = (
-            (np.max(keypoints[visible, 0]) - np.min(keypoints[visible, 0]))
-            * (np.max(keypoints[visible, 1]) - np.min(keypoints[visible, 1]))
-        )
+        area = _rotated_extent_area(keypoints[visible])
         factor = 1.0
-
         if self.pose is not None:
-            area_ref = (
-                (np.max(self.pose[visible, 0]) - np.min(self.pose[visible, 0]))
-                * (np.max(self.pose[visible, 1]) - np.min(self.pose[visible, 1]))
-            )
-            area_ref_45 = (
-                (np.max(self.pose_45[visible, 0]) - np.min(self.pose_45[visible, 0]))
-                * (np.max(self.pose_45[visible, 1]) - np.min(self.pose_45[visible, 1]))
-            )
-            factor = np.sqrt(min(
-                self.pose_total_area / area_ref if area_ref > 0.1 else np.inf,
-                self.pose_45_total_area / area_ref_45 if area_ref_45 > 0.1 else np.inf,
-            ))
+            subset_area = _rotated_extent_area(self.pose[visible])
+            subset_area_45 = _rotated_extent_area(self.pose_45[visible])
+            ratio = (self.pose_total_area / subset_area
+                     if subset_area > 0.1 else np.inf)
+            ratio_45 = (self.pose_45_total_area / subset_area_45
+                        if subset_area_45 > 0.1 else np.inf)
+            factor = np.sqrt(min(ratio, ratio_45))
             if np.isinf(factor):
                 return np.nan
 
-        factor_clipped = min(5.0, factor)
-        scale = np.sqrt(area) * factor_clipped
-        if scale < 0.1:
-            scale = np.nan
-        return scale
+        scale = np.sqrt(area) * min(5.0, factor)
+        return np.nan if scale < 0.1 else scale
 
 
 class AnnRescalerDet:
@@ -178,103 +198,77 @@ class AnnRescalerDet:
     def valid_area(self, meta):
         if 'valid_area' not in meta:
             return None
-        return tuple(v / self.stride for v in meta['valid_area'])
+        return tuple(edge / self.stride for edge in meta['valid_area'])
 
     def detections(self, anns):
         return [(ann['category_id'], np.asarray(ann['bbox']) / self.stride)
                 for ann in anns if not ann['iscrowd']]
 
     def bg_mask(self, anns, width_height, *, crowd_margin):
-        mask = np.ones((
-            self.n_categories,
-            (width_height[1] - 1) // self.stride + 1,
-            (width_height[0] - 1) // self.stride + 1,
-        ), dtype=np.bool_)
+        """Per-category paintable mask; a crowd box only blanks its own
+        category plane."""
+        grid_h, grid_w = _grid_shape(width_height, self.stride)
+        mask = np.ones((self.n_categories, grid_h, grid_w), dtype=np.bool_)
         for ann in anns:
             if not ann['iscrowd']:
                 continue
-            field_i = ann['category_id'] - 1
-            bb = np.asarray(ann['bbox'], dtype=float).copy()
-            bb /= self.stride
-            bb[2:] += bb[:2]
-            left = np.clip(int(bb[0] - crowd_margin), 0, mask.shape[2] - 1)
-            top = np.clip(int(bb[1] - crowd_margin), 0, mask.shape[1] - 1)
-            right = np.clip(int(np.ceil(bb[2] + crowd_margin)) + 1,
-                            left + 1, mask.shape[2])
-            bottom = np.clip(int(np.ceil(bb[3] + crowd_margin)) + 1,
-                             top + 1, mask.shape[1])
-            mask[field_i, top:bottom, left:right] = 0
+            rect = _box_cells(ann.get('bbox'), self.stride, crowd_margin,
+                              grid_h, grid_w)
+            if rect is None:
+                continue
+            left, top, right, bottom = rect
+            mask[ann['category_id'] - 1, top:bottom, left:right] = False
         return mask
 
 
 class TrackingAnnRescaler(AnnRescaler):
-    """AnnRescaler over image pairs (reference annrescaler.py:232-310):
-    keypoint sets are track-id-matched concatenations of both frames."""
+    """AnnRescaler over (frame1, frame2) annotation pairs (reference
+    ``annrescaler.py:232-310``): keypoint sets concatenate both frames of
+    each track, and the crowd mask is the bounding rectangle of all
+    don't-care boxes from either frame."""
 
     def bg_mask(self, anns, width_height, *, crowd_margin):
         anns1, anns2 = anns
+        grid_h, grid_w = _grid_shape(width_height, self.stride)
+        mask = np.ones((grid_h, grid_w), dtype=np.bool_)
 
-        mask = np.ones((
-            (width_height[1] - 1) // self.stride + 1,
-            (width_height[0] - 1) // self.stride + 1,
-        ), dtype=np.bool_)
-        crowd_bbox = [np.inf, np.inf, 0, 0]
-        for ann in anns1 + anns2:
-            if not ann['iscrowd']:
-                valid_keypoints = ('keypoints' in ann
-                                   and np.any(ann['keypoints'][:, 2] > 0))
-                if valid_keypoints:
-                    continue
-            if 'bbox' not in ann:
-                continue
-
-            bb = np.asarray(ann['bbox'], dtype=float).copy()
-            bb /= self.stride
-            bb[2:] += bb[:2]
-            left = np.clip(int(bb[0] - crowd_margin), 0, mask.shape[1] - 1)
-            top = np.clip(int(bb[1] - crowd_margin), 0, mask.shape[0] - 1)
-            right = np.clip(int(np.ceil(bb[2] + crowd_margin)) + 1,
-                            left + 1, mask.shape[1])
-            bottom = np.clip(int(np.ceil(bb[3] + crowd_margin)) + 1,
-                             top + 1, mask.shape[0])
-            crowd_bbox[0] = min(crowd_bbox[0], left)
-            crowd_bbox[1] = min(crowd_bbox[1], top)
-            crowd_bbox[2] = max(crowd_bbox[2], right)
-            crowd_bbox[3] = max(crowd_bbox[3], bottom)
-
-        if crowd_bbox[1] < crowd_bbox[3] and crowd_bbox[0] < crowd_bbox[2]:
-            mask[int(crowd_bbox[1]):int(crowd_bbox[3]),
-                 int(crowd_bbox[0]):int(crowd_bbox[2])] = 0
+        rects = [
+            rect for ann in anns1 + anns2 if _needs_masking(ann)
+            for rect in [_box_cells(ann.get('bbox'), self.stride,
+                                    crowd_margin, grid_h, grid_w)]
+            if rect is not None
+        ]
+        if rects:
+            rects = np.asarray(rects)
+            left, top = rects[:, 0].min(), rects[:, 1].min()
+            right, bottom = rects[:, 2].max(), rects[:, 3].max()
+            if top < bottom and left < right:
+                mask[top:bottom, left:right] = False
         return mask
 
     def keypoint_sets(self, anns):
         anns1, anns2 = anns
-
-        anns1_by_trackid = {ann['track_id']: ann for ann in anns1
-                            if 'track_id' in ann}
-        keypoint_sets_bbox = [
-            (
-                np.concatenate((
-                    anns1_by_trackid[ann2['track_id']]['keypoints'],
-                    ann2['keypoints'],
-                ), axis=0),
-                ann2['bbox'],
-            )
-            for ann2 in anns2
-            if (not ann2['iscrowd']
-                and ann2.get('track_id') in anns1_by_trackid)
-        ]
-        if not keypoint_sets_bbox:
+        by_track = {ann['track_id']: ann for ann in anns1
+                    if 'track_id' in ann}
+        sets_bbox = []
+        for ann2 in anns2:
+            if ann2['iscrowd'] or ann2.get('track_id') not in by_track:
+                continue
+            ann1 = by_track[ann2['track_id']]
+            joined = np.concatenate((ann1['keypoints'], ann2['keypoints']),
+                                    axis=0)
+            sets_bbox.append((joined, ann2['bbox']))
+        if not sets_bbox:
             return []
 
+        # note: selfhidden suppression does not apply across frames
+        # (reference annrescaler.py:289-300 skips it for pairs)
         if self.suppress_collision:
-            self.suppress_collision_(keypoint_sets_bbox)
-        keypoint_sets = [kps for kps, _ in keypoint_sets_bbox]
-
+            _zero_collisions(sets_bbox)
+        keypoint_sets = [kps for kps, _ in sets_bbox]
         if self.suppress_invisible:
             for kps in keypoint_sets:
                 kps[kps[:, 2] < 2.0, 2] = 0.0
-
-        for keypoints in keypoint_sets:
-            keypoints[:, :2] /= self.stride
+        for kps in keypoint_sets:
+            kps[:, :2] /= self.stride
         return keypoint_sets

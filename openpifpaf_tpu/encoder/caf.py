@@ -1,10 +1,16 @@
-"""CAF target encoder (reference ``encoder/caf.py:16-311``).
+"""CAF target painter (semantics of reference ``encoder/caf.py:16-311``).
 
-For each skeleton edge with both endpoints visible, writes cells along the
-joint1 -> joint2 segment (band width s = max(min_size, aspect * length)):
-[confidence, x1, y1, x2, y2, bmin1, bmin2, scale1, scale2] with
-perpendicular-distance nearest-writer resolution.
-Output: (F, 9, H, W).
+Output (F, 9, H, W): [confidence, x1, y1, x2, y2, bmin1, bmin2, scale1,
+scale2]. Work is split into three stages:
+
+1. association selection — visibility, field-of-view, and dense-skeleton
+   veto rules evaluated as (instances × skeleton-edges) boolean arrays;
+2. candidate generation — for each selected association, the cells of the
+   joint1→joint2 band (``num`` segment samples × ``s``² lateral offsets)
+   are produced in one broadcast, deduplicated to their first occurrence;
+3. global resolution — one perpendicular-distance nearest-writer sort
+   across every association (``scatter.resolve`` with <= semantics), then
+   a single scatter into the channel planes.
 """
 
 import dataclasses
@@ -14,8 +20,8 @@ from typing import ClassVar, List, Optional, Tuple
 import numpy as np
 
 from .annrescaler import AnnRescaler
+from .scatter import PaddedPlanes, resolve
 from .. import headmeta
-from ..utils import mask_valid_area
 
 LOG = logging.getLogger(__name__)
 
@@ -44,204 +50,177 @@ class Caf:
             ]
 
     def __call__(self, image, anns, meta):
-        return CafGenerator(self)(image, anns, meta)
+        return paint_caf(self, self.rescaler, image.shape[1::-1], anns, meta)
 
 
-class CafGenerator:
-    def __init__(self, config: Caf):
-        self.config = config
-        self.rescaler = config.rescaler
-        self.skeleton_m1 = np.asarray(config.meta.skeleton) - 1
+def shortest_sparse_lengths(kps, sparse_skeleton_m1, v_threshold):
+    """(I, K) length of the shortest *visible* sparse-skeleton connection
+    incident to each joint (inf when none)."""
+    e1, e2 = sparse_skeleton_m1[:, 0], sparse_skeleton_m1[:, 1]
+    both_visible = ((kps[:, e1, 2] > v_threshold)
+                    & (kps[:, e2, 2] > v_threshold))  # (I, Es)
+    lengths = np.linalg.norm(kps[:, e1, :2] - kps[:, e2, :2], axis=-1)
+    lengths = np.where(both_visible, lengths, np.inf)
 
-        self.sparse_skeleton_m1 = (
-            np.asarray(config.meta.sparse_skeleton) - 1
-            if getattr(config.meta, 'sparse_skeleton', None) is not None
-            else None)
+    n_joints = kps.shape[1]
+    incident = np.zeros((n_joints, len(e1)), dtype=bool)
+    incident[e1, np.arange(len(e1))] = True
+    incident[e2, np.arange(len(e2))] = True
+    # min over incident edges, per instance and joint
+    per_joint = np.where(incident[None], lengths[:, None, :], np.inf)
+    return per_joint.min(axis=-1)
 
-        self.field_shape = None
-        self.intensities = None
-        self.fields_reg1 = None
-        self.fields_reg2 = None
-        self.fields_bmin1 = None
-        self.fields_bmin2 = None
-        self.fields_scale1 = None
-        self.fields_scale2 = None
-        self.fields_reg_l = None
 
-    def __call__(self, image, anns, meta):
-        width_height_original = image.shape[1::-1]
+def select_associations(config: Caf, kps, grid_h, grid_w):
+    """(I, P) mask of (instance, fill-plan entry) pairs to paint."""
+    plan = np.asarray(config.fill_plan)
+    j1, j2 = plan[:, 1], plan[:, 2]
 
-        keypoint_sets = self.rescaler.keypoint_sets(anns)
-        bg_mask = self.rescaler.bg_mask(
-            anns, width_height_original,
-            crowd_margin=(self.config.min_size - 1) / 2)
-        self.field_shape = (
-            self.config.meta.n_fields,
-            bg_mask.shape[0] + 2 * self.config.padding,
-            bg_mask.shape[1] + 2 * self.config.padding,
-        )
-        valid_area = self.rescaler.valid_area(meta)
+    v1 = kps[:, j1, 2]
+    v2 = kps[:, j2, 2]
+    selected = (v1 > config.v_threshold) & (v2 > config.v_threshold)
 
-        self.init_fields(bg_mask)
-        self.fields_reg_l = np.full(self.field_shape, np.inf, dtype=np.float32)
-        p = self.config.padding
-        self.fields_reg_l[:, p:-p, p:-p][:, bg_mask == 0] = 1.0
+    meta = config.meta
+    if getattr(meta, 'sparse_skeleton', None) is not None:
+        # dense edges yield to shorter sparse connections at both ends
+        sparse_m1 = np.asarray(meta.sparse_skeleton) - 1
+        shortest = shortest_sparse_lengths(kps, sparse_m1,
+                                           config.v_threshold)
+        edge_len = np.linalg.norm(kps[:, j1, :2] - kps[:, j2, :2], axis=-1)
+        limit = edge_len / meta.dense_to_sparse_radius
+        vetoed = ((shortest[:, j1] < limit) & (shortest[:, j2] < limit))
+        selected &= ~vetoed
 
-        fill_values = [(kps, self.rescaler.scale(kps)) for kps in keypoint_sets]
-        for keypoints, fill_value in zip(keypoint_sets, fill_values):
-            self.fill_keypoints(keypoints, fill_value)
-        return self.fields(valid_area)
+    out = ((kps[:, :, 0] < 0) | (kps[:, :, 1] < 0)
+           | (kps[:, :, 0] > grid_w - 1) | (kps[:, :, 1] > grid_h - 1))
+    out1, out2 = out[:, j1], out[:, j2]
+    if meta.only_in_field_of_view:
+        selected &= ~(out1 | out2)
+    else:
+        selected &= ~(out1 & out2)
+    return selected
 
-    def init_fields(self, bg_mask):
-        reg_shape = (self.field_shape[0], 2,
-                     self.field_shape[1], self.field_shape[2])
-        self.intensities = np.zeros(self.field_shape, dtype=np.float32)
-        self.fields_reg1 = np.full(reg_shape, np.nan, dtype=np.float32)
-        self.fields_reg2 = np.full(reg_shape, np.nan, dtype=np.float32)
-        self.fields_bmin1 = np.full(self.field_shape, np.nan, dtype=np.float32)
-        self.fields_bmin2 = np.full(self.field_shape, np.nan, dtype=np.float32)
-        self.fields_scale1 = np.full(self.field_shape, np.nan, dtype=np.float32)
-        self.fields_scale2 = np.full(self.field_shape, np.nan, dtype=np.float32)
 
-        p = self.config.padding
-        self.intensities[:, p:-p, p:-p][:, bg_mask == 0] = np.nan
+def band_cells(joint1, offset, offset_d, s, fixed_size, padding,
+               grid_hp, grid_wp):
+    """Deduplicated in-bounds cells of one association band.
 
-    def shortest_sparse(self, joint_i, keypoints):
-        shortest = np.inf
-        for joint1i, joint2i in self.sparse_skeleton_m1:
-            if joint_i not in (joint1i, joint2i):
+    Returns integer cell coordinates fij (M, 2) on the padded grid, in
+    first-occurrence generation order (segment-sample-major, lateral-
+    offset-minor, matching the sequential fill order the <=-overwrite
+    semantics depend on).
+    """
+    half = 0.5 * (s - 1)
+    lateral = np.stack(np.meshgrid(np.linspace(-half, half, s),
+                                   np.linspace(-half, half, s)),
+                       axis=-1).reshape(-1, 2)  # (s², 2)
+
+    if fixed_size:
+        frange = np.array([0.5])
+    else:
+        fmargin = np.clip((s / 2) / (offset_d + np.spacing(1)), 0.25, 0.4)
+        frange = np.linspace(fmargin, 1.0 - fmargin,
+                             num=max(2, int(np.ceil(offset_d))))
+
+    centers = (joint1[None, None, :]
+               + frange[:, None, None] * offset[None, None, :]
+               + lateral[None, :, :])  # (num, s², 2)
+    fij = np.round(centers).astype(np.intc).reshape(-1, 2) + padding
+
+    in_bounds = ((fij[:, 0] >= 0) & (fij[:, 0] < grid_wp)
+                 & (fij[:, 1] >= 0) & (fij[:, 1] < grid_hp))
+    fij = fij[in_bounds]
+    if fij.size == 0:
+        return fij
+    flat = fij[:, 1].astype(np.int64) * grid_wp + fij[:, 0]
+    _, first = np.unique(flat, return_index=True)
+    return fij[np.sort(first)]
+
+
+def paint_caf(config: Caf, rescaler, width_height, anns, meta):
+    keypoint_sets = rescaler.keypoint_sets(anns)
+    bg_mask = rescaler.bg_mask(
+        anns, width_height, crowd_margin=(config.min_size - 1) / 2)
+    valid_area = rescaler.valid_area(meta)
+
+    n_fields = config.meta.n_fields
+    planes = PaddedPlanes(n_fields, *bg_mask.shape, config.padding)
+
+    conf = planes.plane(0.0)
+    channels = {name: planes.plane(np.nan)
+                for name in ('x1', 'y1', 'x2', 'y2',
+                             'b1', 'b2', 's1', 's2')}
+    planes.paint_region(conf, ~bg_mask, np.nan)
+    barrier = planes.barrier_lookup(~bg_mask, 1.0)
+
+    chunks = {'keys': [], 'metric': [], 'order': [],
+              'x1': [], 'y1': [], 'x2': [], 'y2': [],
+              'b1': [], 'b2': [], 's1': [], 's2': []}
+    sigmas = config.meta.sigmas
+    bmin = config.bmin / config.meta.stride
+    grid_h, grid_w = bg_mask.shape
+
+    if keypoint_sets:
+        kps = np.stack(keypoint_sets)
+        selected = select_associations(config, kps, grid_h, grid_w)
+        plan = config.fill_plan
+        instance_scales = [rescaler.scale(k) for k in keypoint_sets]
+
+        for order, (inst, p) in enumerate(np.argwhere(selected)):
+            field_i, j1i, j2i = plan[p]
+            joint1 = kps[inst, j1i, :2]
+            joint2 = kps[inst, j2i, :2]
+            offset = joint2 - joint1
+            offset_d = np.linalg.norm(offset)
+            s = max(config.min_size,
+                    int(offset_d * config.aspect_ratio))
+
+            fij = band_cells(joint1, offset, offset_d, s,
+                             config.fixed_size, config.padding,
+                             planes.hp, planes.wp)
+            if fij.size == 0:
                 continue
-            joint1 = keypoints[joint1i]
-            joint2 = keypoints[joint2i]
-            if joint1[2] <= self.config.v_threshold \
-               or joint2[2] <= self.config.v_threshold:
-                continue
-            d = np.linalg.norm(joint1[:2] - joint2[:2])
-            shortest = min(d, shortest)
-        return shortest
 
-    def fill_keypoints(self, keypoints, fill_values):
-        for field_i, joint1i, joint2i in self.config.fill_plan:
-            joint1 = keypoints[joint1i]
-            joint2 = keypoints[joint2i]
-            if joint1[2] <= self.config.v_threshold \
-               or joint2[2] <= self.config.v_threshold:
-                continue
+            scale = instance_scales[inst]
+            if sigmas is None:
+                scale1 = scale2 = scale
+            else:
+                scale1 = scale * sigmas[j1i]
+                scale2 = scale * sigmas[j2i]
+            assert np.isnan(scale1) or 0.0 < scale1 < 100.0
+            assert np.isnan(scale2) or 0.0 < scale2 < 100.0
 
-            # dense-skeleton veto: shorter sparse connections take precedence
-            if self.sparse_skeleton_m1 is not None:
-                d = (np.linalg.norm(joint1[:2] - joint2[:2])
-                     / self.config.meta.dense_to_sparse_radius)
-                if self.shortest_sparse(joint1i, keypoints) < d \
-                   and self.shortest_sparse(joint2i, keypoints) < d:
-                    continue
+            fxy = fij - config.padding
+            along = fxy - joint1  # (M, 2), float64
+            perp = (np.fabs(offset[1] * along[:, 0]
+                            - offset[0] * along[:, 1])
+                    / (offset_d + 0.01))
 
-            # field-of-view rules
-            max_x = self.field_shape[2] - 1 - 2 * self.config.padding
-            max_y = self.field_shape[1] - 1 - 2 * self.config.padding
-            out1 = (joint1[0] < 0 or joint1[1] < 0
-                    or joint1[0] > max_x or joint1[1] > max_y)
-            out2 = (joint2[0] < 0 or joint2[1] < 0
-                    or joint2[0] > max_x or joint2[1] > max_y)
-            if out1 and out2:
-                continue
-            if self.config.meta.only_in_field_of_view and (out1 or out2):
-                continue
+            m = fij.shape[0]
+            chunks['keys'].append(
+                planes.flat_keys(field_i, fij[:, 1], fij[:, 0]))
+            chunks['metric'].append(perp)
+            chunks['order'].append(np.full(m, order))
+            chunks['x1'].append(joint1[0] - fxy[:, 0])
+            chunks['y1'].append(joint1[1] - fxy[:, 1])
+            chunks['x2'].append(joint2[0] - fxy[:, 0])
+            chunks['y2'].append(joint2[1] - fxy[:, 1])
+            chunks['b1'].append(np.full(m, bmin))
+            chunks['b2'].append(np.full(m, bmin))
+            chunks['s1'].append(np.full(m, scale1))
+            chunks['s2'].append(np.full(m, scale2))
 
-            self.fill_association(field_i, joint1, joint2, fill_values)
+    if chunks['keys']:
+        flat = {k: np.concatenate(v) for k, v in chunks.items()}
+        won = resolve(flat['keys'], flat['metric'], flat['order'],
+                      barrier[flat['keys']], ties='last')
+        cells = flat['keys'][won]
+        conf[cells] = 1.0
+        for name, plane in channels.items():
+            plane[cells] = flat[name][won]
 
-    def fill_association(self, field_i, joint1, joint2, fill_values):
-        offset = joint2[:2] - joint1[:2]
-        offset_d = np.linalg.norm(offset)
-
-        s = max(self.config.min_size, int(offset_d * self.config.aspect_ratio))
-        xyv = np.stack(np.meshgrid(
-            np.linspace(-0.5 * (s - 1), 0.5 * (s - 1), s),
-            np.linspace(-0.5 * (s - 1), 0.5 * (s - 1), s),
-        ), axis=-1).reshape(-1, 2)
-
-        num = max(2, int(np.ceil(offset_d)))
-        fmargin = (s / 2) / (offset_d + np.spacing(1))
-        fmargin = np.clip(fmargin, 0.25, 0.4)
-        frange = np.linspace(fmargin, 1.0 - fmargin, num=num)
-        if self.config.fixed_size:
-            frange = [0.5]
-
-        filled_ij = set()
-        for f in frange:
-            for xyo in xyv:
-                fij = (np.round(joint1[:2] + f * offset + xyo).astype(np.intc)
-                       + self.config.padding)
-                if fij[0] < 0 or fij[0] >= self.field_shape[2] or \
-                   fij[1] < 0 or fij[1] >= self.field_shape[1]:
-                    continue
-                fij_int = (int(fij[0]), int(fij[1]))
-                if fij_int in filled_ij:
-                    continue
-                filled_ij.add(fij_int)
-
-                # perpendicular distance as the nearest-writer metric
-                fxy = fij - self.config.padding
-                f_offset = fxy - joint1[:2]
-                sink_l = np.fabs(
-                    offset[1] * f_offset[0] - offset[0] * f_offset[1]
-                ) / (offset_d + 0.01)
-                if sink_l > self.fields_reg_l[field_i, fij[1], fij[0]]:
-                    continue
-                self.fields_reg_l[field_i, fij[1], fij[0]] = sink_l
-
-                self.fill_field_values(field_i, fij, fill_values)
-
-    def fill_field_values(self, field_i, fij, fill_values):
-        joint1i, joint2i = self.skeleton_m1[field_i]
-        keypoints, scale = fill_values
-
-        self.intensities[field_i, fij[1], fij[0]] = 1.0
-
-        fxy = fij - self.config.padding
-        self.fields_reg1[field_i, :, fij[1], fij[0]] = keypoints[joint1i][:2] - fxy
-        self.fields_reg2[field_i, :, fij[1], fij[0]] = keypoints[joint2i][:2] - fxy
-
-        bmin = self.config.bmin / self.config.meta.stride
-        self.fields_bmin1[field_i, fij[1], fij[0]] = bmin
-        self.fields_bmin2[field_i, fij[1], fij[0]] = bmin
-
-        if self.config.meta.sigmas is None:
-            scale1, scale2 = scale, scale
-        else:
-            scale1 = scale * self.config.meta.sigmas[joint1i]
-            scale2 = scale * self.config.meta.sigmas[joint2i]
-        assert np.isnan(scale1) or 0.0 < scale1 < 100.0
-        self.fields_scale1[field_i, fij[1], fij[0]] = scale1
-        assert np.isnan(scale2) or 0.0 < scale2 < 100.0
-        self.fields_scale2[field_i, fij[1], fij[0]] = scale2
-
-    def fields(self, valid_area):
-        p = self.config.padding
-        intensities = self.intensities[:, p:-p, p:-p]
-        fields_reg1 = self.fields_reg1[:, :, p:-p, p:-p]
-        fields_reg2 = self.fields_reg2[:, :, p:-p, p:-p]
-        fields_bmin1 = self.fields_bmin1[:, p:-p, p:-p]
-        fields_bmin2 = self.fields_bmin2[:, p:-p, p:-p]
-        fields_scale1 = self.fields_scale1[:, p:-p, p:-p]
-        fields_scale2 = self.fields_scale2[:, p:-p, p:-p]
-
-        mask_valid_area(intensities, valid_area)
-        mask_valid_area(fields_reg1[:, 0], valid_area, fill_value=np.nan)
-        mask_valid_area(fields_reg1[:, 1], valid_area, fill_value=np.nan)
-        mask_valid_area(fields_reg2[:, 0], valid_area, fill_value=np.nan)
-        mask_valid_area(fields_reg2[:, 1], valid_area, fill_value=np.nan)
-        mask_valid_area(fields_bmin1, valid_area, fill_value=np.nan)
-        mask_valid_area(fields_bmin2, valid_area, fill_value=np.nan)
-        mask_valid_area(fields_scale1, valid_area, fill_value=np.nan)
-        mask_valid_area(fields_scale2, valid_area, fill_value=np.nan)
-
-        return np.concatenate([
-            np.expand_dims(intensities, 1),
-            fields_reg1,
-            fields_reg2,
-            np.expand_dims(fields_bmin1, 1),
-            np.expand_dims(fields_bmin2, 1),
-            np.expand_dims(fields_scale1, 1),
-            np.expand_dims(fields_scale2, 1),
-        ], axis=1)
+    return np.stack(
+        [planes.cropped(conf, valid_area, 0)]
+        + [planes.cropped(channels[name], valid_area, np.nan)
+           for name in ('x1', 'y1', 'x2', 'y2', 'b1', 'b2', 's1', 's2')],
+        axis=1)

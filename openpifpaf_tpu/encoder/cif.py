@@ -1,10 +1,10 @@
-"""CIF target encoder (reference ``encoder/cif.py:16-151``).
+"""CIF target painter (semantics of reference ``encoder/cif.py:16-151``).
 
-For every visible keypoint, stamps a ``side_length x side_length`` patch
-around the (field-coordinate) location: intensity 1, exact offset
-regressions (nearest-writer wins via ``fields_reg_l``), bmin and joint
-scale. Crowd regions and out-of-valid-area pixels become NaN (don't care).
-Output: (F, 5, H, W) [confidence, x, y, bmin, scale].
+Output (F, 5, H, W): [confidence, x-offset, y-offset, bmin, joint scale].
+Every visible joint contributes a ``side_length``² patch of candidate cell
+writes; all candidates across all instances are generated as one batch and
+resolved with a single nearest-writer sort (see ``scatter.resolve``) —
+no per-keypoint Python loop, no mutable stamping state.
 """
 
 import dataclasses
@@ -14,8 +14,9 @@ from typing import ClassVar, Optional
 import numpy as np
 
 from .annrescaler import AnnRescaler
+from .scatter import PaddedPlanes, resolve
 from .. import headmeta
-from ..utils import create_sink, mask_valid_area
+from ..utils import create_sink
 
 LOG = logging.getLogger(__name__)
 
@@ -32,119 +33,100 @@ class Cif:
     padding: ClassVar[int] = 10
 
     def __call__(self, image, anns, meta):
-        return CifGenerator(self)(image, anns, meta)
+        rescaler = self.rescaler or AnnRescaler(self.meta.stride,
+                                                self.meta.pose)
+        return paint_cif(self, rescaler, image.shape[1::-1], anns, meta)
 
 
-class CifGenerator:
-    def __init__(self, config: Cif):
-        self.config = config
-        self.rescaler = config.rescaler or AnnRescaler(
-            config.meta.stride, config.meta.pose)
+def joint_scales(rescaler, keypoint_sets, sigmas):
+    """(I, K) per-joint scale targets: instance scale times the joint's
+    sigma (or the raw instance scale when the meta has no sigmas)."""
+    instance_scales = [rescaler.scale(kps) for kps in keypoint_sets]
+    if sigmas is None:
+        rows = [[s] * keypoint_sets[0].shape[0] for s in instance_scales]
+    else:
+        rows = [[s * sigma for sigma in sigmas] for s in instance_scales]
+    return np.asarray(rows, dtype=np.float32)
 
-        self.intensities = None
-        self.fields_reg = None
-        self.fields_bmin = None
-        self.fields_scale = None
-        self.fields_reg_l = None
 
-        self.sink = create_sink(config.side_length)
-        self.s_offset = (config.side_length - 1.0) / 2.0
+def patch_candidates(xy, side_length, padding):
+    """Candidate cell writes for sub-pixel locations ``xy`` (N, 2).
 
-    def __call__(self, image, anns, meta):
-        # image is (H, W, 3) numpy
-        width_height_original = image.shape[1::-1]
+    Returns (ys, xs) integer cell coordinates (N, S, S) on the padded
+    grid, the regression payload sink_reg (N, 2, S, S), its norm
+    sink_l (N, S, S), and an in-bounds validity prerequisite mask (N,)
+    computed by the caller from ys/xs extents.
+    """
+    s_offset = (side_length - 1.0) / 2.0
+    corner = np.round(xy - s_offset).astype(np.intc) + padding  # (N, 2)
+    # exact offset from patch grid to the true sub-pixel location
+    offset = xy - (corner + s_offset - padding)  # float64 (N, 2)
 
-        keypoint_sets = self.rescaler.keypoint_sets(anns)
-        bg_mask = self.rescaler.bg_mask(
-            anns, width_height_original,
-            crowd_margin=(self.config.side_length - 1) / 2)
-        valid_area = self.rescaler.valid_area(meta)
+    sink = create_sink(side_length)  # (2, S, S)
+    sink_reg = sink[None] + offset[:, :, None, None]  # (N, 2, S, S)
+    sink_l = np.sqrt(sink_reg[:, 0] ** 2 + sink_reg[:, 1] ** 2)
 
-        n_fields = len(self.config.meta.keypoints)
-        self.init_fields(n_fields, bg_mask)
-        self.fill(keypoint_sets)
-        return self.fields(valid_area)
+    span = np.arange(side_length)
+    ys = corner[:, 1, None, None] + span[None, :, None]
+    xs = corner[:, 0, None, None] + span[None, None, :]
+    return corner, ys, xs, sink_reg, sink_l
 
-    def init_fields(self, n_fields, bg_mask):
-        field_w = bg_mask.shape[1] + 2 * self.config.padding
-        field_h = bg_mask.shape[0] + 2 * self.config.padding
-        self.intensities = np.zeros((n_fields, field_h, field_w), dtype=np.float32)
-        self.fields_reg = np.full((n_fields, 2, field_h, field_w), np.nan,
-                                  dtype=np.float32)
-        self.fields_bmin = np.full((n_fields, field_h, field_w), np.nan,
-                                   dtype=np.float32)
-        self.fields_scale = np.full((n_fields, field_h, field_w), np.nan,
-                                    dtype=np.float32)
-        self.fields_reg_l = np.full((n_fields, field_h, field_w), np.inf,
-                                    dtype=np.float32)
 
-        p = self.config.padding
-        self.fields_reg_l[:, p:-p, p:-p][:, bg_mask == 0] = 1.0
-        self.intensities[:, p:-p, p:-p][:, bg_mask == 0] = np.nan
+def paint_cif(config: Cif, rescaler, width_height, anns, meta):
+    keypoint_sets = rescaler.keypoint_sets(anns)
+    bg_mask = rescaler.bg_mask(
+        anns, width_height, crowd_margin=(config.side_length - 1) / 2)
+    valid_area = rescaler.valid_area(meta)
 
-    def fill(self, keypoint_sets):
-        for keypoints in keypoint_sets:
-            self.fill_keypoints(keypoints)
+    n_fields = len(config.meta.keypoints)
+    side = config.side_length
+    planes = PaddedPlanes(n_fields, *bg_mask.shape, config.padding)
 
-    def fill_keypoints(self, keypoints):
-        scale = self.rescaler.scale(keypoints)
-        for f, xyv in enumerate(keypoints):
-            if xyv[2] <= self.config.v_threshold:
-                continue
-            joint_scale = (
-                scale
-                if self.config.meta.sigmas is None
-                else scale * self.config.meta.sigmas[f]
-            )
-            self.fill_coordinate(f, xyv, joint_scale)
+    conf = planes.plane(0.0)
+    reg_x = planes.plane(np.nan)
+    reg_y = planes.plane(np.nan)
+    bmin = planes.plane(np.nan)
+    scale = planes.plane(np.nan)
+    planes.paint_region(conf, ~bg_mask, np.nan)
+    barrier = planes.barrier_lookup(~bg_mask, 1.0)
 
-    def fill_coordinate(self, f, xyv, scale):
-        ij = np.round(xyv[:2] - self.s_offset).astype(np.intc) + self.config.padding
-        minx, miny = int(ij[0]), int(ij[1])
-        maxx = minx + self.config.side_length
-        maxy = miny + self.config.side_length
-        if minx < 0 or maxx > self.intensities.shape[2] or \
-           miny < 0 or maxy > self.intensities.shape[1]:
-            return
+    if keypoint_sets:
+        kps = np.stack(keypoint_sets)  # (I, K, 3)
+        scales = joint_scales(rescaler, keypoint_sets, config.meta.sigmas)
 
-        offset = xyv[:2] - (ij + self.s_offset - self.config.padding)
-        offset = offset.reshape(2, 1, 1)
+        inst, joint = np.nonzero(kps[:, :, 2] > config.v_threshold)
+        xy = kps[inst, joint, :2]
+        corner, ys, xs, sink_reg, sink_l = patch_candidates(
+            xy, side, config.padding)
+        in_bounds = ((corner[:, 0] >= 0)
+                     & (corner[:, 0] + side <= planes.wp)
+                     & (corner[:, 1] >= 0)
+                     & (corner[:, 1] + side <= planes.hp))
+        keep = np.flatnonzero(in_bounds)
 
-        # nearest-writer mask
-        sink_reg = self.sink + offset
-        sink_l = np.linalg.norm(sink_reg, axis=0)
-        mask = sink_l < self.fields_reg_l[f, miny:maxy, minx:maxx]
-        mask_peak = np.logical_and(mask, sink_l < 0.7)
-        self.fields_reg_l[f, miny:maxy, minx:maxx][mask] = sink_l[mask]
+        values = scales[inst[keep], joint[keep]]
+        assert np.all(np.isnan(values)
+                      | ((values > 0.0) & (values < 100.0))), \
+            'implausible joint scale'
 
-        self.intensities[f, miny:maxy, minx:maxx][mask] = 1.0
-        self.intensities[f, miny:maxy, minx:maxx][mask_peak] = 1.0
+        keys = planes.flat_keys(joint[keep, None, None],
+                                ys[keep], xs[keep]).ravel()
+        metric = sink_l[keep].ravel()
+        writer = np.broadcast_to(inst[keep, None, None],
+                                 (keep.size, side, side)).ravel()
+        won = resolve(keys, metric, writer, barrier[keys], ties='first')
 
-        patch = self.fields_reg[f, :, miny:maxy, minx:maxx]
-        patch[:, mask] = sink_reg[:, mask]
+        cells = keys[won]
+        conf[cells] = 1.0
+        reg_x[cells] = sink_reg[keep][:, 0].reshape(-1)[won]
+        reg_y[cells] = sink_reg[keep][:, 1].reshape(-1)[won]
+        bmin[cells] = config.bmin / config.meta.stride
+        scale[cells] = np.repeat(values, side * side)[won]
 
-        bmin = self.config.bmin / self.config.meta.stride
-        self.fields_bmin[f, miny:maxy, minx:maxx][mask] = bmin
-
-        assert np.isnan(scale) or 0.0 < scale < 100.0
-        self.fields_scale[f, miny:maxy, minx:maxx][mask] = scale
-
-    def fields(self, valid_area):
-        p = self.config.padding
-        intensities = self.intensities[:, p:-p, p:-p]
-        fields_reg = self.fields_reg[:, :, p:-p, p:-p]
-        fields_bmin = self.fields_bmin[:, p:-p, p:-p]
-        fields_scale = self.fields_scale[:, p:-p, p:-p]
-
-        mask_valid_area(intensities, valid_area)
-        mask_valid_area(fields_reg[:, 0], valid_area, fill_value=np.nan)
-        mask_valid_area(fields_reg[:, 1], valid_area, fill_value=np.nan)
-        mask_valid_area(fields_bmin, valid_area, fill_value=np.nan)
-        mask_valid_area(fields_scale, valid_area, fill_value=np.nan)
-
-        return np.concatenate([
-            np.expand_dims(intensities, 1),
-            fields_reg,
-            np.expand_dims(fields_bmin, 1),
-            np.expand_dims(fields_scale, 1),
-        ], axis=1)
+    return np.stack([
+        planes.cropped(conf, valid_area, 0),
+        planes.cropped(reg_x, valid_area, np.nan),
+        planes.cropped(reg_y, valid_area, np.nan),
+        planes.cropped(bmin, valid_area, np.nan),
+        planes.cropped(scale, valid_area, np.nan),
+    ], axis=1)

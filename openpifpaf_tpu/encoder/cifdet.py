@@ -1,7 +1,11 @@
-"""CifDet target encoder (reference ``encoder/cifdet.py``).
+"""CifDet target painter (semantics of reference ``encoder/cifdet.py``).
 
-Stamps a ``side_length x side_length`` patch at each detection center:
-[confidence, x, y, w, h, bmin_reg, bmin_wh] -> (F, 7, H, W).
+Output (C, 7, H, W): [confidence, x-offset, y-offset, w, h, bmin_reg,
+bmin_wh]. Like CIF, each detection contributes one ``side_length``² patch
+of candidate writes, resolved globally with first-writer-wins strict-<
+semantics — with one extra rule: the winning cell's confidence is NaN
+(don't care) when it sits outside the patch's core radius, so only the
+center ring trains positively.
 """
 
 import dataclasses
@@ -11,8 +15,9 @@ from typing import ClassVar, Optional
 import numpy as np
 
 from .annrescaler import AnnRescalerDet
+from .cif import patch_candidates
+from .scatter import PaddedPlanes, resolve
 from .. import headmeta
-from ..utils import create_sink, mask_valid_area
 
 LOG = logging.getLogger(__name__)
 
@@ -29,116 +34,77 @@ class CifDet:
     padding: ClassVar[int] = 10
 
     def __call__(self, image, anns, meta):
-        return CifDetGenerator(self)(image, anns, meta)
+        rescaler = self.rescaler or AnnRescalerDet(
+            self.meta.stride, len(self.meta.categories))
+        return paint_cifdet(self, rescaler, image.shape[1::-1], anns, meta)
 
 
-class CifDetGenerator:
-    def __init__(self, config: CifDet):
-        self.config = config
-        self.rescaler = config.rescaler or AnnRescalerDet(
-            config.meta.stride, len(config.meta.categories))
+def paint_cifdet(config: CifDet, rescaler, width_height, anns, meta):
+    detections = rescaler.detections(anns)
+    bg_mask = rescaler.bg_mask(
+        anns, width_height, crowd_margin=(config.side_length - 1) / 2)
+    valid_area = rescaler.valid_area(meta)
 
-        self.intensities = None
-        self.fields_reg = None
-        self.fields_wh = None
-        self.fields_reg_bmin = None
-        self.fields_wh_bmin = None
-        self.fields_reg_l = None
+    n_fields = len(config.meta.categories)
+    side = config.side_length
+    planes = PaddedPlanes(n_fields, *bg_mask.shape[-2:], config.padding)
 
-        self.sink = create_sink(config.side_length)
-        self.s_offset = (config.side_length - 1.0) / 2.0
+    conf = planes.plane(0.0)
+    reg_x = planes.plane(np.nan)
+    reg_y = planes.plane(np.nan)
+    w_plane = planes.plane(np.nan)
+    h_plane = planes.plane(np.nan)
+    bmin_reg = planes.plane(np.nan)
+    bmin_wh = planes.plane(np.nan)
+    planes.paint_region(conf, ~bg_mask, np.nan)
+    barrier = planes.barrier_lookup(~bg_mask, 1.0)
 
-    def __call__(self, image, anns, meta):
-        width_height_original = image.shape[1::-1]
+    if detections:
+        fields = np.array([cat - 1 for cat, _ in detections])
+        boxes = np.stack([bbox for _, bbox in detections])
+        centers = boxes[:, :2] + 0.5 * boxes[:, 2:]
+        wh = boxes[:, 2:]
 
-        detections = self.rescaler.detections(anns)
-        bg_mask = self.rescaler.bg_mask(
-            anns, width_height_original,
-            crowd_margin=(self.config.side_length - 1) / 2)
-        valid_area = self.rescaler.valid_area(meta)
+        corner, ys, xs, sink_reg, sink_l = patch_candidates(
+            centers, side, config.padding)
+        in_bounds = ((corner[:, 0] >= 0)
+                     & (corner[:, 0] + side <= planes.wp)
+                     & (corner[:, 1] >= 0)
+                     & (corner[:, 1] + side <= planes.hp))
+        keep = np.flatnonzero(in_bounds)
+        assert np.all(wh[keep] > 0.0), 'degenerate detection box'
 
-        n_fields = len(self.config.meta.categories)
-        self.init_fields(n_fields, bg_mask)
-        for category_id, bbox in detections:
-            xy = bbox[:2] + 0.5 * bbox[2:]
-            wh = bbox[2:]
-            self.fill_detection(category_id - 1, xy, wh)
-        return self.fields(valid_area)
+        keys = planes.flat_keys(fields[keep, None, None],
+                                ys[keep], xs[keep]).ravel()
+        metric = sink_l[keep].ravel()
+        writer = np.broadcast_to(np.arange(len(detections))[keep, None,
+                                                            None],
+                                 (keep.size, side, side)).ravel()
+        won = resolve(keys, metric, writer, barrier[keys], ties='first')
+        cells = keys[won]
 
-    def init_fields(self, n_fields, bg_mask):
-        field_w = bg_mask.shape[-1] + 2 * self.config.padding
-        field_h = bg_mask.shape[-2] + 2 * self.config.padding
-        self.intensities = np.zeros((n_fields, field_h, field_w), dtype=np.float32)
-        self.fields_reg = np.full((n_fields, 2, field_h, field_w), np.nan,
-                                  dtype=np.float32)
-        self.fields_wh = np.full((n_fields, 2, field_h, field_w), np.nan,
-                                 dtype=np.float32)
-        self.fields_reg_bmin = np.full((n_fields, field_h, field_w), np.nan,
-                                       dtype=np.float32)
-        self.fields_wh_bmin = np.full((n_fields, field_h, field_w), np.nan,
-                                      dtype=np.float32)
-        self.fields_reg_l = np.full((n_fields, field_h, field_w), np.inf,
-                                    dtype=np.float32)
+        # outside the core radius the cell resolves a conflict but trains
+        # as don't-care rather than positive
+        core_radius = (side - 1) / 2.0
+        conf[cells] = np.where(metric[won] > core_radius, np.nan, 1.0)
+        reg_x[cells] = sink_reg[keep][:, 0].reshape(-1)[won]
+        reg_y[cells] = sink_reg[keep][:, 1].reshape(-1)[won]
 
-        p = self.config.padding
-        self.fields_reg_l[:, p:-p, p:-p][bg_mask == 0] = 1.0
-        self.intensities[:, p:-p, p:-p][bg_mask == 0] = np.nan
+        expand = np.repeat(np.arange(keep.size), side * side)[won]
+        w_plane[cells] = wh[keep][expand, 0]
+        h_plane[cells] = wh[keep][expand, 1]
+        half_scale = 0.5 * np.minimum(wh[keep][:, 0], wh[keep][:, 1])
+        bmins = np.maximum(0.1 * half_scale,
+                           config.bmin / config.meta.stride)
+        bmin_reg[cells] = bmins[expand]
+        bmin_wh[cells] = bmins[expand]
 
-    def fill_detection(self, f, xy, wh):
-        ij = np.round(xy - self.s_offset).astype(np.intc) + self.config.padding
-        minx, miny = int(ij[0]), int(ij[1])
-        maxx = minx + self.config.side_length
-        maxy = miny + self.config.side_length
-        if minx < 0 or maxx > self.intensities.shape[2] or \
-           miny < 0 or maxy > self.intensities.shape[1]:
-            return
-
-        offset = xy - (ij + self.s_offset - self.config.padding)
-        offset = offset.reshape(2, 1, 1)
-
-        sink_reg = self.sink + offset
-        sink_l = np.linalg.norm(sink_reg, axis=0)
-        mask = sink_l < self.fields_reg_l[f, miny:maxy, minx:maxx]
-        core_radius = (self.config.side_length - 1) / 2.0
-        mask_fringe = np.logical_and(
-            sink_l > core_radius,
-            sink_l < self.fields_reg_l[f, miny:maxy, minx:maxx])
-        self.fields_reg_l[f, miny:maxy, minx:maxx][mask] = sink_l[mask]
-
-        self.intensities[f, miny:maxy, minx:maxx][mask] = 1.0
-        self.intensities[f, miny:maxy, minx:maxx][mask_fringe] = np.nan
-
-        self.fields_reg[f, :, miny:maxy, minx:maxx][:, mask] = sink_reg[:, mask]
-
-        assert wh[0] > 0.0
-        assert wh[1] > 0.0
-        self.fields_wh[f, :, miny:maxy, minx:maxx][:, mask] = np.expand_dims(wh, 1)
-
-        half_scale = 0.5 * min(wh[0], wh[1])
-        bmin = max(0.1 * half_scale, self.config.bmin / self.config.meta.stride)
-        self.fields_reg_bmin[f, miny:maxy, minx:maxx][mask] = bmin
-        self.fields_wh_bmin[f, miny:maxy, minx:maxx][mask] = bmin
-
-    def fields(self, valid_area):
-        p = self.config.padding
-        intensities = self.intensities[:, p:-p, p:-p]
-        fields_reg = self.fields_reg[:, :, p:-p, p:-p]
-        fields_wh = self.fields_wh[:, :, p:-p, p:-p]
-        fields_reg_bmin = self.fields_reg_bmin[:, p:-p, p:-p]
-        fields_wh_bmin = self.fields_wh_bmin[:, p:-p, p:-p]
-
-        mask_valid_area(intensities, valid_area)
-        mask_valid_area(fields_reg[:, 0], valid_area, fill_value=np.nan)
-        mask_valid_area(fields_reg[:, 1], valid_area, fill_value=np.nan)
-        mask_valid_area(fields_wh[:, 0], valid_area, fill_value=np.nan)
-        mask_valid_area(fields_wh[:, 1], valid_area, fill_value=np.nan)
-        mask_valid_area(fields_reg_bmin, valid_area, fill_value=np.nan)
-        mask_valid_area(fields_wh_bmin, valid_area, fill_value=np.nan)
-
-        return np.concatenate([
-            np.expand_dims(intensities, 1),
-            fields_reg,
-            fields_wh,
-            np.expand_dims(fields_reg_bmin, 1),
-            np.expand_dims(fields_wh_bmin, 1),
-        ], axis=1)
+    return np.stack([
+        planes.cropped(conf, valid_area, 0),
+        planes.cropped(reg_x, valid_area, np.nan),
+        planes.cropped(reg_y, valid_area, np.nan),
+        planes.cropped(w_plane, valid_area, np.nan),
+        planes.cropped(h_plane, valid_area, np.nan),
+        planes.cropped(bmin_reg, valid_area, np.nan),
+        planes.cropped(bmin_wh, valid_area, np.nan),
+    ], axis=1)

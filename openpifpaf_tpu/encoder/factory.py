@@ -1,34 +1,39 @@
-"""Encoder CLI configuration (reference ``encoder/factory.py:10-47``)."""
+"""Encoder CLI wiring (flag surface of reference ``encoder/factory.py``).
+
+Table-driven: each entry binds one CLI flag to one class attribute, so
+``cli`` and ``configure`` cannot drift apart.
+"""
 
 from .annrescaler import AnnRescaler
 from .caf import Caf
 from .cif import Cif
 
+# (flag, dest, target class, attribute, kwargs for add_argument)
+_OPTIONS = [
+    ('--cif-side-length', 'cif_side_length', Cif, 'side_length',
+     dict(type=int, help='side length of the CIF field')),
+    ('--caf-min-size', 'caf_min_size', Caf, 'min_size',
+     dict(type=int, help='min side length of the CAF field')),
+    ('--caf-fixed-size', 'caf_fixed_size', Caf, 'fixed_size',
+     dict(action='store_true', help='fixed caf size')),
+    ('--caf-aspect-ratio', 'caf_aspect_ratio', Caf, 'aspect_ratio',
+     dict(type=float, help='CAF width relative to its length')),
+    ('--encoder-no-suppress-selfhidden', 'encoder_suppress_selfhidden',
+     AnnRescaler, 'suppress_selfhidden', dict(action='store_false')),
+    ('--encoder-suppress-invisible', 'encoder_suppress_invisible',
+     AnnRescaler, 'suppress_invisible', dict(action='store_true')),
+    ('--encoder-suppress-collision', 'encoder_suppress_collision',
+     AnnRescaler, 'suppress_collision', dict(action='store_true')),
+]
+
 
 def cli(parser):
     group = parser.add_argument_group('encoders')
-    group.add_argument('--cif-side-length', default=Cif.side_length, type=int,
-                       help='side length of the CIF field')
-    group.add_argument('--caf-min-size', default=Caf.min_size, type=int,
-                       help='min side length of the CAF field')
-    group.add_argument('--caf-fixed-size', default=Caf.fixed_size,
-                       action='store_true', help='fixed caf size')
-    group.add_argument('--caf-aspect-ratio', default=Caf.aspect_ratio,
-                       type=float, help='CAF width relative to its length')
-    group.add_argument('--encoder-no-suppress-selfhidden',
-                       dest='encoder_suppress_selfhidden',
-                       default=True, action='store_false')
-    group.add_argument('--encoder-suppress-invisible',
-                       default=False, action='store_true')
-    group.add_argument('--encoder-suppress-collision',
-                       default=False, action='store_true')
+    for flag, dest, cls, attr, kwargs in _OPTIONS:
+        group.add_argument(flag, dest=dest, default=getattr(cls, attr),
+                           **kwargs)
 
 
 def configure(args):
-    Cif.side_length = args.cif_side_length
-    Caf.min_size = args.caf_min_size
-    Caf.fixed_size = args.caf_fixed_size
-    Caf.aspect_ratio = args.caf_aspect_ratio
-    AnnRescaler.suppress_selfhidden = args.encoder_suppress_selfhidden
-    AnnRescaler.suppress_invisible = args.encoder_suppress_invisible
-    AnnRescaler.suppress_collision = args.encoder_suppress_collision
+    for _, dest, cls, attr, _kwargs in _OPTIONS:
+        setattr(cls, attr, getattr(args, dest))

@@ -1,14 +1,15 @@
-"""SingleImage encoder adapter (reference ``encoder/single_image.py``):
-applies a single-image encoder to element 0 of a pair group."""
+"""Adapter running a single-image encoder on one frame of a pair group
+(reference ``encoder/single_image.py``)."""
 
 
 class SingleImage:
+    frame = 0
+
     def __init__(self, wrapped):
         self.wrapped = wrapped
 
-    def __call__(self, images, anns, metas):
-        return self.wrapped(images[0], anns[0], metas[0])
+    meta = property(lambda self: self.wrapped.meta)
 
-    @property
-    def meta(self):
-        return self.wrapped.meta
+    def __call__(self, images, anns, metas):
+        i = self.frame
+        return self.wrapped(images[i], anns[i], metas[i])

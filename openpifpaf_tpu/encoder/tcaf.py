@@ -1,23 +1,26 @@
-"""Tcaf target encoder (reference ``encoder/tcaf.py:13-43``): cross-frame
-CAF using the TrackingAnnRescaler over image pairs, fixed_size=True."""
+"""Tcaf target painter: cross-frame associations for tracking.
+
+A CAF band painted between the two frames of each track (reference
+``encoder/tcaf.py:13-43``). Reuses the CAF painter wholesale — the only
+differences are the pair-aware rescaler (keypoint sets are per-track
+concatenations of frame-1 and frame-2 joints), the cross-frame skeleton
+baked into the Tcaf headmeta, and fixed-size bands (one ``min_size``²
+stamp at each segment midpoint).
+"""
 
 import dataclasses
-from typing import ClassVar, List, Optional, Tuple
+from typing import ClassVar
 
-from .. import headmeta
 from .annrescaler import TrackingAnnRescaler
-from .caf import CafGenerator
+from .caf import Caf, paint_caf
+from .. import headmeta
 
 
 @dataclasses.dataclass
-class Tcaf:
-    meta: headmeta.Tcaf
-    rescaler: Optional[TrackingAnnRescaler] = None
-    v_threshold: int = 0
-    bmin: float = 0.1
-    visualizer: Optional[object] = None
-    fill_plan: Optional[List[Tuple[int, int, int]]] = None
+class Tcaf(Caf):
+    meta: headmeta.Tcaf = None
 
+    # independent of Caf's CLI-configured values
     min_size: ClassVar[int] = 3
     fixed_size: ClassVar[bool] = True
     aspect_ratio: ClassVar[float] = 0.0
@@ -27,11 +30,9 @@ class Tcaf:
         if self.rescaler is None:
             self.rescaler = TrackingAnnRescaler(self.meta.stride,
                                                 self.meta.pose)
-        if self.fill_plan is None:
-            self.fill_plan = [
-                (caf_i, joint1i - 1, joint2i - 1)
-                for caf_i, (joint1i, joint2i) in enumerate(self.meta.skeleton)
-            ]
+        super().__post_init__()
 
     def __call__(self, images, all_anns, metas):
-        return CafGenerator(self)(images[0], all_anns, metas)
+        # both frames share the geometry of frame 1
+        return paint_caf(self, self.rescaler, images[0].shape[1::-1],
+                         all_anns, metas)

@@ -27,33 +27,33 @@ LOG = logging.getLogger(__name__)
 
 
 def fractional_epoch(row, *, default=None):
-    """Epoch 1 at batch 30 of 100 -> 1.3 (reference logs.py:40-52)."""
+    """Epoch 1 at batch 30 of 100 -> 1.3 (role of reference logs.py:40-52)."""
     if 'epoch' not in row:
         return default
+    epoch = row.get('epoch')
     if 'batch' not in row:
-        return row.get('epoch')
-    return row['epoch'] + row['batch'] / max(1, row.get('n_batches', 1))
+        return epoch
+    return epoch + row['batch'] / max(1, row.get('n_batches', 1))
 
 
 def optionally_shaded(ax, x, y, *, color, label, **kwargs):
     """Bin dense batch series to ~30 points/epoch with a min-max shade
-    (reference logs.py:24-37)."""
+    (role of reference logs.py:24-37)."""
     x = np.asarray(x, dtype=np.float64)
     y = np.asarray(y, dtype=np.float64)
     epochs = x[-1] - x[0] if len(x) > 1 else 0.0
     stride = int(len(x) / epochs / 30.0) if len(x) > 30 and epochs > 0 else 1
-    if stride > 1:
-        x_binned = np.array(
-            [x[i] for i in range(0, len(x), stride)][:-1])
-        y_binned = np.stack(
-            [y[i:i + stride] for i in range(0, len(x), stride)][:-1])
-        ax.plot(x_binned, np.mean(y_binned, axis=1),
-                color=color, label=label, **kwargs)
-        ax.fill_between(x_binned, np.min(y_binned, axis=1),
-                        np.max(y_binned, axis=1),
-                        alpha=0.2, facecolor=color)
-    else:
+    if stride <= 1:
         ax.plot(x, y, color=color, label=label, **kwargs)
+        return
+
+    # full bins only; a trailing partial bin is dropped
+    n_bins = -(-len(x) // stride) - 1
+    bins = y[:n_bins * stride].reshape(n_bins, stride)
+    bin_x = x[:n_bins * stride:stride]
+    ax.plot(bin_x, bins.mean(axis=1), color=color, label=label, **kwargs)
+    ax.fill_between(bin_x, bins.min(axis=1), bins.max(axis=1),
+                    alpha=0.2, facecolor=color)
 
 
 def _color(i):

@@ -175,6 +175,12 @@ def _make_branch2_call(h, w, c2p, cm, k, d, r_tile, dtype_name, leaky,
     """Build (pallas_call, geometry) for one block shape."""
     dtype = jnp.dtype(dtype_name)
     halo = (k - 1) // 2 * d
+    # the dual-block-view halo trick reads rows [i*rt, i*rt + rt + 2*halo)
+    # from tiles i and i+1 only; a smaller r_tile would need tile i+2 and
+    # fails later with an opaque reshape error at trace time
+    assert r_tile >= 2 * halo, (
+        f'r_tile={r_tile} must be >= 2*halo={2 * halo} '
+        f'(k={k}, dilation={d})')
     n_tiles = -(-h // r_tile)
     wo = _round_up(w, 8)
     wp = wo + _round_up(2 * halo, 8)

@@ -21,6 +21,10 @@ LOG = logging.getLogger(__name__)
 class Predictor:
     batch_size = 1
     long_edge = None
+    #: large serving batches execute the NN in lax.map sub-batches of
+    #: this size (0 disables); only kicks in from nn_chunk_threshold up
+    nn_chunk_size = 8
+    nn_chunk_threshold = 16
     loader_workers = None
     #: pad images up to the next multiple of this many pixels so that the
     #: jitted forward+decode graphs are reused across image sizes (XLA
@@ -224,6 +228,28 @@ class Predictor:
                 @jax.jit
                 def forward(variables, image_batch):
                     return model.apply(variables, image_batch, train=False)
+
+            if (self.nn_chunk_size and not self._tracking
+                    and not (self.n_devices and self.n_devices > 1)):
+                # large batches run per-image slower than batch-8 (HBM
+                # working-set pressure, measured in docs/perf.md): chunk
+                # the batch through lax.map so each sub-batch executes at
+                # the batch-8 operating point. Static shapes: the branch
+                # resolves at trace time per batch size.
+                inner_fwd = forward
+                chunk = self.nn_chunk_size
+                threshold = self.nn_chunk_threshold
+
+                @jax.jit
+                def forward(variables, image_batch):
+                    b = image_batch.shape[0]
+                    if b < threshold or b % chunk != 0:
+                        return inner_fwd(variables, image_batch)
+                    stacked = image_batch.reshape(
+                        b // chunk, chunk, *image_batch.shape[1:])
+                    outs = jax.lax.map(
+                        lambda x: inner_fwd(variables, x), stacked)
+                    return tuple(o.reshape(b, *o.shape[2:]) for o in outs)
 
             if self.n_devices and self.n_devices > 1:
                 # multi-chip serving: batch sharded over the data axis,
@@ -451,12 +477,53 @@ class Predictor:
         self.last_nn_time = time.perf_counter() - start
         return list(fields)
 
+    #: host-side batch production (JPEG decode, resize, pad, collate)
+    #: runs this many batches ahead in a worker thread, overlapping with
+    #: device compute of the current batch; 0 restores strictly
+    #: sequential execution
+    prefetch_depth = 2
+
+    def _prefetched(self, batches):
+        """Produce batches in a worker thread so host preprocessing of
+        batch i+1 overlaps device compute of batch i."""
+        if not self.prefetch_depth:
+            yield from batches
+            return
+
+        import queue
+        import threading
+
+        fifo = queue.Queue(maxsize=self.prefetch_depth)
+        done = object()
+
+        def produce():
+            try:
+                for batch in batches:
+                    fifo.put(batch)
+                fifo.put(done)
+            except BaseException as exc:  # re-raised on the main thread
+                fifo.put(exc)
+
+        worker = threading.Thread(target=produce, daemon=True)
+        worker.start()
+        while True:
+            item = fifo.get()
+            if item is done:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+
     def dataset(self, data):
         """Iterate a dataset (objects with __getitem__/__len__)."""
-        for start in range(0, len(data), self.batch_size):
-            items = [data[i] for i in range(start,
-                                            min(start + self.batch_size, len(data)))]
-            batch = datasets.collate.collate_images_anns_meta(items)
+        def batches():
+            for start in range(0, len(data), self.batch_size):
+                items = [data[i]
+                         for i in range(start, min(start + self.batch_size,
+                                                   len(data)))]
+                yield datasets.collate.collate_images_anns_meta(items)
+
+        for batch in self._prefetched(batches()):
             yield from self._run_batch(batch)
 
     def _run_batch(self, batch):
@@ -504,11 +571,14 @@ class Predictor:
             return None
 
     def _images_native(self, file_names, loader):
-        for start in range(0, len(file_names), self.batch_size):
-            paths = file_names[start:start + self.batch_size]
-            images, metas = loader.load_batch_uint8(paths)
-            gt = [[] for _ in metas]
-            yield from self._run_batch((images, gt, metas))
+        def batches():
+            for start in range(0, len(file_names), self.batch_size):
+                paths = file_names[start:start + self.batch_size]
+                images, metas = loader.load_batch_uint8(paths)
+                yield images, [[] for _ in metas], metas
+
+        for batch in self._prefetched(batches()):
+            yield from self._run_batch(batch)
 
     @staticmethod
     def _pose_oks(ann_a, ann_b, sigmas):
@@ -629,9 +699,9 @@ class Predictor:
         return next(iter(self.numpy_images([image])))
 
     def enumerated_dataloader(self, enumerated_dataloader):
-        for _, batch in enumerated_dataloader:
+        for _, batch in self._prefetched(iter(enumerated_dataloader)):
             yield from self._run_batch(batch)
 
     def dataloader(self, dataloader):
-        for batch in dataloader:
+        for batch in self._prefetched(iter(dataloader)):
             yield from self._run_batch(batch)

@@ -1,8 +1,9 @@
-"""Profiling wrappers (reference ``profiler.py:11-62``).
+"""Profiling wrappers (role of reference ``profiler.py:11-62``).
 
-``Profiler`` wraps a callable with cProfile; ``JaxProfiler`` (replacing the
-reference's TorchProfiler) wraps it with ``jax.profiler`` trace capture,
-producing Perfetto/TensorBoard-compatible traces.
+``Profiler`` wraps a callable with cProfile and prints/dumps the tottime
+ranking; ``JaxProfiler`` (replacing the reference's TorchProfiler) wraps
+it with ``jax.profiler`` trace capture, producing Perfetto/TensorBoard-
+compatible traces.
 """
 
 import cProfile
@@ -15,25 +16,23 @@ LOG = logging.getLogger(__name__)
 
 class Profiler:
     def __init__(self, function_to_profile, *, profile=None, out_name=None):
-        if profile is None:
-            profile = cProfile.Profile()
         self.function_to_profile = function_to_profile
-        self.profile = profile
+        self.profile = profile if profile is not None else cProfile.Profile()
         self.out_name = out_name
 
-    def __call__(self, *args, **kwargs):
-        self.profile.enable()
-        result = self.function_to_profile(*args, **kwargs)
-        self.profile.disable()
-
-        iostream = io.StringIO()
-        ps = pstats.Stats(self.profile, stream=iostream)
-        ps = ps.sort_stats('tottime')
-        ps.print_stats()
+    def _report(self):
+        buffer = io.StringIO()
+        stats = pstats.Stats(self.profile, stream=buffer)
+        stats.sort_stats('tottime').print_stats()
         if self.out_name:
             LOG.info('writing profile file %s', self.out_name)
-            ps.dump_stats(self.out_name)
-        print(iostream.getvalue())
+            stats.dump_stats(self.out_name)
+        print(buffer.getvalue())
+
+    def __call__(self, *args, **kwargs):
+        result = self.profile.runcall(self.function_to_profile,
+                                      *args, **kwargs)
+        self._report()
         return result
 
 

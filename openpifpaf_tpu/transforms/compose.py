@@ -1,4 +1,5 @@
-"""Compose (reference ``transforms/compose.py:6-18``)."""
+"""Sequential transform composition (semantics of reference
+``transforms/compose.py:6-18``); ``None`` entries are identity."""
 
 from .preprocess import Preprocess
 
@@ -7,9 +8,8 @@ class Compose(Preprocess):
     def __init__(self, preprocess_list):
         self.preprocess_list = preprocess_list
 
-    def __call__(self, image, anns, meta):
-        for p in self.preprocess_list:
-            if p is None:
-                continue
-            image, anns, meta = p(image, anns, meta)
-        return image, anns, meta
+    def __call__(self, *args):
+        for step in self.preprocess_list:
+            if step is not None:
+                args = step(*args)
+        return args

@@ -1,5 +1,6 @@
-"""Encoders transform (reference ``transforms/encoders.py:4-12``): runs the
-target-field encoders at the end of the train preprocessing pipeline."""
+"""Terminal train-pipeline stage (semantics of reference
+``transforms/encoders.py:4-12``): replaces the annotation dicts with the
+encoded target tensors and records which head each target feeds."""
 
 from .preprocess import Preprocess
 
@@ -9,6 +10,7 @@ class Encoders(Preprocess):
         self.encoders = encoders
 
     def __call__(self, image, anns, meta):
-        anns = [enc(image, anns, meta) for enc in self.encoders]
-        meta['head_indices'] = [enc.meta.head_index for enc in self.encoders]
-        return image, anns, meta
+        targets = [encode(image, anns, meta) for encode in self.encoders]
+        meta['head_indices'] = [encode.meta.head_index
+                                for encode in self.encoders]
+        return image, targets, meta

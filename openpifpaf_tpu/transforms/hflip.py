@@ -1,4 +1,9 @@
-"""Horizontal flip (reference ``transforms/hflip.py:12-63``)."""
+"""Horizontal flip (semantics of reference ``transforms/hflip.py:12-63``).
+
+Mirrors pixels, keypoints, boxes and the valid area around the vertical
+axis, and permutes left/right keypoint channels. The channel permutation
+is precomputed once as an index array and applied as a single vectorized
+assignment (the reference rebuilds it per annotation per call)."""
 
 import copy
 import logging
@@ -11,26 +16,26 @@ from .preprocess import Preprocess
 LOG = logging.getLogger(__name__)
 
 
+def _mirrored_x(x, width):
+    # pixel-center convention: column c maps to width - 1 - c
+    return -x - 1.0 + width
+
+
 class _HorizontalSwap:
     def __init__(self, keypoints, hflip):
-        self.keypoints = keypoints
-        self.hflip = dict(hflip)
-
-        for source, target in list(self.hflip.items()):
-            if target in self.hflip:
-                assert self.hflip[target] == source
-            else:
-                self.hflip[target] = source
+        pairs = dict(hflip)
+        for source, target in hflip.items():
+            reverse = pairs.setdefault(target, source)
+            assert reverse == source, \
+                f'inconsistent hflip pair {source}<->{target}'
+        self.permutation = np.array([
+            keypoints.index(pairs[name]) if name in pairs else i
+            for i, name in enumerate(keypoints)])
 
     def __call__(self, keypoints):
-        target = np.zeros(keypoints.shape)
-        for source_i, xyv in enumerate(keypoints):
-            source_name = self.keypoints[source_i]
-            target_name = self.hflip.get(source_name)
-            target_i = (self.keypoints.index(target_name)
-                        if target_name else source_i)
-            target[target_i] = xyv
-        return target
+        swapped = np.zeros(keypoints.shape)
+        swapped[self.permutation] = keypoints
+        return swapped
 
 
 class HFlip(Preprocess):
@@ -40,17 +45,18 @@ class HFlip(Preprocess):
     def __call__(self, image, anns, meta):
         meta = copy.deepcopy(meta)
         anns = copy.deepcopy(anns)
+        w = image.size[0]
 
-        w, _ = image.size
         image = image.transpose(PIL.Image.Transpose.FLIP_LEFT_RIGHT)
         for ann in anns:
-            ann['keypoints'][:, 0] = -ann['keypoints'][:, 0] - 1.0 + w
+            ann['keypoints'][:, 0] = _mirrored_x(ann['keypoints'][:, 0], w)
             if self.swap is not None and not ann['iscrowd']:
                 ann['keypoints'] = self.swap(ann['keypoints'])
                 meta['horizontal_swap'] = self.swap
-            ann['bbox'][0] = -(ann['bbox'][0] + ann['bbox'][2]) - 1.0 + w
+            ann['bbox'][0] = _mirrored_x(ann['bbox'][0] + ann['bbox'][2], w)
 
         assert meta['hflip'] is False
         meta['hflip'] = True
-        meta['valid_area'][0] = -(meta['valid_area'][0] + meta['valid_area'][2]) - 1.0 + w
+        meta['valid_area'][0] = _mirrored_x(
+            meta['valid_area'][0] + meta['valid_area'][2], w)
         return image, anns, meta

@@ -1,5 +1,6 @@
-"""Past-frame replacement augmentations
-(reference ``transforms/pair/blank_past.py``)."""
+"""Past-frame replacement augmentations (semantics of reference
+``transforms/pair/blank_past.py``). All three variants overwrite every
+frame after the first; they differ in what the replacement is."""
 
 import copy
 
@@ -9,39 +10,49 @@ import PIL.Image
 from ..preprocess import Preprocess
 
 
-class BlankPast(Preprocess):
-    def __call__(self, images, all_anns, metas):
-        images = list(images)
-        all_anns = copy.deepcopy(all_anns)
-        metas = copy.deepcopy(metas)
+def _gray_frame():
+    return PIL.Image.new('RGB', (320, 240), (127, 127, 127))
 
-        for i, _ in enumerate(images[1:], start=1):
-            images[i] = PIL.Image.new('RGB', (320, 240), (127, 127, 127))
-        for i, _ in enumerate(all_anns[1:], start=1):
-            all_anns[i] = []
-        for meta in metas[1:]:
-            meta['image'] = {'frame_id': -1, 'file_name': 'blank'}
-        return images, all_anns, metas
+
+def _replace_past(images, all_anns, metas, *, image, anns, image_meta):
+    """Every frame but the first becomes the given replacement."""
+    images = list(images)
+    all_anns = copy.deepcopy(all_anns)
+    metas = copy.deepcopy(metas)
+    for i in range(1, len(images)):
+        images[i] = image
+    for i in range(1, len(all_anns)):
+        all_anns[i] = copy.deepcopy(anns)
+    for meta in metas[1:]:
+        meta['image'] = image_meta
+    return images, all_anns, metas
+
+
+class BlankPast(Preprocess):
+    """Past frames become uniform gray with no annotations."""
+
+    def __call__(self, images, all_anns, metas):
+        return _replace_past(
+            images, all_anns, metas,
+            image=_gray_frame(), anns=[],
+            image_meta={'frame_id': -1, 'file_name': 'blank'})
 
 
 class PreviousPast(Preprocess):
+    """Past frames show the previous sample's pixels (uncorrelated
+    negative pairs) with no annotations. Stateful across calls by design.
+    """
+
     def __init__(self):
-        self.previous_image = PIL.Image.new('RGB', (320, 240), (127, 127, 127))
+        self.previous_image = _gray_frame()
         self.previous_meta = {'frame_id': -1, 'file_name': 'blank'}
         self.previous_annotations = []
 
     def __call__(self, images, all_anns, metas):
-        images = list(images)
-        all_anns = copy.deepcopy(all_anns)
-        metas = copy.deepcopy(metas)
-
-        for i, _ in enumerate(images[1:], start=1):
-            images[i] = self.previous_image
-        for i, _ in enumerate(all_anns[1:], start=1):
-            all_anns[i] = []
-        for meta in metas[1:]:
-            meta['image'] = self.previous_meta
-
+        images, all_anns, metas = _replace_past(
+            images, all_anns, metas,
+            image=self.previous_image, anns=[],
+            image_meta=self.previous_meta)
         self.previous_image = images[0]
         self.previous_annotations = all_anns[0]
         self.previous_meta = metas[0]
@@ -49,8 +60,9 @@ class PreviousPast(Preprocess):
 
 
 class RandomizeOneFrame(Preprocess):
-    """Replace one frame of the pair with a cached frame from another
-    sample (negative pairs for association training)."""
+    """Replace one random frame with a cached frame from another sample
+    (negative pairs for association training); the replacement's track
+    ids are offset so they never match."""
 
     def __init__(self):
         self.previous_image = None
@@ -62,17 +74,16 @@ class RandomizeOneFrame(Preprocess):
         all_anns = copy.deepcopy(all_anns)
         metas = copy.deepcopy(metas)
 
-        replace_index = int(np.random.randint(0, len(metas)))
-
+        replaced = int(np.random.randint(0, len(metas)))
         if self.previous_image is not None:
-            images[replace_index] = self.previous_image
-            all_anns[replace_index] = self.previous_annotations
-            for ann in all_anns[replace_index]:
+            images[replaced] = self.previous_image
+            all_anns[replaced] = self.previous_annotations
+            for ann in all_anns[replaced]:
                 ann['track_id'] = ann.get('track_id', 0) + 10000
-            metas[replace_index] = self.previous_meta
+            metas[replaced] = self.previous_meta
 
-        not_replaced_index = 0 if replace_index != 0 else 1
-        self.previous_image = copy.deepcopy(images[not_replaced_index])
-        self.previous_annotations = copy.deepcopy(all_anns[not_replaced_index])
-        self.previous_meta = copy.deepcopy(metas[not_replaced_index])
+        keep = 1 if replaced == 0 else 0
+        self.previous_image = copy.deepcopy(images[keep])
+        self.previous_annotations = copy.deepcopy(all_anns[keep])
+        self.previous_meta = copy.deepcopy(metas[keep])
         return images, all_anns, metas

@@ -1,5 +1,7 @@
-"""Camera shift augmentation (reference ``transforms/pair/camera_shift.py``):
-shift the second frame to simulate camera motion."""
+"""Synthetic camera motion (semantics of reference
+``transforms/pair/camera_shift.py``): translate a frame by a random
+offset scaled by its ``group_i`` (frame 1 stays put, frame 2 moves),
+filling exposed pixels with gray."""
 
 import copy
 
@@ -17,17 +19,17 @@ class CameraShift(Preprocess):
         meta = copy.deepcopy(meta)
         anns = copy.deepcopy(anns)
 
-        xy_shift = (np.random.rand(2) - 0.5) * 2 * self.max_shift
-        xy_shift *= meta.get('group_i', 1.0)
+        shift = (np.random.rand(2) - 0.5) * 2 * self.max_shift
+        shift *= meta.get('group_i', 1.0)
 
-        affine_params = (1.0, 0.0, xy_shift[0], 0.0, 1.0, xy_shift[1])
-        image = image.transform(image.size, PIL.Image.Transform.AFFINE,
-                                affine_params, fillcolor=(127, 127, 127))
+        image = image.transform(
+            image.size, PIL.Image.Transform.AFFINE,
+            (1.0, 0.0, shift[0], 0.0, 1.0, shift[1]),
+            fillcolor=(127, 127, 127))
 
         for ann in anns:
-            ann['keypoints'][:, :2] += xy_shift
-            ann['bbox'][:2] += xy_shift
-
-        meta['offset'] += xy_shift
-        meta['valid_area'][:2] += xy_shift
+            ann['keypoints'][:, :2] += shift
+            ann['bbox'][:2] += shift
+        meta['offset'] += shift
+        meta['valid_area'][:2] += shift
         return image, anns, meta

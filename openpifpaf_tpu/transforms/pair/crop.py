@@ -1,13 +1,20 @@
-"""Pair-consistent random crop with camera-shift offset between frames
-(reference ``transforms/pair/crop.py``)."""
+"""Pair-consistent random crop (semantics of reference
+``transforms/pair/crop.py``).
+
+Both frames are cropped with *identical* random draws (the numpy RNG
+state is rewound between frames) so their windows coincide — except for a
+per-pair camera-shift offset that displaces frame 2's window to simulate
+camera motion. Geometry is shared with the single-image crop
+(:mod:`..geometry`).
+"""
 
 import copy
 import logging
 
 import numpy as np
 
+from .. import geometry
 from ..preprocess import Preprocess
-from ..crop import Crop as SingleImageCrop
 
 LOG = logging.getLogger(__name__)
 
@@ -18,85 +25,49 @@ class Crop(Preprocess):
         self.use_area_of_interest = use_area_of_interest
         self.max_shift = max_shift
 
+    def _shared_window(self, all_anns, metas):
+        """The (valid_area, interest_region) both frames crop against:
+        frame 2's annotations unless only frame 1 has any."""
+        if not self.use_area_of_interest:
+            valid_area = metas[0]['valid_area']
+            return valid_area, valid_area
+        source = 0 if (all_anns[0] and not all_anns[1]) else 1
+        valid_area = metas[source]['valid_area']
+        return valid_area, geometry.interest_region(all_anns[source],
+                                                    valid_area)
+
+    def _crop_frame(self, image, anns, valid_area, region, shift):
+        w, h = image.size
+        x0 = y0 = 0
+        if w > self.long_edge:
+            x0 = geometry.sample_crop_origin(
+                w - 1, (valid_area[0], valid_area[2]),
+                (region[0], region[2]), self.long_edge, shift=shift[0])
+        if h > self.long_edge:
+            y0 = geometry.sample_crop_origin(
+                h - 1, (valid_area[1], valid_area[3]),
+                (region[1], region[3]), self.long_edge, shift=shift[1])
+        return geometry.cut_window(image, anns, (x0, y0), self.long_edge)
+
     def __call__(self, images, all_anns, metas):
         metas = copy.deepcopy(metas)
         all_anns = copy.deepcopy(all_anns)
 
-        if self.use_area_of_interest:
-            if all_anns[0] and not all_anns[1]:
-                valid_area = metas[0]['valid_area']
-                area_of_interest = SingleImageCrop.area_of_interest(
-                    all_anns[0], valid_area)
-            else:
-                valid_area = metas[1]['valid_area']
-                area_of_interest = SingleImageCrop.area_of_interest(
-                    all_anns[1], valid_area)
-        else:
-            valid_area = metas[0]['valid_area']
-            area_of_interest = valid_area
-
-        new_images, new_anns, new_metas = [], [], []
+        valid_area, region = self._shared_window(all_anns, metas)
         cam_shift = (np.random.rand(2) - 0.5) * 2.0 * self.max_shift
+        shared_rng = np.random.get_state()
 
-        rng_state = np.random.get_state()
+        out = []
         for image, anns, meta in zip(images, all_anns, metas):
-            original_valid_area = meta['valid_area'].copy()
-            np.random.set_state(rng_state)
-            image, anns, ltrb = self.crop(
-                image, anns, valid_area, area_of_interest,
+            np.random.set_state(shared_rng)
+            image, ltrb = self._crop_frame(
+                image, anns, valid_area, region,
                 cam_shift * meta.get('group_i', 1.0))
+
             meta['offset'] += ltrb[:2]
+            geometry.shift_valid_area(meta['valid_area'], ltrb, image.size,
+                                      clamp_rb_to_origin=False)
+            anns = geometry.clip_bboxes(anns, meta['valid_area'])
+            out.append((image, anns, meta))
 
-            new_wh = image.size
-            meta['valid_area'][:2] = np.maximum(
-                0.0, original_valid_area[:2] - ltrb[:2])
-            new_rb_corner = (original_valid_area[:2]
-                             + original_valid_area[2:] - ltrb[:2])
-            new_rb_corner = np.maximum(0.0, new_rb_corner)
-            new_rb_corner = np.minimum(new_wh, new_rb_corner)
-            meta['valid_area'][2:] = new_rb_corner - meta['valid_area'][:2]
-
-            for ann in anns:
-                unclipped_bbox = ann['bbox'].copy()
-                ann['bbox'][:2] = np.maximum(meta['valid_area'][:2],
-                                             ann['bbox'][:2])
-                new_rb = unclipped_bbox[:2] + unclipped_bbox[2:]
-                new_rb = np.maximum(ann['bbox'][:2], new_rb)
-                new_rb = np.minimum(
-                    meta['valid_area'][:2] + meta['valid_area'][2:], new_rb)
-                ann['bbox'][2:] = new_rb - ann['bbox'][:2]
-            anns = [ann for ann in anns
-                    if ann['bbox'][2] > 0.0 and ann['bbox'][3] > 0.0]
-
-            new_images.append(image)
-            new_anns.append(anns)
-            new_metas.append(meta)
-
-        return new_images, new_anns, new_metas
-
-    def crop(self, image, anns, valid_area, area_of_interest, cam_shift):
-        w, h = image.size
-        x_offset, y_offset = 0, 0
-        if w > self.long_edge:
-            x_offset = SingleImageCrop.random_location_1d(
-                w - 1, valid_area[0], valid_area[2],
-                area_of_interest[0], area_of_interest[2],
-                self.long_edge, shift=cam_shift[0])
-        if h > self.long_edge:
-            y_offset = SingleImageCrop.random_location_1d(
-                h - 1, valid_area[1], valid_area[3],
-                area_of_interest[1], area_of_interest[3],
-                self.long_edge, shift=cam_shift[1])
-
-        new_w = min(self.long_edge, w - x_offset)
-        new_h = min(self.long_edge, h - y_offset)
-        ltrb = (x_offset, y_offset, x_offset + new_w, y_offset + new_h)
-        image = image.crop(ltrb)
-
-        for ann in anns:
-            ann['keypoints'][:, 0] -= x_offset
-            ann['keypoints'][:, 1] -= y_offset
-            ann['bbox'][0] -= x_offset
-            ann['bbox'][1] -= y_offset
-
-        return image, anns, np.array(ltrb)
+        return tuple(list(column) for column in zip(*out))

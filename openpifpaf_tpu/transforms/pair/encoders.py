@@ -1,4 +1,6 @@
-"""Pair Encoders transform (reference ``transforms/pair/encoders.py``)."""
+"""Terminal train-pipeline stage for pair groups (semantics of reference
+``transforms/pair/encoders.py``): pair encoders see the whole group and
+the sample collapses to frame 1's meta."""
 
 from ..preprocess import Preprocess
 
@@ -8,7 +10,9 @@ class Encoders(Preprocess):
         self.encoders = encoders
 
     def __call__(self, images, all_anns, metas):
-        targets = [enc(images, all_anns, metas) for enc in self.encoders]
-        meta = metas[0]
-        meta['head_indices'] = [enc.meta.head_index for enc in self.encoders]
-        return images, targets, meta
+        targets = [encode(images, all_anns, metas)
+                   for encode in self.encoders]
+        lead_meta = metas[0]
+        lead_meta['head_indices'] = [encode.meta.head_index
+                                     for encode in self.encoders]
+        return images, targets, lead_meta

@@ -1,5 +1,7 @@
-"""Synthesize a tracking pair from one still image
-(reference ``transforms/pair/image_to_tracking.py``)."""
+"""Duplicate a still image into a synthetic tracking pair (semantics of
+reference ``transforms/pair/image_to_tracking.py``): each annotation gets
+a track id shared by both frames; downstream pair augmentations then
+de-correlate the two frames."""
 
 import copy
 
@@ -8,16 +10,12 @@ from ..preprocess import Preprocess
 
 class ImageToTracking(Preprocess):
     def __call__(self, image, anns, meta):
-        anns0 = copy.deepcopy(anns)
-        anns1 = copy.deepcopy(anns)
-        meta0 = copy.deepcopy(meta)
-        meta1 = copy.deepcopy(meta)
-
-        meta0['group_i'] = 0
-        meta1['group_i'] = 1
-
-        for ann_i, (ann0, ann1) in enumerate(zip(anns0, anns1)):
-            ann0['track_id'] = ann_i
-            ann1['track_id'] = ann_i
-
-        return [image, image], [anns0, anns1], [meta0, meta1]
+        group = []
+        for group_i in range(2):
+            frame_anns = copy.deepcopy(anns)
+            for track_id, ann in enumerate(frame_anns):
+                ann['track_id'] = track_id
+            frame_meta = copy.deepcopy(meta)
+            frame_meta['group_i'] = group_i
+            group.append((image, frame_anns, frame_meta))
+        return tuple(list(column) for column in zip(*group))

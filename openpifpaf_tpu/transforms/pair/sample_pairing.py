@@ -1,9 +1,11 @@
 """SamplePairing augmentation for image groups.
 
-Reference ``transforms/pair/sample_pairing.py``: blend each image of the
-group 50/50 with the corresponding image of the *previous* sample and
-concatenate both samples' annotations (Inoue 2018, arXiv:1801.02929,
-adapted for pose estimation). Stateful across calls by design.
+Semantics of reference ``transforms/pair/sample_pairing.py``: each frame
+is alpha-blended 50/50 with the matching frame of the *previous* sample
+and that sample's annotations are appended (Inoue 2018, arXiv:1801.02929,
+adapted for pose estimation). The meta is left untouched: predictions map
+back through the current sample's geometry. Stateful across calls by
+design.
 """
 
 import copy
@@ -26,16 +28,11 @@ class SamplePairing(Preprocess):
         all_anns = copy.deepcopy(original_all_anns)
 
         if self.previous_images is not None:
-            images = [
-                PIL.Image.blend(current_image, previous_image, 0.5)
-                for current_image, previous_image
-                in zip(images, self.previous_images)
-            ]
-            for current_anns, previous_anns in zip(
-                    all_anns, self.previous_all_annotations):
-                current_anns += previous_anns
-            # meta untouched: predictions map back through the current
-            # sample's geometry
+            images = [PIL.Image.blend(now, then, 0.5)
+                      for now, then in zip(images, self.previous_images)]
+            for frame_anns, extra in zip(all_anns,
+                                         self.previous_all_annotations):
+                frame_anns += extra
 
         self.previous_images = original_images
         self.previous_all_annotations = original_all_anns

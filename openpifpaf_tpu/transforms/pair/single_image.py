@@ -1,8 +1,9 @@
-"""Apply single-image transforms consistently per frame
-(reference ``transforms/pair/single_image.py:9-45``).
+"""Frame-consistent application of single-image transforms (semantics of
+reference ``transforms/pair/single_image.py:9-45``).
 
-The reference forks the torch RNG per frame so that both frames see the
-same random draws; here the numpy RNG state is captured and restored.
+The reference forks the torch RNG per frame so that every frame sees the
+same random draws; here the numpy RNG state is captured once and rewound
+before each frame.
 """
 
 import numpy as np
@@ -15,20 +16,14 @@ class SingleImage(Preprocess):
         self.single_image_op = single_image_op
 
     def __call__(self, image_group, anns_group, meta_group):
-        out_images, out_anns, out_meta = [], [], []
+        np.random.rand()  # advance so successive samples differ
+        fork = np.random.get_state()
 
-        # advance the RNG so successive calls differ
-        np.random.rand()
-        fork_state = np.random.get_state()
-
-        for image, anns, meta in zip(image_group, anns_group, meta_group):
-            np.random.set_state(fork_state)
-            image, anns, meta = self.single_image_op(image, anns, meta)
-            out_images.append(image)
-            out_anns.append(anns)
-            out_meta.append(meta)
-
-        return out_images, out_anns, out_meta
+        out = []
+        for frame in zip(image_group, anns_group, meta_group):
+            np.random.set_state(fork)
+            out.append(self.single_image_op(*frame))
+        return tuple(list(column) for column in zip(*out))
 
 
 class Ungroup(Preprocess):

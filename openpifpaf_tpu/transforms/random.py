@@ -1,6 +1,5 @@
-"""Random application transforms (reference ``transforms/random.py``)."""
-
-import itertools
+"""Stochastic transform selection (semantics of reference
+``transforms/random.py``)."""
 
 import numpy as np
 
@@ -19,32 +18,35 @@ class RandomApply(Preprocess):
 
 
 class RandomChoice(Preprocess):
-    def __init__(self, transforms, probabilities):
-        if sum(probabilities) < 1.0 and len(transforms) == len(probabilities):
-            transforms = list(transforms) + [None]
-        self.transforms = transforms
+    """Pick one transform by the given probabilities; an implicit ``None``
+    (identity) entry absorbs any leftover probability mass."""
 
+    def __init__(self, transforms, probabilities):
+        transforms = list(transforms)
         probabilities = list(probabilities)
+        if sum(probabilities) < 1.0 and len(transforms) == len(probabilities):
+            transforms.append(None)
         if len(transforms) == len(probabilities) + 1:
             probabilities.append(1.0 - sum(probabilities))
-        assert abs(sum(probabilities) - 1.0) < 1e-6
         assert len(transforms) == len(probabilities)
-        self.probabilities = probabilities
+        assert abs(sum(probabilities) - 1.0) < 1e-6
+
+        self.transforms = transforms
+        self.cumulative = np.cumsum(probabilities)
 
     def __call__(self, image, anns, meta):
-        rnd = float(np.random.rand())
-        for t, p_cumulative in zip(self.transforms,
-                                   itertools.accumulate(self.probabilities)):
-            if rnd > p_cumulative:
-                continue
-            if t is None:
-                return image, anns, meta
-            return t(image, anns, meta)
-        return image, anns, meta
+        draw = float(np.random.rand())
+        index = int(np.searchsorted(self.cumulative, draw))
+        chosen = (self.transforms[index]
+                  if index < len(self.transforms) else None)
+        if chosen is None:
+            return image, anns, meta
+        return chosen(image, anns, meta)
 
 
 class DeterministicEqualChoice(Preprocess):
-    """Choose a transform deterministically from meta['image_id'] + salt."""
+    """Choose a transform deterministically from meta['image_id'] + salt
+    (stable across epochs; used for multi-scale eval)."""
 
     def __init__(self, transforms, salt=0):
         self.transforms = transforms
@@ -53,7 +55,7 @@ class DeterministicEqualChoice(Preprocess):
     def __call__(self, image, anns, meta):
         assert meta.get('image_id') is not None
         choice = hash(meta['image_id'] + self.salt) % len(self.transforms)
-        t = self.transforms[choice]
-        if t is None:
+        chosen = self.transforms[choice]
+        if chosen is None:
             return image, anns, meta
-        return t(image, anns, meta)
+        return chosen(image, anns, meta)

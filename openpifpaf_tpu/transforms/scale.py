@@ -1,4 +1,5 @@
-"""Rescaling transforms (reference ``transforms/scale.py:28-208``)."""
+"""Rescaling augmentations (semantics of reference
+``transforms/scale.py:28-208``)."""
 
 import copy
 import logging
@@ -14,38 +15,42 @@ if not hasattr(PIL.Image, 'Resampling'):  # Pillow<9
 LOG = logging.getLogger(__name__)
 
 
-def _scale(image, anns, meta, target_w, target_h, resample=None):
+def resize_to(image, anns, meta, target_wh, resample=None):
+    """Resize and propagate the coordinate change to annotations/meta.
+
+    Keypoint coordinates are pixel-center based, so the factor is
+    (n_new - 1) / (n_old - 1) per axis, not the raw size ratio.
+    """
     meta = copy.deepcopy(meta)
     anns = copy.deepcopy(anns)
     w, h = image.size
 
-    if resample is None:
-        resample = PIL.Image.Resampling.BILINEAR
-    image = image.resize((target_w, target_h), resample)
+    image = image.resize(target_wh,
+                         resample if resample is not None
+                         else PIL.Image.Resampling.BILINEAR)
+    factors = np.array(((image.size[0] - 1) / (w - 1),
+                        (image.size[1] - 1) / (h - 1)))
 
-    # keypoint coordinates are pixel-center based: scale by (n-1)/(N-1)
-    x_scale = (image.size[0] - 1) / (w - 1)
-    y_scale = (image.size[1] - 1) / (h - 1)
-    scale_factors = np.array((x_scale, y_scale))
     for ann in anns:
-        ann['keypoints'][:, [0, 1]] *= np.expand_dims(scale_factors, 0)
-        ann['bbox'][:2] *= scale_factors
-        ann['bbox'][2:] *= scale_factors
-
-    meta['offset'] *= scale_factors
-    meta['scale'] *= scale_factors
-    meta['valid_area'][:2] *= scale_factors
-    meta['valid_area'][2:] *= scale_factors
+        ann['keypoints'][:, :2] *= factors
+        ann['bbox'][:2] *= factors
+        ann['bbox'][2:] *= factors
+    for field in ('offset', 'scale'):
+        meta[field] = meta[field] * factors
+    meta['valid_area'][:2] *= factors
+    meta['valid_area'][2:] *= factors
 
     return image, anns, meta
 
 
 class RescaleRelative(Preprocess):
-    """Rescale by a (sampled) factor relative to the input size."""
+    """Rescale by a factor sampled relative to the input size (uniform or
+    log-uniform over ``scale_range``), optionally stretched anisotropically
+    and normalized to an absolute reference long edge first."""
 
     def __init__(self, scale_range=(0.5, 1.0), *, resample=None,
-                 absolute_reference=None, power_law=False, stretch_range=None,
-                 fast=False):
+                 absolute_reference=None, power_law=False,
+                 stretch_range=None, fast=False):
         self.scale_range = scale_range
         self.resample = resample
         self.absolute_reference = absolute_reference
@@ -53,38 +58,37 @@ class RescaleRelative(Preprocess):
         self.stretch_range = stretch_range
         self.fast = fast
 
+    def _sample_factor(self):
+        if not isinstance(self.scale_range, tuple):
+            return self.scale_range
+        if self.power_law:
+            exponent = np.random.uniform(np.log2(self.scale_range[0]),
+                                         np.log2(self.scale_range[1]))
+            return 2 ** exponent
+        return np.random.uniform(*self.scale_range)
+
     def __call__(self, image, anns, meta):
-        if isinstance(self.scale_range, tuple):
-            if self.power_law:
-                log2_range = (np.log2(self.scale_range[0]),
-                              np.log2(self.scale_range[1]))
-                log2_factor = np.random.uniform(*log2_range)
-                scale_factor = 2 ** log2_factor
-            else:
-                scale_factor = np.random.uniform(*self.scale_range)
-        else:
-            scale_factor = self.scale_range
+        factor = self._sample_factor()
 
         w, h = image.size
         if self.absolute_reference is not None:
-            if w > h:
-                h *= self.absolute_reference / w
+            long_edge = max(w, h)
+            w, h = (np.array((w, h), dtype=float)
+                    * (self.absolute_reference / long_edge))
+            if long_edge == image.size[0]:
                 w = self.absolute_reference
             else:
-                w *= self.absolute_reference / h
                 h = self.absolute_reference
 
-        stretch_factor = 1.0
-        if self.stretch_range is not None:
-            stretch_factor = np.random.uniform(*self.stretch_range)
-
-        target_w = int(w * scale_factor * stretch_factor)
-        target_h = int(h * scale_factor)
-        return _scale(image, anns, meta, target_w, target_h, self.resample)
+        stretch = (np.random.uniform(*self.stretch_range)
+                   if self.stretch_range is not None else 1.0)
+        return resize_to(image, anns, meta,
+                         (int(w * factor * stretch), int(h * factor)),
+                         self.resample)
 
 
 class RescaleAbsolute(Preprocess):
-    """Rescale so the long edge has the given length."""
+    """Rescale so the long edge has the given (or sampled) length."""
 
     def __init__(self, long_edge, *, fast=False, resample=None):
         self.long_edge = long_edge
@@ -92,23 +96,19 @@ class RescaleAbsolute(Preprocess):
         self.resample = resample
 
     def __call__(self, image, anns, meta):
+        edge = self.long_edge
+        if isinstance(edge, (tuple, list)):
+            edge = int(np.random.randint(int(edge[0]), int(edge[1])))
+
         w, h = image.size
-
-        this_long_edge = self.long_edge
-        if isinstance(this_long_edge, (tuple, list)):
-            this_long_edge = int(np.random.randint(
-                int(this_long_edge[0]), int(this_long_edge[1])))
-
-        s = this_long_edge / max(h, w)
-        if h > w:
-            target_w, target_h = int(w * s), int(this_long_edge)
-        else:
-            target_w, target_h = int(this_long_edge), int(h * s)
-        return _scale(image, anns, meta, target_w, target_h, self.resample)
+        ratio = edge / max(h, w)
+        target = ((int(w * ratio), int(edge)) if h > w
+                  else (int(edge), int(h * ratio)))
+        return resize_to(image, anns, meta, target, self.resample)
 
 
 class ScaleMix(Preprocess):
-    """Push all-small scenes up and all-large scenes down by 2x
+    """Push all-small scenes up and all-large scenes down
     (reference ``transforms/scale.py:176-208``)."""
 
     def __init__(self, scale_threshold, *, upscale_factor=2.0,
@@ -119,24 +119,22 @@ class ScaleMix(Preprocess):
         self.resample = resample
 
     def __call__(self, image, anns, meta):
-        scales = np.array([
+        instance_scales = np.array([
             np.sqrt(ann['bbox'][2] * ann['bbox'][3])
-            for ann in anns if (not ann.get('iscrowd', False)
-                                and np.any(ann['keypoints'][:, 2] > 0.0))
+            for ann in anns
+            if (not ann.get('iscrowd', False)
+                and np.any(ann['keypoints'][:, 2] > 0.0))
         ])
-        if not scales.shape[0]:
+        if not instance_scales.shape[0]:
             return image, anns, meta
 
-        all_above = np.all(scales > self.scale_threshold)
-        all_below = np.all(scales < self.scale_threshold)
-        if not all_above and not all_below:
+        if np.all(instance_scales > self.scale_threshold):
+            factor = self.downscale_factor
+        elif np.all(instance_scales < self.scale_threshold):
+            factor = self.upscale_factor
+        else:
             return image, anns, meta
 
         w, h = image.size
-        if all_above:
-            target_w, target_h = int(w * self.downscale_factor), \
-                int(h * self.downscale_factor)
-        else:
-            target_w, target_h = int(w * self.upscale_factor), \
-                int(h * self.upscale_factor)
-        return _scale(image, anns, meta, target_w, target_h, self.resample)
+        return resize_to(image, anns, meta,
+                         (int(w * factor), int(h * factor)), self.resample)

@@ -1,5 +1,7 @@
-"""Ground truth -> Annotation objects for eval (reference
-``transforms/toannotations.py:7-82``)."""
+"""Ground truth -> Annotation objects for eval pipelines (semantics of
+reference ``transforms/toannotations.py:7-82``). Each converter consumes
+the raw annotation dicts and emits typed annotation objects; crowd
+regions get their own converter so metrics can treat them as ignore."""
 
 import numpy as np
 
@@ -12,35 +14,31 @@ class ToAnnotations(Preprocess):
         self.converters = converters
 
     def __call__(self, image, anns, meta):
-        anns = [
-            ann
-            for converter in self.converters
-            for ann in converter(anns)
-        ]
-        return image, anns, meta
+        converted = []
+        for converter in self.converters:
+            converted.extend(converter(anns))
+        return image, converted, meta
 
 
 class ToKpAnnotations:
-    def __init__(self, categories, keypoints_by_category, skeleton_by_category):
+    def __init__(self, categories, keypoints_by_category,
+                 skeleton_by_category):
+        self.categories = categories
         self.keypoints_by_category = keypoints_by_category
         self.skeleton_by_category = skeleton_by_category
-        self.categories = categories
+
+    def _convert(self, ann):
+        cat = ann['category_id']
+        out = Annotation(self.keypoints_by_category[cat],
+                         self.skeleton_by_category[cat],
+                         categories=self.categories)
+        return out.set(ann['keypoints'], category_id=cat, fixed_score='',
+                       fixed_bbox=ann.get('bbox'))
 
     def __call__(self, anns):
-        return [
-            Annotation(
-                self.keypoints_by_category[ann['category_id']],
-                self.skeleton_by_category[ann['category_id']],
-                categories=self.categories,
-            ).set(
-                ann['keypoints'],
-                category_id=ann['category_id'],
-                fixed_score='',
-                fixed_bbox=ann.get('bbox'),
-            )
-            for ann in anns
-            if not ann['iscrowd'] and np.any(ann['keypoints'][:, 2] > 0.0)
-        ]
+        return [self._convert(ann) for ann in anns
+                if not ann['iscrowd']
+                and np.any(ann['keypoints'][:, 2] > 0.0)]
 
 
 class ToDetAnnotations:
@@ -48,12 +46,13 @@ class ToDetAnnotations:
         self.categories = categories
 
     def __call__(self, anns):
-        return [
-            AnnotationDet(categories=self.categories).set(
-                ann['category_id'], None, ann['bbox'])
-            for ann in anns
-            if not ann['iscrowd'] and np.any(ann['bbox'])
-        ]
+        out = []
+        for ann in anns:
+            if ann['iscrowd'] or not np.any(ann['bbox']):
+                continue
+            det = AnnotationDet(categories=self.categories)
+            out.append(det.set(ann['category_id'], None, ann['bbox']))
+        return out
 
 
 class ToCrowdAnnotations:
@@ -61,9 +60,10 @@ class ToCrowdAnnotations:
         self.categories = categories
 
     def __call__(self, anns):
-        return [
-            AnnotationCrowd(categories=self.categories).set(
-                ann.get('category_id', 1), ann['bbox'])
-            for ann in anns
-            if ann['iscrowd']
-        ]
+        out = []
+        for ann in anns:
+            if not ann['iscrowd']:
+                continue
+            crowd = AnnotationCrowd(categories=self.categories)
+            out.append(crowd.set(ann.get('category_id', 1), ann['bbox']))
+        return out

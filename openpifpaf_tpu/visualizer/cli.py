@@ -1,15 +1,17 @@
-"""Visualizer CLI (reference ``visualizer/cli.py``)."""
+"""Visualizer flag wiring (flag surface of reference
+``visualizer/cli.py``)."""
 
 from .base import Base
 
+_INDICES_HELP = (
+    'which fields to render debug plots for, as headname:fieldindex '
+    '(e.g. cif:5) with an optional visualization type suffix '
+    '(e.g. cif:5:confidence)')
+
 
 def cli(parser):
-    group = parser.add_argument_group('visualizer')
-    group.add_argument('--debug-indices', default=[], nargs='+',
-                       help='Indices of fields to create debug plots for '
-                            'of the form headname:fieldindex, e.g. cif:5. '
-                            'Optionally specify the visualization type, '
-                            'e.g. cif:5:confidence.')
+    parser.add_argument_group('visualizer').add_argument(
+        '--debug-indices', default=[], nargs='+', help=_INDICES_HELP)
 
 
 def configure(args):

@@ -17,9 +17,14 @@ from openpifpaf_tpu.models import block_pallas as bp
 from openpifpaf_tpu.models.fused_inference import (FoldedBlock, FoldedConv,
                                                    fold_shufflenet)
 
-# this CPU build's default matmul precision is bf16-class; the kernel
-# asks for f32 accumulation, so the XLA reference must too
-jax.config.update('jax_default_matmul_precision', 'float32')
+
+@pytest.fixture(autouse=True)
+def _f32_matmuls():
+    # this CPU build's default matmul precision is bf16-class; the kernel
+    # asks for f32 accumulation, so the XLA reference must too. Scoped so
+    # the setting cannot leak into other test modules.
+    with jax.default_matmul_precision('float32'):
+        yield
 
 
 def _mk_block(rng, cb, k=5, dilation=1, leaky=False):

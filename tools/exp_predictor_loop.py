@@ -1,0 +1,64 @@
+"""Measure the real Predictor serving loop (JPEG -> poses) wall-clock,
+with and without host/device prefetch overlap.
+
+Writes synthetic JPEGs, runs Predictor.images() over them at 641px, and
+reports img/s for prefetch_depth 0 (sequential) vs 2 (overlapped).
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+import PIL.Image
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                '..'))
+
+
+def main():
+    from openpifpaf_tpu import compile_cache
+    compile_cache.enable(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), '..', '.bench_cache'))
+    from openpifpaf_tpu.predictor import Predictor
+
+    n_images = 64
+    rng = np.random.RandomState(0)
+    tmpdir = tempfile.mkdtemp(prefix='predloop_')
+    paths = []
+    for i in range(n_images):
+        arr = rng.randint(0, 255, size=(480, 640, 3), dtype=np.uint8)
+        p = os.path.join(tmpdir, f'{i:03d}.jpg')
+        PIL.Image.fromarray(arr).save(p, quality=90)
+        paths.append(p)
+
+    Predictor.long_edge = 641
+    Predictor.batch_size = int(os.environ.get('PRED_BATCH', '1'))
+    predictor = Predictor()  # random cocokp weights
+
+    for depth in (0, 2):
+        predictor.prefetch_depth = depth
+        # warm up compile + caches
+        for _ in predictor.images(paths[:2]):
+            pass
+        t0 = time.perf_counter()
+        n = 0
+        for _pred, _gt, _meta in predictor.images(paths):
+            n += 1
+        dt = time.perf_counter() - t0
+        print(json.dumps({
+            'prefetch_depth': depth,
+            'batch_size': predictor.batch_size,
+            'img_per_sec': round(n / dt, 1),
+            'wall_s': round(dt, 2),
+            'nn_s': round(predictor.total_nn_time, 2),
+            'decode_s': round(predictor.total_decoder_time, 2),
+        }), flush=True)
+        predictor.total_nn_time = 0.0
+        predictor.total_decoder_time = 0.0
+
+
+if __name__ == '__main__':
+    main()
