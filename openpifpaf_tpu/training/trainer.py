@@ -140,7 +140,7 @@ def _mean_head_losses(sums, counts):
 def build_train_step(model, loss_fn, optimizer, schedule, *,
                      clip_grad_norm=0.0, clip_grad_value=0.0, ema_decay=0.01,
                      cross_talk=0.0, stride_apply=1, fix_bn=False,
-                     bf16=False, task_sparsity_weight=0.0,
+                     bf16=False, task_sparsity_weight=0.0, remat=False,
                      mesh: Optional[Mesh] = None):
     """Returns jitted fn(state, images, targets) -> (state, loss, head_losses).
 
@@ -191,9 +191,18 @@ def build_train_step(model, loss_fn, optimizer, schedule, *,
             return total, (head_losses, new_batch_stats,
                            new_loss_state)
 
+        if remat:
+            # coarse rematerialization: store only the loss inputs and
+            # recompute the forward during backward, trading ~1 forward
+            # of FLOPs for O(activations) of HBM -- fits larger
+            # crops/batches (--remat)
+            loss_for_grad = jax.checkpoint(compute_loss)
+        else:
+            loss_for_grad = compute_loss
+
         opt_params = {'model': state.params, 'loss': state.loss_params}
         (total, (head_losses, new_batch_stats, new_loss_state)), grads = \
-            jax.value_and_grad(compute_loss, has_aux=True)(opt_params)
+            jax.value_and_grad(loss_for_grad, has_aux=True)(opt_params)
 
         if stride_apply > 1:
             grads = jax.tree_util.tree_map(
@@ -301,6 +310,7 @@ class Trainer:
     val_interval = 1
     ema_decay = 0.01
     stride_apply = 1
+    remat = False
     fix_batch_norm = False  # False | True | epoch number
     bf16 = False
     n_train_batches = None
@@ -360,6 +370,7 @@ class Trainer:
             bf16=self.bf16 and hasattr(self.model, 'base_net'),
             task_sparsity_weight=getattr(self.loss_fn,
                                          'task_sparsity_weight', 0.0),
+            remat=self.remat,
             mesh=self.mesh)
         self.val_step = build_val_step(
             self.model, self.loss_fn, fix_bn=fix_bn, mesh=self.mesh)
@@ -383,6 +394,10 @@ class Trainer:
         group.add_argument('--stride-apply', default=cls.stride_apply,
                            type=int,
                            help='apply and reset gradients every n batches')
+        group.add_argument('--remat', default=cls.remat, action='store_true',
+                           help='rematerialize the forward during backward '
+                                '(less activation memory, ~1 extra forward '
+                                'of compute; fits larger crops/batches)')
         group.add_argument('--fix-batch-norm',
                            default=False, const=True, type=int, nargs='?',
                            help='fix batch norm running statistics '
@@ -404,6 +419,7 @@ class Trainer:
         cls.ema_decay = args.ema
         cls.cross_talk = args.cross_talk
         cls.stride_apply = args.stride_apply
+        cls.remat = args.remat
         cls.fix_batch_norm = args.fix_batch_norm
         cls.bf16 = args.bf16
 

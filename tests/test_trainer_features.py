@@ -232,6 +232,41 @@ def test_bf16_train_step():
     assert cos > 0.9
 
 
+def test_remat_train_step_matches_plain():
+    """--remat recomputes the forward during backward; the step result
+    must be identical to the plain step (same math, less memory)."""
+    model = TinyModel(use_bn=True)
+    loss_fn = SquareLoss()
+    optimizer = optax.sgd(0.1)
+    schedule = lambda step: 0.1  # noqa: E731
+
+    rng = np.random.RandomState(7)
+    images = jnp.asarray(rng.randn(4, 3).astype(np.float32))
+    targets = (jnp.asarray(rng.randn(4, 4).astype(np.float32)),)
+
+    _, state_a = make_state(model, images, optimizer=optimizer,
+                            loss_fn=loss_fn)
+    _, state_b = make_state(model, images, optimizer=optimizer,
+                            loss_fn=loss_fn)
+
+    step_plain = build_train_step(model, loss_fn, optimizer, schedule)
+    step_remat = build_train_step(model, loss_fn, optimizer, schedule,
+                                  remat=True)
+
+    state_a, loss_a, _ = step_plain(state_a, images, targets)
+    state_b, loss_b, _ = step_remat(state_b, images, targets)
+
+    np.testing.assert_allclose(float(loss_a), float(loss_b), rtol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7),
+        state_a.params, state_b.params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7),
+        state_a.batch_stats, state_b.batch_stats)
+
+
 def test_trainer_cli_flags():
     import argparse
     from openpifpaf_tpu.training.trainer import Trainer
@@ -245,6 +280,9 @@ def test_trainer_cli_flags():
     assert args2.fix_batch_norm is True
     args3 = parser.parse_args([])
     assert args3.fix_batch_norm is False
+    assert args3.remat is False
+    args4 = parser.parse_args(['--remat'])
+    assert args4.remat is True
 
 
 def test_cf4_dropout_train_step():
