@@ -453,10 +453,23 @@ def main():
         dec32_time = time_op(
             lambda s: _tree_scalar(decoder(cif32 + s * 1e-12, caf32)),
             n_lo=2, n_hi=6)
+
+        # what the Predictor actually runs at batch 32: the NN chunked
+        # through lax.map sub-batches of 8 (recovers part of the
+        # large-batch working-set regression, docs/perf.md)
+        def chunked32(v, im, chunk=8):
+            stacked = im.reshape(batch32 // chunk, chunk, *im.shape[1:])
+            return jax.lax.map(
+                lambda x: model.apply(v, x, train=False), stacked)
+        nn32_chunked_time = time_op(
+            lambda s: _tree_scalar(chunked32(variables,
+                                             images32 + s * 1e-12)),
+            n_lo=2, n_hi=6)
         _emit('batch32', {
             'batch32_img_per_sec': round(
-                batch32 / (nn32_time + dec32_time), 1),
+                batch32 / (nn32_chunked_time + dec32_time), 1),
             'batch32_nn_ms': round(nn32_time * 1e3, 3),
+            'batch32_nn_chunked_ms': round(nn32_chunked_time * 1e3, 3),
             'batch32_decode_ms': round(dec32_time * 1e3, 3)})
 
     # 133-keypoint wholebody decode (the reference's largest field
