@@ -40,7 +40,7 @@ import numpy as np
 GTX1080TI_IMG_PER_SEC = 25.0  # published: shufflenetv2k16, GTX1080Ti, 641px
 
 _T0 = time.monotonic()
-_BUDGET_S = float(os.environ.get('BENCH_BUDGET_S', '900'))
+_BUDGET_S = float(os.environ.get('BENCH_BUDGET_S', '420'))
 
 
 def _remaining():

@@ -190,8 +190,10 @@ class CifCaf(Decoder):
         import dataclasses
         cfg = self.config.crowd()
         if self.n_poses_crowd:
-            cfg = dataclasses.replace(
-                cfg, n_poses=max(cfg.n_poses, self.n_poses_crowd))
+            # explicit --decoder-crowd-poses overrides the auto-scaled
+            # growth-lane budget (lanes cost NMS closure work; the user
+            # knows their scene density better than the 48x heuristic)
+            cfg = dataclasses.replace(cfg, n_poses=self.n_poses_crowd)
         return cfg
 
     def _decoder(self, stride, with_initial=False, crowd=False):

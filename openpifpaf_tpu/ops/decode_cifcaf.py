@@ -77,6 +77,23 @@ class CifCafDecoderConfig:
     #: activates ~16 cells per plane
     n_caf_candidates: int = 256
     seed_nms: bool = True
+    #: batches larger than ``batch_chunk_threshold`` run as ``lax.map``
+    #: over sub-batches of ``batch_chunk`` inside the one jitted graph:
+    #: the vmapped top-k/NMS working sets regress past ~8 images
+    #: (docs/perf.md). 0 disables chunking.
+    batch_chunk: int = 8
+    batch_chunk_threshold: int = 16
+    #: opt-in: compact each keypoint confidence blob to its 3x3 local
+    #: maximum before the n_seeds top-k, so one person's blobs (~16
+    #: cells x 17 joints) cannot consume the whole static budget in
+    #: contested scenes. Exact ONLY for encoder-consistent fields where
+    #: all cells of one blob regress to the same target; for arbitrary
+    #: NN fields the reference seeds every above-threshold cell
+    #: (cif_seeds.cpp:33-114), so this stays off by default — budget
+    #: starvation is instead detected exactly (uncovered truncated
+    #: candidates raise the overflow flag) and handled by crowd-tier
+    #: escalation.
+    seed_blob_compact: bool = False
     #: 'auto' (-> 'lazy'), 'lazy' (splat cells evaluated at query points,
     #: no map materialization), 'pallas' (materialized map via the TPU
     #: kernel) or 'dense' (materialized via jnp)
@@ -97,13 +114,16 @@ class CifCafDecoderConfig:
     def crowd(self, scale: int = 16) -> 'CifCafDecoderConfig':
         """The crowd-tier variant: budgets scaled to cover 40+ people
         (~25 CifHr cells, ~17 seeds and ~16 CAF cells per person per
-        plane)."""
+        plane). Growth lanes (``n_poses``) scale too — every accepted
+        seed of every person needs a lane (up to ~17 per person; the
+        grower chunk-skips empty lanes, so unused lanes are cheap)."""
         return dataclasses.replace(
             self,
             n_hr_cells=max(self.n_hr_cells, 64 * scale),
             n_seeds=max(self.n_seeds, 256 * scale),
             n_caf_candidates=max(self.n_caf_candidates, 64 * scale)
             if self.n_caf_candidates else 0,
+            n_poses=max(self.n_poses, 48 * scale),
             force_complete_dense=True,
             cifhr_exact_tiles=True)
 
@@ -161,14 +181,15 @@ def decode_cifcaf_single(cif, caf, initial_poses=None, *, stride, skeleton,
             exact_tiles=cfg.cifhr_exact_tiles,
             return_overflow=True)
 
-    seeds, seed_overflow = seeds_mod.cif_seeds(
+    seeds, seed_cand = seeds_mod.cif_seeds(
         cif, hr, stride,
         threshold=cfg.seed_threshold,
         n_seeds=cfg.n_seeds,
         rescore=cfg.seed_rescore,
         nms=cfg.seed_ablation_nms,
+        blob_compact=cfg.seed_blob_compact,
         hr_cells=hr_cells, hr_shape=hr_shape,
-        return_overflow=True)
+        return_candidates=True)
 
     caf_cands, caf_overflow = caf_scored_mod.caf_scored(
         caf, hr, stride, skeleton,
@@ -178,7 +199,7 @@ def decode_cifcaf_single(cif, caf, initial_poses=None, *, stride, skeleton,
         n_candidates=cfg.n_caf_candidates,
         hr_cells=hr_cells, hr_shape=hr_shape,
         return_overflow=True)
-    overflow = hr_overflow | caf_overflow | seed_overflow
+    overflow = hr_overflow | caf_overflow
 
     grow_kwargs = dict(
         only_max=cfg.connection_method == 'max',
@@ -206,6 +227,8 @@ def decode_cifcaf_single(cif, caf, initial_poses=None, *, stride, skeleton,
             occupancy_reduction=cfg.occupancy_reduction,
             occupancy_min_scale=cfg.occupancy_min_scale)
 
+    seeds_all = seeds
+    n_all = seeds_all['v'].shape[0]
     if cfg.seed_nms:
         keep_idx, keep_valid = seeds_mod.seed_nms(
             seeds, graph.n_keypoints, hr_shape,
@@ -213,9 +236,11 @@ def decode_cifcaf_single(cif, caf, initial_poses=None, *, stride, skeleton,
             reduction=cfg.occupancy_reduction,
             min_scale=cfg.occupancy_min_scale,
             occ0=seed_occ0)
+        lane_granted = jnp.zeros((n_all,), bool).at[keep_idx].set(keep_valid)
         seeds = {k: v[keep_idx] for k, v in seeds.items()}
         seeds['v'] = jnp.where(keep_valid, seeds['v'], 0.0)
     else:
+        lane_granted = jnp.arange(n_all) < cfg.n_poses
         seeds = {k: v[:cfg.n_poses] for k, v in seeds.items()}
 
     poses = grow_mod.grow_poses(caf_cands, graph, seeds, **grow_kwargs)
@@ -227,6 +252,29 @@ def decode_cifcaf_single(cif, caf, initial_poses=None, *, stride, skeleton,
         if record:
             commit_edge = jnp.concatenate([initial_ce, commit_edge], axis=0)
             commit_step = jnp.concatenate([initial_cs, commit_step], axis=0)
+
+    # Exactness certificate for the seed budgets (cifcaf.cpp:206-211
+    # semantics, post hoc): every above-threshold seed candidate either
+    # received a growth lane or must be covered by the occupancy of a
+    # grown pose — exactly the cells the reference's seed gate would
+    # have skipped. An uncovered truncated candidate (dropped at the
+    # n_seeds top-k, suppressed by seed NMS without its suppressor's
+    # pose covering it, or beyond the n_poses lanes) could be a missed
+    # pose, so it raises the overflow flag and the caller escalates to
+    # the crowd tier. Occupancy is taken from the grown poses BEFORE
+    # force-complete/NMS, matching when the reference marks it.
+    grown_occ = seeds_mod.occupancy_grid(
+        poses, hr_shape,
+        reduction=cfg.occupancy_reduction,
+        min_scale=cfg.occupancy_min_scale)
+    overflow = overflow | seeds_mod.uncovered_any(
+        seed_cand['f'], seed_cand['x'], seed_cand['y'],
+        seed_cand['dropped'], grown_occ,
+        reduction=cfg.occupancy_reduction)
+    overflow = overflow | seeds_mod.uncovered_any(
+        seeds_all['f'], seeds_all['x'], seeds_all['y'],
+        (seeds_all['v'] > 0.0) & ~lane_granted, grown_occ,
+        reduction=cfg.occupancy_reduction)
 
     if cfg.force_complete:
         if cfg.nms_before_force_complete:
@@ -322,19 +370,31 @@ def build_cifcaf_decoder(*, stride: int, skeleton,
     # batch 1 (the predict/video path) skips the vmap: under vmap every
     # lax.cond in the pipeline degrades to a select that computes both
     # branches, which defeats the empty-lane-chunk skipping in grow
+    def batched(*arrays):
+        b = arrays[0].shape[0]
+        if b == 1:
+            parts = single(*(a[0] for a in arrays))
+            return tuple(p[None] for p in parts)
+        chunk = config.batch_chunk
+        if chunk and b > config.batch_chunk_threshold and b % chunk == 0:
+            # large batches regress: the vmapped top-k/NMS working sets
+            # grow past their tiling sweet spot (docs/perf.md batch-32
+            # fix). Run the batch as lax.map over sub-batches of the
+            # measured saturation size, inside this same jitted graph —
+            # no host round-trips, one compile.
+            shaped = tuple(a.reshape(b // chunk, chunk, *a.shape[1:])
+                           for a in arrays)
+            parts = jax.lax.map(lambda xs: jax.vmap(single)(*xs), shaped)
+            return tuple(p.reshape(b, *p.shape[2:]) for p in parts)
+        return jax.vmap(single)(*arrays)
+
     if with_initial_annotations:
         @jax.jit
         def decode(cif, caf, initial_poses):
-            if cif.shape[0] == 1:
-                parts = single(cif[0], caf[0], initial_poses[0])
-                return out(tuple(p[None] for p in parts))
-            return out(jax.vmap(single)(cif, caf, initial_poses))
+            return out(batched(cif, caf, initial_poses))
     else:
         @jax.jit
         def decode(cif, caf):
-            if cif.shape[0] == 1:
-                parts = single(cif[0], caf[0])
-                return out(tuple(p[None] for p in parts))
-            return out(jax.vmap(single)(cif, caf))
+            return out(batched(cif, caf))
 
     return decode

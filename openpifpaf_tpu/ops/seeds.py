@@ -3,7 +3,14 @@
 Reference: ``csrc/src/cif_seeds.cpp:33-114``. Cells with confidence >=
 threshold are rescored ``c' = 0.9 * cifhr(x, y) + 0.1 * c`` and sorted
 descending. Here the scan + sort becomes a masked global top-k with a
-static seed budget.
+static seed budget — plus an *exactness certificate*: the reference
+keeps an unbounded seed list and skips seeds whose cell is occupied by
+an already-grown pose (``cifcaf.cpp:206-211``); under a static budget,
+a truncated candidate can only have lost a pose if no grown pose covers
+its cell. :func:`occupancy_grid` / :func:`uncovered_any` turn that gate
+into a post-hoc check, and the decoder escalates to a crowd-tier budget
+whenever it fails, so truncation is always either provably harmless or
+retried exactly.
 """
 
 import jax
@@ -13,9 +20,9 @@ from .cifhr import cifhr_lookup, eval_cells
 
 
 def cif_seeds(cif, hr, stride, *, threshold=0.2, n_seeds=256,
-              rescore=True, seed_mask=None, nms=False,
+              rescore=True, seed_mask=None, nms=False, blob_compact=False,
               hr_cells=None, hr_shape=None,
-              return_overflow=False):
+              return_candidates=False):
     """Extract top-``n_seeds`` seeds.
 
     cif: (F, 5, H, W); hr: (F, HS, WS) materialized CifHr, or None with
@@ -25,10 +32,27 @@ def cif_seeds(cif, hr, stride, *, threshold=0.2, n_seeds=256,
     Returns dict of arrays, all length ``n_seeds``, sorted by v descending:
       f (int32), v, x, y, s (hi-res pixels). Invalid seeds have v == 0.
 
-    With ``return_overflow`` also returns a bool scalar: True when more
-    than ``4 * n_seeds`` cells passed the threshold, i.e. the pre-rescore
-    compaction may have dropped a candidate and the caller should
-    escalate to a crowd-tier budget.
+    ``blob_compact`` keeps only cells that are 3x3 local maxima of their
+    confidence plane before the budgeted top-k — an opt-in budget
+    compaction for encoder-consistent fields (where all cells of one
+    blob regress to the same target, so a blob's peak represents it
+    exactly). It is NOT exact for arbitrary NN fields: neighboring
+    cells can regress to different targets, and the reference grows a
+    seed from every above-threshold cell (``cif_seeds.cpp:33-114``).
+    Confidence-plateau ties are broken exactly (one survivor per
+    plateau). Same pooling as the ``nms`` ablation, applied as a budget
+    compaction rather than a scoring change.
+
+    With ``return_candidates``, also returns ``cand``: a dict of dense
+    (F * H * W,) arrays ``f``/``x``/``y`` plus bool ``dropped`` marking
+    every candidate cell that could be a seed but was truncated by a
+    static budget — either at the ``n_seeds`` top-k (exact rescored
+    threshold) or already at the ``4 * n_seeds`` pre-rescore compaction
+    (conservatively by raw threshold: those cells were never rescored).
+    The decoder checks them against the grown poses' occupancy
+    (:func:`uncovered_any`): a *covered* dropped candidate is one the
+    reference's seed gate would have skipped anyway, so only an
+    uncovered one forces escalation to a crowd-tier budget.
     """
     n_fields, _, h, w = cif.shape
     hw = h * w
@@ -41,36 +65,51 @@ def cif_seeds(cif, hr, stride, *, threshold=0.2, n_seeds=256,
     mask = c >= threshold
     if seed_mask is not None:
         mask = mask & jnp.asarray(seed_mask, dtype=bool)[:, None]
-    if nms:
-        # --ablation-cifseeds-nms: keep only cells that are 3x3 local
-        # maxima of the confidence plane (cif_seeds.cpp:36-51)
+    if nms or blob_compact:
+        # --ablation-cifseeds-nms / blob_compact: keep only cells that
+        # are 3x3 local maxima of the confidence plane
+        # (cif_seeds.cpp:36-51)
         pooled = jax.lax.reduce_window(
             cif[:, 1], -jnp.inf, jax.lax.max,
             window_dimensions=(1, 3, 3), window_strides=(1, 1, 1),
             padding='SAME')
-        mask = mask & (cif[:, 1] >= pooled).reshape(n_fields, hw)
+        peak = cif[:, 1] >= pooled
+        if blob_compact and not nms:
+            # Confidence plateaus (e.g. the encoder's constant-1.0 core
+            # cells) make every plateau cell a ``>=`` peak, defeating the
+            # compaction. Break ties exactly: two peaks within one 3x3
+            # window necessarily have equal confidence (each bounds the
+            # other), so "keep only the largest-linear-index peak in the
+            # window" retains exactly one representative per plateau.
+            idx2d = jnp.broadcast_to(
+                jnp.arange(hw, dtype=jnp.int32).reshape(1, h, w),
+                (n_fields, h, w))
+            pooled_idx = jax.lax.reduce_window(
+                jnp.where(peak, idx2d, -1), jnp.int32(-1), jax.lax.max,
+                window_dimensions=(1, 3, 3), window_strides=(1, 1, 1),
+                padding='SAME')
+            peak = peak & (idx2d >= pooled_idx)
+        mask = mask & peak.reshape(n_fields, hw)
 
     f_idx = jnp.broadcast_to(
         jnp.arange(n_fields, dtype=jnp.int32)[:, None], (n_fields, hw))
     c, x, y, s, f_idx = (a.reshape(-1) for a in (c, x, y, s, f_idx))
     mask = mask.reshape(-1)
 
-    overflow = jnp.array(False)
+    # compact the above-threshold cells to 4 * n_seeds BEFORE the CifHr
+    # point gather: the rescore ``0.9 * hr + 0.1 * c`` only applies to
+    # cells already >= threshold, so gathering hr for the full plane
+    # (F * H * W points, the dominant cost of this stage on TPU) is
+    # wasted on cells that can never become seeds. Cells beyond the
+    # compaction width are the lowest-c cells; they join the dropped-
+    # candidate set below (conservatively, by raw threshold) so the
+    # decoder's occupancy check still certifies the result.
+    mask_full = mask
+    x_full, y_full, f_full = x, y, f_idx
+    m = min(4 * n_seeds, c.shape[0])
+    pre_v, pre_i = jax.lax.top_k(jnp.where(mask, c, -jnp.inf), m)
+    x, y, s, f_idx = (a[pre_i] for a in (x, y, s, f_idx))
     if rescore:
-        # compact the above-threshold cells to 4 * n_seeds BEFORE the
-        # CifHr point gather: the rescore ``0.9 * hr + 0.1 * c`` only
-        # applies to cells already >= threshold, so gathering hr for the
-        # full plane (F * H * W points, the dominant cost of this stage on
-        # TPU) is wasted on cells that can never become seeds. Exact
-        # whenever at most 4 * n_seeds cells pass the threshold (dropped
-        # cells are the lowest-c cells; they could only outrank a kept one
-        # via a higher CifHr value at a *different* joint location, which
-        # requires ~4 * n_seeds active cells = far beyond the scene the
-        # fast-tier budgets are sized for); truncation raises overflow.
-        m = min(4 * n_seeds, c.shape[0])
-        overflow = jnp.sum(mask) > m
-        pre_v, pre_i = jax.lax.top_k(jnp.where(mask, c, -jnp.inf), m)
-        x, y, s, f_idx = (a[pre_i] for a in (x, y, s, f_idx))
         if hr_cells is not None:
             # lazy CifHr: pull each query's field-row of splat cells
             # (contiguous-K row gather) and evaluate in place
@@ -81,11 +120,10 @@ def cif_seeds(cif, hr, stride, *, threshold=0.2, n_seeds=256,
         else:
             hr_val = cifhr_lookup(hr, f_idx, x, y, default=-1.0)
         v = 0.9 * hr_val + 0.1 * pre_v
-        mask = jnp.isfinite(pre_v)
     else:
-        v = c
+        v = pre_v
 
-    mask = mask & (v >= threshold)
+    mask = jnp.isfinite(pre_v) & (v >= threshold)
     scored = jnp.where(mask, v, -jnp.inf)
     k = min(n_seeds, scored.shape[0])
     top_v, top_i = jax.lax.top_k(scored, k)
@@ -98,8 +136,19 @@ def cif_seeds(cif, hr, stride, *, threshold=0.2, n_seeds=256,
         'y': jnp.where(valid, y[top_i], 0.0),
         's': jnp.where(valid, s[top_i], 0.0),
     }
-    if return_overflow:
-        return out, overflow
+    if return_candidates:
+        n_full = mask_full.shape[0]
+        # rescored candidates (the m compacted cells) dropped by the
+        # n_seeds top-k, scattered back to the dense axis ...
+        sel_m = jnp.zeros((m,), bool).at[top_i].set(True)
+        dropped = jnp.zeros((n_full,), bool).at[pre_i].set(mask & ~sel_m)
+        # ... plus cells the compaction itself truncated (never rescored;
+        # counted conservatively by their raw threshold)
+        in_m = jnp.zeros((n_full,), bool).at[pre_i].set(
+            jnp.isfinite(pre_v))
+        dropped = dropped | (mask_full & ~in_m)
+        cand = {'f': f_full, 'x': x_full, 'y': y_full, 'dropped': dropped}
+        return out, cand
     return out
 
 
@@ -112,7 +161,10 @@ def seed_nms(seeds, n_fields, hr_shape, *, n_keep, reduction=2.0,
     same joint are suppressed before growth so that the parallel grower only
     expands a compact, high-value seed set. Poses that would additionally be
     suppressed by the reference's cross-joint occupancy are instead removed by
-    the final keypoint NMS.
+    the final keypoint NMS — and any seed that neither received a growth
+    lane nor ends up covered by a grown pose raises the decoder's
+    overflow flag (see :func:`uncovered_any`), so this compaction can
+    never silently lose a pose.
 
     The greedy scan only ever *point*-queries the occupancy grid, so it is
     equivalent to a pairwise relation: seed j is rejected iff an accepted
@@ -172,3 +224,57 @@ def seed_nms(seeds, n_fields, hr_shape, *, n_keep, reduction=2.0,
     _, keep_idx = jax.lax.top_k(order_score, min(n_keep, n))
     keep_valid = accepted[keep_idx] & (seeds['v'][keep_idx] > 0.0)
     return keep_idx, keep_valid
+
+
+def occupancy_grid(poses, hr_shape, *, reduction=2.0, min_scale=4.0):
+    """Occupancy grid (n_kp, gh, gw) marked by every joint (v > 0) of
+    every pose, with ``Occupancy::set`` window semantics
+    (``occupancy.cpp``: ``[x - sigma, x + sigma)`` clamped, sigma =
+    max(min_scale, s), all in the reduced grid).
+
+    Built as a summed-area table — a +-1 scatter at the four corners of
+    each window followed by a 2-D inclusive cumsum — which is
+    O(K * n_kp + grid) instead of the O(K * grid) per-pose scan of
+    :func:`nms.mark_occupancy`, so it stays cheap at crowd-tier pose
+    budgets.
+    """
+    k, n_kp, _ = poses.shape
+    hs, ws = hr_shape
+    gh = int(hs / reduction) + 1
+    gw = int(ws / reduction) + 1
+
+    v = poses[:, :, 0]
+    x = poses[:, :, 1] / reduction
+    y = poses[:, :, 2] / reduction
+    sigma = jnp.maximum(min_scale / reduction, poses[:, :, 3] / reduction)
+    minx = jnp.clip(jnp.floor(x - sigma), 0, gw - 1).astype(jnp.int32)
+    maxx = jnp.clip(jnp.floor(x + sigma), minx + 1, gw).astype(jnp.int32)
+    miny = jnp.clip(jnp.floor(y - sigma), 0, gh - 1).astype(jnp.int32)
+    maxy = jnp.clip(jnp.floor(y + sigma), miny + 1, gh).astype(jnp.int32)
+
+    val = (v > 0.0).astype(jnp.int32)
+    f = jnp.broadcast_to(jnp.arange(n_kp, dtype=jnp.int32)[None, :],
+                         (k, n_kp))
+    corners = jnp.zeros((n_kp, gh + 1, gw + 1), jnp.int32)
+    corners = corners.at[f, miny, minx].add(val)
+    corners = corners.at[f, miny, maxx].add(-val)
+    corners = corners.at[f, maxy, minx].add(-val)
+    corners = corners.at[f, maxy, maxx].add(val)
+    counts = jnp.cumsum(jnp.cumsum(corners, axis=1), axis=2)
+    return counts[:, :gh, :gw] > 0
+
+
+def uncovered_any(f, x, y, mask, occ, *, reduction=2.0):
+    """True when any masked candidate's grid cell is NOT covered by
+    ``occ`` (from :func:`occupancy_grid`).
+
+    This is the reference's seed gate (``cifcaf.cpp:206-211``: a seed in
+    a cell already occupied by a grown pose is skipped, losslessly)
+    turned into a post-hoc exactness check: a candidate that a static
+    budget truncated can only have lost a pose if no grown pose covers
+    its cell — the same point-query semantics as the gate itself.
+    """
+    gh, gw = occ.shape[1], occ.shape[2]
+    xi = jnp.clip((x / reduction).astype(jnp.int32), 0, gw - 1)
+    yi = jnp.clip((y / reduction).astype(jnp.int32), 0, gh - 1)
+    return jnp.any(mask & ~occ[f, yi, xi])

@@ -153,6 +153,33 @@ def test_full_decode_parity(two_person_fields):
         assert np.mean(np.abs(po[mask, 0] - pd[mask, 0])) < 0.05
 
 
+def test_batch_chunked_decode_matches_vmap(two_person_fields):
+    """Above batch_chunk_threshold the decoder runs lax.map over
+    sub-batches (the batch-32 working-set fix, docs/perf.md); results
+    must be identical to the plain vmapped graph."""
+    cif, caf, _ = two_person_fields
+    b = 6
+    cif_b = np.broadcast_to(cif, (b, *cif.shape)).copy()
+    caf_b = np.broadcast_to(caf, (b, *caf.shape)).copy()
+    # perturb each image so lanes aren't trivially identical
+    for i in range(b):
+        cif_b[i, :, 1] *= 1.0 - 0.01 * i
+
+    cfg = decode_mod.CifCafDecoderConfig(n_seeds=256, n_hr_cells=256)
+    plain = decode_mod.build_cifcaf_decoder(
+        stride=STRIDE, skeleton=SKELETON, n_keypoints=17,
+        config=decode_mod.dataclasses.replace(cfg, batch_chunk=0))
+    chunked = decode_mod.build_cifcaf_decoder(
+        stride=STRIDE, skeleton=SKELETON, n_keypoints=17,
+        config=decode_mod.dataclasses.replace(
+            cfg, batch_chunk=2, batch_chunk_threshold=4))
+    p0, k0, o0 = (np.asarray(a) for a in plain(cif_b, caf_b))
+    p1, k1, o1 = (np.asarray(a) for a in chunked(cif_b, caf_b))
+    np.testing.assert_array_equal(k0, k1)
+    np.testing.assert_array_equal(o0, o1)
+    np.testing.assert_allclose(p0, p1, atol=1e-6)
+
+
 def _crowd_fields(n_people=40):
     rng = np.random.RandomState(7)
     anns = []
@@ -343,23 +370,41 @@ def test_nms_suppression_chain():
     assert bool(np.asarray(keep)[2])
 
 
-def test_seed_compaction_overflow():
-    """cif_seeds raises its overflow flag when more cells pass the
-    threshold than the pre-rescore compaction budget (4 * n_seeds)."""
+def test_seed_truncation_candidates():
+    """Budget truncation is reported as a dense dropped-candidate mask
+    (checked against pose occupancy by the decoder), not a blunt count:
+    cells truncated by the 4 * n_seeds pre-rescore compaction are marked
+    conservatively by raw threshold; cells that were rescored are marked
+    exactly (rescored >= threshold and not selected by the top-k)."""
     rng = np.random.RandomState(0)
     f, h, w = 17, 9, 9
     cif = rng.uniform(0.5, 1.0, size=(f, 5, h, w)).astype(np.float32)
     hr = np.zeros((f, 65, 65), dtype=np.float32)
-    n_above = f * h * w  # all 1377 cells pass
-    _, overflow = seeds_mod.cif_seeds(
-        cif, hr, 8, threshold=0.2, n_seeds=16, return_overflow=True)
-    assert n_above > 4 * 16
-    assert bool(np.asarray(overflow))
+    n_above = f * h * w  # all 1377 cells pass the raw threshold
 
-    _, overflow2 = seeds_mod.cif_seeds(
-        cif, hr, 8, threshold=0.2, n_seeds=512, return_overflow=True)
+    # tight budget: 1377 - 4 * 16 cells never get rescored -> all marked
+    _, cand = seeds_mod.cif_seeds(
+        cif, hr, 8, threshold=0.2, n_seeds=16, return_candidates=True)
+    assert int(np.asarray(cand['dropped']).sum()) == n_above - 4 * 16
+
+    # wide budget: every cell is rescored, and with hr == 0 every
+    # rescored value 0.9 * 0 + 0.1 * c falls below the 0.2 threshold ->
+    # nothing could have been a seed, nothing is marked
+    _, cand2 = seeds_mod.cif_seeds(
+        cif, hr, 8, threshold=0.2, n_seeds=512, return_candidates=True)
     assert n_above <= 4 * 512
-    assert not bool(np.asarray(overflow2))
+    assert not bool(np.asarray(cand2['dropped']).any())
+
+    # supported hr: all 1377 rescored cells stay above threshold, the
+    # top-k keeps 512 -> exactly the rest are marked dropped
+    hr3 = np.full((f, 65, 65), 0.9, dtype=np.float32)
+    out3, cand3 = seeds_mod.cif_seeds(
+        cif, hr3, 8, threshold=0.2, n_seeds=512, return_candidates=True)
+    assert int(np.asarray(cand3['dropped']).sum()) == n_above - 512
+    # dropped candidates carry their own dense coordinates
+    drop = np.asarray(cand3['dropped'])
+    assert np.all(np.asarray(cand3['x'])[drop]
+                  == np.asarray(cif[:, 2].reshape(-1) * 8)[drop])
 
 
 def test_lazy_cifhr_matches_materialized():

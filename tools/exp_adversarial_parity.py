@@ -102,16 +102,46 @@ def match_stats(ref_poses, our_poses):
 
 def main(n_seeds=50):
     torch = load_reference_decoder()
+    import dataclasses
+
     import openpifpaf_tpu
-    from openpifpaf_tpu.ops import build_cifcaf_decoder
+    from openpifpaf_tpu.ops import CifCafDecoderConfig, build_cifcaf_decoder
 
     datamodule = openpifpaf_tpu.datasets.factory('cocokp')
-    _, caf_meta = datamodule.head_metas
+    cif_meta, caf_meta = datamodule.head_metas
     skeleton = np.asarray(caf_meta.skeleton, dtype=np.int64)
     stride = 8
-    decoder = build_cifcaf_decoder(stride=stride,
-                                   skeleton=caf_meta.skeleton,
-                                   n_keypoints=17)
+    adaptive = '--raw' not in sys.argv
+    escalated = 0
+    if adaptive:
+        # the product path: fast tier + crowd escalation on overflow
+        # (what Predictor/eval run)
+        from openpifpaf_tpu.decoder.cifcaf import CifCaf
+
+        cifcaf = CifCaf(cif_meta, caf_meta)
+
+        def decode(cif, caf):
+            nonlocal escalated
+            fast = cifcaf._decoder(stride)
+            *_, over = fast(cif[None], caf[None])
+            escalated += int(np.asarray(over).any())
+            poses, keep, _ = cifcaf._decode_adaptive(stride, (cif[None],
+                                                              caf[None]))
+            return np.asarray(poses), np.asarray(keep)
+    else:
+        cfg = CifCafDecoderConfig()
+        if '--blob-compact' in sys.argv:
+            cfg = dataclasses.replace(cfg, seed_blob_compact=True)
+        if '--crowd' in sys.argv:
+            cfg = cfg.crowd()
+        raw_decoder = build_cifcaf_decoder(stride=stride,
+                                           skeleton=caf_meta.skeleton,
+                                           n_keypoints=17,
+                                           config=cfg)
+
+        def decode(cif, caf):
+            poses, keep, _ = raw_decoder(cif[None], caf[None])
+            return np.asarray(poses), np.asarray(keep)
 
     rows = []
     for seed in range(n_seeds):
@@ -122,8 +152,7 @@ def main(n_seeds=50):
                                torch.from_numpy(caf), stride)
         ref_poses = list(ref_anns.numpy())
 
-        poses, keep, _ = (np.asarray(a) for a in
-                          decoder(cif[None], caf[None]))
+        poses, keep = decode(cif, caf)
         our_poses = list(poses[0][keep[0] > 0])
 
         row = match_stats(ref_poses, our_poses)
@@ -141,6 +170,7 @@ def main(n_seeds=50):
         'scenes': len(rows),
         'count_equal': count_equal,
         'all_ref_matched': all_matched,
+        'escalated': escalated if adaptive else None,
         'joint_visibility_agreement': round(ja / max(jt, 1), 4),
         'mean_loc_err_px': round(float(np.mean(
             [r['mean_loc_err'] for r in rows if r['matched']])), 3),
@@ -150,4 +180,5 @@ def main(n_seeds=50):
 
 
 if __name__ == '__main__':
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 50)
+    _n = [a for a in sys.argv[1:] if not a.startswith('--')]
+    main(int(_n[0]) if _n else 50)

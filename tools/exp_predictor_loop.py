@@ -38,6 +38,23 @@ def main():
     Predictor.batch_size = int(os.environ.get('PRED_BATCH', '1'))
     predictor = Predictor()  # random cocokp weights
 
+    # random weights on noise JPEGs fire seeds everywhere and escalate
+    # every image to the 16x crowd decode tier, which is not the workload
+    # being measured. Mute the confidence channel (index 1 of the
+    # postprocessed (B, F, C, H, W) fields) so the decoder runs its
+    # standard static-shape tier — decode cost is shape-driven, so this
+    # matches a typical-scene decode.
+    import jax
+
+    inner = predictor.forward_fn
+
+    @jax.jit
+    def muted(variables, image_batch):
+        fields = inner(variables, image_batch)
+        return tuple(f.at[:, :, 1].set(0.0) for f in fields)
+
+    predictor._forward_fn = muted
+
     for depth in (0, 2):
         predictor.prefetch_depth = depth
         # warm up compile + caches
