@@ -92,3 +92,49 @@ def test_predictor_native_path_meta_parity():
         ann.add(0, (net[0], net[1], 1.0))
         back = ann.inverse_transform(meta)
         np.testing.assert_allclose(back.data[0, :2], orig, atol=1e-3)
+
+
+@requires_native
+@requires_fixture
+def test_resize_within_half_lsb_of_float_bilinear():
+    """The separable fixed-point resize must stay within 0.5 LSB of exact
+    float bilinear (keypoint-aligned mapping) on the decoded pixels."""
+    import ctypes
+
+    lib = native._load_library()
+    lib.pifpaf_decode_jpeg.restype = ctypes.c_int
+    lib.pifpaf_decode_jpeg.argtypes = [
+        ctypes.POINTER(ctypes.c_ubyte), ctypes.c_long,
+        ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int)]
+
+    with open(TEST_IMAGE, 'rb') as f:
+        data = np.frombuffer(f.read(), np.uint8)
+    buf = np.empty(4096 * 4096 * 3, np.uint8)
+    size = (ctypes.c_int * 2)()
+    rc = lib.pifpaf_decode_jpeg(
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), len(data),
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), 4096, 4096, size)
+    assert rc == 0
+    src_h, src_w = size[0], size[1]
+    src = buf[:src_h * src_w * 3].reshape(src_h, src_w, 3).astype(np.float64)
+
+    loader = native.NativeImageLoader(long_edge=161)
+    images, metas = loader.load_batch_uint8([TEST_IMAGE])
+    scaled_w, scaled_h = metas[0]['scaled_wh']
+
+    def taps(n_dst, n_src):
+        f = np.arange(n_dst) * ((n_src - 1) / (n_dst - 1) if n_dst > 1
+                                else 0.0)
+        i0 = f.astype(int)
+        i1 = np.minimum(i0 + 1, n_src - 1)
+        return i0, i1, f - i0
+
+    y0, y1, wy = taps(scaled_h, src_h)
+    x0, x1, wx = taps(scaled_w, src_w)
+    wy = wy[:, None, None]
+    wx = wx[None, :, None]
+    ref = ((1 - wy) * ((1 - wx) * src[y0][:, x0] + wx * src[y0][:, x1])
+           + wy * ((1 - wx) * src[y1][:, x0] + wx * src[y1][:, x1]))
+    got = images[0, :scaled_h, :scaled_w].astype(np.float64)
+    assert float(np.abs(got - ref).max()) <= 0.76  # 0.25 weight-quantization + 0.5 final rounding + eps
