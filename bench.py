@@ -54,6 +54,14 @@ def _emit(name, payload):
           flush=True)
 
 
+def _progress(stage):
+    """Timestamped stage marker on stderr: if the run is ever killed by a
+    driver timeout, the last marker says exactly where the time went."""
+    print(json.dumps({'bench_progress': stage,
+                      't_s': round(time.monotonic() - _T0, 1)}),
+          file=sys.stderr, flush=True)
+
+
 def torch_cpu_baseline():
     """Measured in-env PyTorch-CPU reference baseline (BASELINE.json's
     north-star denominator); cached in BASELINE_TORCH_CPU.json."""
@@ -305,10 +313,12 @@ def main():
                                  '.bench_cache')
     compile_cache.enable(cache_dir)
 
+    _progress('imports_done')
     datamodule = openpifpaf_tpu.datasets.factory('cocokp')
     net_factory = models_factory.Factory(base_name='shufflenetv2k16')
     model, init_fn = net_factory.from_scratch(datamodule.head_metas)
     variables = init_fn(jax.random.PRNGKey(0), (1, 97, 129, 3))
+    _progress('model_init_done')
 
     # 641 long edge, padded to multiple-of-16 + 1: 641 x 481
     h, w = 481, 641
@@ -327,10 +337,12 @@ def main():
     fields = jax.block_until_ready(forward(variables, image))
     cif_shape = fields[0].shape  # (1, 17, 5, fh, fw)
     fh, fw = cif_shape[-2], cif_shape[-1]
+    _progress('forward_compiled')
 
     nn_time = time_op(
         lambda s: _tree_scalar(model.apply(variables, image + s * 1e-12,
                                            train=False)))
+    _progress('nn_timed')
 
     cif_syn, caf_syn = synthetic_fields(fh, fw, stride)
     cif_syn = jnp.asarray(cif_syn[None])
@@ -338,8 +350,10 @@ def main():
 
     decoded = decoder(cif_syn, caf_syn)
     n_poses = int(np.sum(np.asarray(decoded[1])))
+    _progress('decoder_compiled')
     decode_time = time_op(
         lambda s: _tree_scalar(decoder(cif_syn + s * 1e-12, caf_syn)))
+    _progress('decode_timed')
 
     # ---- HEADLINE: printed before anything optional runs ----
     e2e = nn_time + decode_time

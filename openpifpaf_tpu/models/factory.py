@@ -228,6 +228,27 @@ class Factory:
                                        head_consolidation=HEAD_CONSOLIDATION)
         return self.from_scratch(head_metas)
 
+    @staticmethod
+    def _init_on_host(build):
+        """Run a flax ``init`` on the host CPU backend, then transfer.
+
+        Eager flax init dispatches one op per parameter; against a
+        remote TPU backend each dispatch is a network round-trip
+        (measured: 76 s for shufflenetv2k16+cocokp vs 20 s on the host
+        CPU). Initializing on CPU and shipping the finished pytree in
+        one bulk transfer keeps startup host-bound. Falls back to the
+        default device when no CPU backend is available.
+        """
+        try:
+            cpu = jax.local_devices(backend='cpu')[0]
+        except RuntimeError:
+            return build()
+        if jax.default_backend() == 'cpu':
+            return build()
+        with jax.default_device(cpu):
+            variables = build()
+        return jax.device_put(variables, jax.devices()[0])
+
     def from_scratch(self, head_metas: Sequence[headmeta.Base]):
         if self.base_name not in BASE_FACTORIES:
             raise ValueError(f'unknown base network {self.base_name!r}; '
@@ -251,8 +272,10 @@ class Factory:
             model = TrackingShell(base_net=base_net, head_nets=head_nets)
 
             def init_variables(rng, input_shape=(2, 97, 129, 3)):
-                dummy = jnp.zeros(input_shape, dtype=jnp.float32)
-                return model.init(rng, dummy, train=True)
+                def build():
+                    dummy = jnp.zeros(input_shape, dtype=jnp.float32)
+                    return model.init(rng, dummy, train=True)
+                return Factory._init_on_host(build)
 
             return model, init_variables
 
@@ -268,10 +291,12 @@ class Factory:
         model = Shell(base_net=base_net, head_nets=head_nets)
 
         def init_variables(rng, input_shape=(1, 97, 129, 3)):
-            dummy = jnp.zeros(input_shape, dtype=jnp.float32)
-            return model.init({'params': rng,
-                               'dropout': jax.random.fold_in(rng, 1)},
-                              dummy, train=True)
+            def build():
+                dummy = jnp.zeros(input_shape, dtype=jnp.float32)
+                return model.init({'params': rng,
+                                   'dropout': jax.random.fold_in(rng, 1)},
+                                  dummy, train=True)
+            return Factory._init_on_host(build)
 
         return model, init_variables
 
