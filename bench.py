@@ -32,7 +32,9 @@ transfer overhead cancel in the subtraction.
 
 import json
 import os
+import subprocess
 import sys
+import threading
 import time
 
 import numpy as np
@@ -41,6 +43,132 @@ GTX1080TI_IMG_PER_SEC = 25.0  # published: shufflenetv2k16, GTX1080Ti, 641px
 
 _T0 = time.monotonic()
 _BUDGET_S = float(os.environ.get('BENCH_BUDGET_S', '420'))
+
+
+def start_backend_connect():
+    """Touch the (tunneled) default backend in a daemon thread.
+
+    First backend contact dominates bench wall time in this environment
+    (measured 300-450 s for the axon tunnel — more than every measurement
+    in this file combined), and jax serializes backend initialization
+    behind a lock, so nothing jax-array-flavored can run concurrently.
+    Everything host-only (datamodule, model construction, numpy field
+    fixtures, the CPU-subprocess param init) is therefore ordered BEFORE
+    ``join()``, overlapping the connect instead of paying it serially.
+    """
+    import jax
+    box = {}
+
+    def run():
+        t0 = time.monotonic()
+        try:
+            box['devices'] = jax.devices()
+        except Exception as e:  # surfaced at join time
+            box['error'] = e
+        box['seconds'] = time.monotonic() - t0
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+
+    def join():
+        t.join()
+        if 'error' in box:
+            raise box['error']
+        _progress('backend_connected')
+        _emit('connect', {'seconds': round(box['seconds'], 1)})
+        return box['devices']
+
+    return join
+
+
+def _flatten_tree(d, prefix=''):
+    for k in sorted(d):
+        v = d[k]
+        if isinstance(v, dict):
+            yield from _flatten_tree(v, prefix + k + '/')
+        else:
+            yield prefix + k, np.asarray(v)
+
+
+def _unflatten_tree(flat):
+    out = {}
+    for path, v in flat.items():
+        node = out
+        parts = path.split('/')
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return out
+
+
+def _cpu_env():
+    """Env for a pure-CPU jax subprocess: no axon tunnel contact."""
+    env = dict(os.environ)
+    env['JAX_PLATFORMS'] = 'cpu'
+    env.pop('XLA_FLAGS', None)
+    for var in list(env):
+        if var.startswith(('PALLAS_AXON_', 'AXON_', 'TPU_')) \
+                or var in ('JAX_PLATFORM_NAME', 'CLOUD_TPU_TASK_ID'):
+            env.pop(var, None)
+    if 'PYTHONPATH' in env:
+        parts = [p for p in env['PYTHONPATH'].split(os.pathsep)
+                 if p and 'axon' not in os.path.basename(p)]
+        if parts:
+            env['PYTHONPATH'] = os.pathsep.join(parts)
+        else:
+            env.pop('PYTHONPATH')
+    return env
+
+
+def start_cpu_init(base_name, cache_dir, dataset='cocokp'):
+    """Real flax init in a ``JAX_PLATFORMS=cpu`` subprocess, npz-cached.
+
+    In-process CPU init would block on the same backend-discovery lock
+    the tunnel connect holds; a subprocess with the axon plugin scrubbed
+    initializes in seconds and runs fully overlapped with the connect.
+    The result is the *actual* ``from_scratch`` init (PRNGKey(0)), cached
+    in ``.bench_cache`` so later runs skip even that. Returns join() ->
+    variables pytree (host numpy leaves, ready for one device_put).
+    """
+    path = os.path.join(cache_dir, f'init_{base_name}_{dataset}.npz')
+    proc = None
+    if not os.path.exists(path):
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), '--cpu-init',
+             base_name, dataset, path],
+            env=_cpu_env(), stdout=subprocess.DEVNULL,
+            stderr=subprocess.PIPE)
+
+    def join():
+        if proc is not None:
+            _, err = proc.communicate(timeout=600)
+            if proc.returncode != 0:
+                raise RuntimeError(
+                    f'--cpu-init subprocess failed '
+                    f'(rc={proc.returncode}): {err.decode()[-2000:]}')
+        with np.load(path) as z:
+            return _unflatten_tree({k: z[k] for k in z.files})
+
+    return join
+
+
+def _cpu_init_main(base_name, dataset, out_path):
+    """Child entry for ``--cpu-init``: init on CPU, write npz."""
+    import jax
+    jax.config.update('jax_platforms', 'cpu')  # beats sitecustomize
+    import openpifpaf_tpu
+    from openpifpaf_tpu.models import factory as models_factory
+
+    datamodule = openpifpaf_tpu.datasets.factory(dataset)
+    net_factory = models_factory.Factory(base_name=base_name)
+    model, init_fn = net_factory.from_scratch(datamodule.head_metas)
+    n_frames = 2 if base_name.startswith('t') else 1
+    variables = init_fn(jax.random.PRNGKey(0), (n_frames, 97, 129, 3))
+    flat = dict(_flatten_tree(jax.tree_util.tree_map(np.asarray,
+                                                     variables)))
+    tmp = out_path + '.tmp.npz'
+    np.savez(tmp, **flat)
+    os.replace(tmp, out_path)
 
 
 def _remaining():
@@ -146,6 +274,25 @@ def _tree_scalar(out):
     return sum(jnp.sum(o) for o in jax.tree_util.tree_leaves(out)) * 1e-20
 
 
+def _default_cache_dir():
+    if os.environ.get('BENCH_COLD'):
+        import tempfile
+        return tempfile.mkdtemp(prefix='openpifpaf_tpu_bench_cache_')
+    d = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     '.bench_cache')
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def cached_init(base_name, dataset='cocokp'):
+    """npz-cached ``from_scratch`` variables (see :func:`start_cpu_init`),
+    transferred to the default device."""
+    import jax
+    variables = start_cpu_init(base_name, _default_cache_dir(),
+                               dataset=dataset)()
+    return jax.device_put(variables, jax.local_devices()[0])
+
+
 def bench_train(as_dict=False):
     """Training throughput: one jitted train step, batch 8 at 385px
     (the reference's training crop size), shufflenetv2k16 + cocokp heads."""
@@ -160,8 +307,8 @@ def bench_train(as_dict=False):
 
     datamodule = openpifpaf_tpu.datasets.factory('cocokp')
     net_factory = models_factory.Factory(base_name='shufflenetv2k16')
-    model, init_fn = net_factory.from_scratch(datamodule.head_metas)
-    variables = init_fn(jax.random.PRNGKey(0), (1, 97, 129, 3))
+    model, _ = net_factory.from_scratch(datamodule.head_metas)
+    variables = cached_init('shufflenetv2k16')
 
     args = types.SimpleNamespace(
         momentum=0.95, beta2=0.999, adam_eps=1e-6, nesterov=True,
@@ -272,8 +419,8 @@ def bench_backbones():
     out = {}
     for name, ref_ms in published_ms.items():
         net_factory = models_factory.Factory(base_name=name)
-        model, init_fn = net_factory.from_scratch(datamodule.head_metas)
-        variables = init_fn(jax.random.PRNGKey(0), (1, 97, 129, 3))
+        model, _ = net_factory.from_scratch(datamodule.head_metas)
+        variables = cached_init(name)
         # what `predict` actually runs: the Predictor forward with the
         # auto-selected backbone engine (halves formulation for
         # lane-aligned ShuffleNets, flax graph otherwise)
@@ -293,8 +440,6 @@ def bench_backbones():
 
 
 def main():
-    import tempfile
-
     import jax
     import jax.numpy as jnp
     import openpifpaf_tpu
@@ -306,24 +451,24 @@ def main():
     # timings are unaffected by compile time, and a warm cache keeps the
     # whole suite inside the driver window. BENCH_COLD=1 restores a fresh
     # cache (to measure cold-process compile costs).
-    if os.environ.get('BENCH_COLD'):
-        cache_dir = tempfile.mkdtemp(prefix='openpifpaf_tpu_bench_cache_')
-    else:
-        cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                 '.bench_cache')
+    cache_dir = _default_cache_dir()
     compile_cache.enable(cache_dir)
 
     _progress('imports_done')
+    # the tunnel connect (300-450 s here) and the real flax init (CPU
+    # subprocess, ~25 s) both start NOW and run while the host builds
+    # everything else; nothing below touches a jax array until both join
+    connect_join = start_backend_connect()
+    init_join = start_cpu_init('shufflenetv2k16', cache_dir)
+
     datamodule = openpifpaf_tpu.datasets.factory('cocokp')
     net_factory = models_factory.Factory(base_name='shufflenetv2k16')
-    model, init_fn = net_factory.from_scratch(datamodule.head_metas)
-    variables = init_fn(jax.random.PRNGKey(0), (1, 97, 129, 3))
-    _progress('model_init_done')
+    model, _ = net_factory.from_scratch(datamodule.head_metas)
 
     # 641 long edge, padded to multiple-of-16 + 1: 641 x 481
     h, w = 481, 641
     rng = np.random.RandomState(0)
-    image = jnp.asarray(rng.randn(1, h, w, 3).astype(np.float32))
+    image_np = rng.randn(1, h, w, 3).astype(np.float32)
 
     cif_meta, caf_meta = datamodule.head_metas
     stride = cif_meta.stride
@@ -332,27 +477,54 @@ def main():
         skeleton=caf_meta.skeleton,
         n_keypoints=len(cif_meta.keypoints),
         config=CifCafDecoderConfig())
+    fh, fw = (h - 1) // stride + 1, (w - 1) // stride + 1
+    cif_syn_np, caf_syn_np = synthetic_fields(fh, fw, stride)
+    _progress('host_setup_done')
+
+    variables_host = init_join()
+    _progress('cpu_init_done')
+    connect_join()
+
+    variables = jax.device_put(variables_host, jax.local_devices()[0])
+    image = jnp.asarray(image_np)
+    cif_syn = jnp.asarray(cif_syn_np[None])
+    caf_syn = jnp.asarray(caf_syn_np[None])
+    _progress('params_transferred')
+
+    # round-trip probe: the tunneled backend's dispatch+fetch latency
+    # varies from ~0.2 s to minutes depending on tunnel health. Every
+    # timing below is RTT-immune (slope of chained loops), but the
+    # NUMBER of syncs we can afford inside the budget is not — so scale
+    # the repeat count to the measured RTT instead of hoping.
+    t0 = time.monotonic()
+    float(jnp.zeros(()) + 1.0)
+    rtt = time.monotonic() - t0
+    _emit('rtt', {'seconds': round(rtt, 2)})
+    if rtt > 20.0:
+        headline_repeats = 1   # 6 syncs on the critical path
+    elif rtt > 5.0:
+        headline_repeats = 2
+    else:
+        headline_repeats = 3
+    _progress(f'rtt_probed_{headline_repeats}')
 
     forward = jax.jit(lambda v, im: model.apply(v, im, train=False))
     fields = jax.block_until_ready(forward(variables, image))
-    cif_shape = fields[0].shape  # (1, 17, 5, fh, fw)
-    fh, fw = cif_shape[-2], cif_shape[-1]
+    assert fields[0].shape[-2:] == (fh, fw), fields[0].shape
     _progress('forward_compiled')
 
     nn_time = time_op(
         lambda s: _tree_scalar(model.apply(variables, image + s * 1e-12,
-                                           train=False)))
+                                           train=False)),
+        repeats=headline_repeats)
     _progress('nn_timed')
-
-    cif_syn, caf_syn = synthetic_fields(fh, fw, stride)
-    cif_syn = jnp.asarray(cif_syn[None])
-    caf_syn = jnp.asarray(caf_syn[None])
 
     decoded = decoder(cif_syn, caf_syn)
     n_poses = int(np.sum(np.asarray(decoded[1])))
     _progress('decoder_compiled')
     decode_time = time_op(
-        lambda s: _tree_scalar(decoder(cif_syn + s * 1e-12, caf_syn)))
+        lambda s: _tree_scalar(decoder(cif_syn + s * 1e-12, caf_syn)),
+        repeats=headline_repeats)
     _progress('decode_timed')
 
     # ---- HEADLINE: printed before anything optional runs ----
@@ -416,6 +588,34 @@ def main():
             'nn_gflops': round(nn_gflops, 2),
             'nn_tflops_per_sec': round(
                 nn_gflops / max(nn_time, 1e-9) / 1e3, 1)})
+
+    # other BASELINE.md backbone rows (each its own deadline check: one
+    # row landing is better than none). Uses the Predictor forward with
+    # the auto-selected engine, like `predict` itself.
+    from openpifpaf_tpu.predictor import Predictor
+    backbone_rows = {}
+    for bb_name, bb_ref_ms in (('shufflenetv2k30', 71.0),
+                               ('mobilenetv3small', 9.0),
+                               ('mobilenetv3large', 19.0),
+                               ('resnet50', 38.0)):
+        if _remaining() < 75:
+            break
+        bb_model, _ = models_factory.Factory(
+            base_name=bb_name).from_scratch(
+                openpifpaf_tpu.datasets.factory('cocokp').head_metas)
+        bb_vars = cached_init(bb_name)
+        bb_pred = Predictor(model=bb_model, variables=bb_vars)
+        bb_pred.size_bucket = 0
+        bb_fwd = bb_pred.forward_fn
+        t = time_op(
+            lambda s, f=bb_fwd, v=bb_vars: _tree_scalar(
+                f(v, image + s * 1e-12)),
+            repeats=3)
+        backbone_rows[bb_name] = {
+            'nn_ms': round(t * 1e3, 3),
+            'ref_gtx1080ti_nn_ms': bb_ref_ms,
+            'speedup': round(bb_ref_ms / (t * 1e3), 1)}
+        _emit('backbone_' + bb_name, backbone_rows[bb_name])
 
     # bfloat16 backbone path (what `predict --bf16` runs): conv/BN on the
     # MXU in bf16, heads in f32 for full-precision regressions
@@ -565,7 +765,10 @@ def main():
 
 
 if __name__ == '__main__':
-    if '--train' in sys.argv:
+    if '--cpu-init' in sys.argv:
+        i = sys.argv.index('--cpu-init')
+        _cpu_init_main(sys.argv[i + 1], sys.argv[i + 2], sys.argv[i + 3])
+    elif '--train' in sys.argv:
         bench_train()
     elif '--backbones' in sys.argv:
         bench_backbones()

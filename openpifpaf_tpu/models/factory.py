@@ -247,7 +247,11 @@ class Factory:
             return build()
         with jax.default_device(cpu):
             variables = build()
-        return jax.device_put(variables, jax.devices()[0])
+        # local_devices()[0], not devices()[0]: in multi-process runs the
+        # global device 0 is not addressable from non-zero hosts. The
+        # transfer commits the pytree to this process's first local device;
+        # downstream jits re-place via explicit in_shardings.
+        return jax.device_put(variables, jax.local_devices()[0])
 
     def from_scratch(self, head_metas: Sequence[headmeta.Base]):
         if self.base_name not in BASE_FACTORIES:

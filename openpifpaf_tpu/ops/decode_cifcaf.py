@@ -77,6 +77,13 @@ class CifCafDecoderConfig:
     #: activates ~16 cells per plane
     n_caf_candidates: int = 256
     seed_nms: bool = True
+    #: after growth, accept lanes exactly like the reference's
+    #: sequential seed gate (cifcaf.cpp:206-211): lane j is rejected iff
+    #: an earlier-seed-rank accepted lane's pose covers j's seed cell.
+    #: This pins pose *provenance* (which seed a person's pose grows
+    #: from) to the reference, making joint confidences match on
+    #: contested scenes (see seeds.seed_rank_dedup).
+    seed_rank_dedup: bool = True
     #: batches larger than ``batch_chunk_threshold`` run as ``lax.map``
     #: over sub-batches of ``batch_chunk`` inside the one jitted graph:
     #: the vmapped top-k/NMS working sets regress past ~8 images
@@ -252,6 +259,19 @@ def decode_cifcaf_single(cif, caf, initial_poses=None, *, stride, skeleton,
         if record:
             commit_edge = jnp.concatenate([initial_ce, commit_edge], axis=0)
             commit_step = jnp.concatenate([initial_cs, commit_step], axis=0)
+
+    if cfg.seed_rank_dedup:
+        n_init = 0 if initial_grown is None else initial_grown.shape[0]
+        accept = seeds_mod.seed_rank_dedup(
+            poses, seeds['f'], seeds['x'], seeds['y'],
+            seeds['v'] > 0.0, hr_shape,
+            n_initial=n_init,
+            reduction=cfg.occupancy_reduction,
+            min_scale=cfg.occupancy_min_scale)
+        poses = jnp.where(accept[:, None, None], poses, 0.0)
+        if record:
+            commit_edge = jnp.where(accept[:, None], commit_edge, -1)
+            commit_step = jnp.where(accept[:, None], commit_step, -1)
 
     # Exactness certificate for the seed budgets (cifcaf.cpp:206-211
     # semantics, post hoc): every above-threshold seed candidate either

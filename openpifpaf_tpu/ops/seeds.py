@@ -226,6 +226,83 @@ def seed_nms(seeds, n_fields, hr_shape, *, n_keep, reduction=2.0,
     return keep_idx, keep_valid
 
 
+def seed_rank_dedup(poses, seed_f, seed_x, seed_y, valid, hr_shape, *,
+                    n_initial=0, reduction=2.0, min_scale=4.0):
+    """Accept/reject grown lanes exactly like the reference's seed gate.
+
+    The reference decodes seeds in descending-score order and *skips* a
+    seed whose cell is already covered by the occupancy of a previously
+    grown pose (``cifcaf.cpp:206-211``; occupancy is marked from every
+    visible joint of each grown pose right after its growth). Growth
+    itself never reads occupancy, so the pose grown from any seed is
+    independent of which other poses exist — which makes the sequential
+    gate exactly reproducible *post hoc*: grow all lanes, then accept
+    lane j iff no earlier-ranked ACCEPTED lane's pose has a visible
+    joint ``seed_f[j]`` whose occupancy window covers seed j's cell.
+    The acceptance closure of that relation is the same fixpoint
+    argument as :func:`seed_nms` / :func:`nms.nms_keypoints`.
+
+    Without this pass, duplicate lanes of one person (seeds on different
+    joints all grow the same pose) are resolved by final-NMS pose score
+    instead of seed rank — locations agree but every joint confidence
+    inherits a different sqrt-chain provenance (measured deltas up to
+    0.11 vs the reference on contested scenes; docs/perf.md).
+
+    poses: (K, n_kp, 4) — ``n_initial`` initial/tracked lanes first
+    (always accepted: the reference grows initial annotations before any
+    seed, ``cifcaf.cpp:126-202``), then the seed lanes in seed-rank
+    order. seed_f/x/y, valid: (K - n_initial,) for the seed lanes.
+    Returns accept: (K,) bool.
+    """
+    k, n_kp, _ = poses.shape
+    ks = k - n_initial
+    hs, ws = hr_shape
+    gh = int(hs / reduction) + 1
+    gw = int(ws / reduction) + 1
+
+    # each blocker lane i's joint seed_f[j], extracted for every seed
+    # lane j: (K, Ks, 4) via one-hot contraction (exact 0/1 factors)
+    onehot = (seed_f[:, None] == jnp.arange(n_kp)).astype(poses.dtype)
+    rows = jnp.einsum('kna,jn->kja', poses, onehot,
+                      precision=jax.lax.Precision.HIGHEST)
+    jv = rows[..., 0]
+    jx = rows[..., 1] / reduction
+    jy = rows[..., 2] / reduction
+    jsig = jnp.maximum(min_scale / reduction, rows[..., 3] / reduction)
+    minx = jnp.clip(jnp.floor(jx - jsig), 0, gw - 1)
+    maxx = jnp.clip(jnp.floor(jx + jsig), minx + 1, gw)
+    miny = jnp.clip(jnp.floor(jy - jsig), 0, gh - 1)
+    maxy = jnp.clip(jnp.floor(jy + jsig), miny + 1, gh)
+
+    # seed j's query cell (same point-query semantics as uncovered_any)
+    xi = jnp.clip((seed_x / reduction).astype(jnp.int32),
+                  0, gw - 1).astype(jnp.float32)
+    yi = jnp.clip((seed_y / reduction).astype(jnp.int32),
+                  0, gh - 1).astype(jnp.float32)
+
+    rank_i = jnp.arange(k)[:, None]          # blocker lane rank
+    rank_j = n_initial + jnp.arange(ks)[None, :]  # seed lane rank
+    covers = ((jv > 0.0)
+              & (xi[None, :] >= minx) & (xi[None, :] < maxx)
+              & (yi[None, :] >= miny) & (yi[None, :] < maxy)
+              & (rank_i < rank_j))           # (K, Ks)
+
+    always = jnp.arange(k) < n_initial
+    valid_full = jnp.concatenate(
+        [jnp.ones((n_initial,), bool), valid]) if n_initial else valid
+
+    def body(state):
+        accept, _ = state
+        blocked = jnp.any(accept[:, None] & covers, axis=0)
+        new = valid_full & (always | ~jnp.pad(blocked, (n_initial, 0)))
+        return new, jnp.any(new != accept)
+
+    accept0 = valid_full
+    accept, _ = jax.lax.while_loop(
+        lambda st: st[1], body, (accept0, jnp.array(True)))
+    return accept
+
+
 def occupancy_grid(poses, hr_shape, *, reduction=2.0, min_scale=4.0):
     """Occupancy grid (n_kp, gh, gw) marked by every joint (v > 0) of
     every pose, with ``Occupancy::set`` window semantics

@@ -38,9 +38,16 @@ def load_reference_decoder():
     return torch
 
 
-def overlapping_scene(seed, hw=(169, 217), stride=8):
+def overlapping_scene(seed, hw=(169, 217), stride=8, conf_jitter=0.0):
     """2-5 people with overlapping torsos: cluster centers within a
-    fraction of body size, varied scales, jittered joints."""
+    fraction of body size, varied scales, jittered joints.
+
+    conf_jitter > 0 multiplies every confidence cell by
+    ``1 + U(-conf_jitter, conf_jitter)`` — breaking the bit-equal
+    seed-score ties of raw encoder targets, whose order the
+    reference's unstable ``std::sort`` leaves implementation-defined
+    (``cif_seeds.cpp:93-97``). Tie-free scenes decode pose-for-pose
+    identically to the reference (docs/perf.md)."""
     rng = np.random.RandomState(seed)
     n_people = rng.randint(2, 6)
     h, w = hw
@@ -58,6 +65,14 @@ def overlapping_scene(seed, hw=(169, 217), stride=8):
         anns.append(field_fixtures.annotation_dict(kps))
     cif, caf, _ = field_fixtures.fields_from_annotations(anns, hw,
                                                          stride=stride)
+    if conf_jitter:
+        jr = np.random.RandomState(1000 + seed)
+        cif[:, 1] *= (1.0 + jr.uniform(-conf_jitter, conf_jitter,
+                                       size=cif[:, 1].shape)
+                      ).astype(np.float32)
+        caf[:, 1] *= (1.0 + jr.uniform(-conf_jitter, conf_jitter,
+                                       size=caf[:, 1].shape)
+                      ).astype(np.float32)
     return cif, caf, n_people
 
 
@@ -68,6 +83,7 @@ def match_stats(ref_poses, our_poses):
     joint_agree = 0
     joint_total = 0
     loc_err = []
+    conf_err = []
     for rp in ref_poses:
         best, best_d = None, None
         for i, op in enumerate(our_poses):
@@ -91,12 +107,15 @@ def match_stats(ref_poses, our_poses):
         if np.any(vis_both):
             loc_err.append(float(np.linalg.norm(
                 rp[vis_both, 1:3] - op[vis_both, 1:3], axis=1).mean()))
+            conf_err.append(float(np.abs(
+                rp[vis_both, 0] - op[vis_both, 0]).max()))
     return {
         'n_ref': len(ref_poses), 'n_our': len(our_poses),
         'matched': matched,
         'joint_agree': joint_agree, 'joint_total': joint_total,
         'mean_loc_err': float(np.mean(loc_err)) if loc_err else 0.0,
         'max_loc_err': float(np.max(loc_err)) if loc_err else 0.0,
+        'max_conf_err': float(np.max(conf_err)) if conf_err else 0.0,
     }
 
 
@@ -143,9 +162,10 @@ def main(n_seeds=50):
             poses, keep, _ = raw_decoder(cif[None], caf[None])
             return np.asarray(poses), np.asarray(keep)
 
+    jitter = 0.01 if '--jitter' in sys.argv else 0.0
     rows = []
     for seed in range(n_seeds):
-        cif, caf, n_people = overlapping_scene(seed)
+        cif, caf, n_people = overlapping_scene(seed, conf_jitter=jitter)
         ref = torch.classes.openpifpaf_decoder.CifCaf(
             17, torch.from_numpy(skeleton) - 1)
         ref_anns, _ = ref.call(torch.from_numpy(cif), stride,
@@ -176,6 +196,8 @@ def main(n_seeds=50):
             [r['mean_loc_err'] for r in rows if r['matched']])), 3),
         'max_loc_err_px': round(float(np.max(
             [r['max_loc_err'] for r in rows])), 3),
+        'max_conf_err': round(float(np.max(
+            [r['max_conf_err'] for r in rows])), 4),
     }, indent=1))
 
 
