@@ -1,0 +1,92 @@
+"""A real two-process distributed test.
+
+Spawns two OS processes that rendezvous through
+``jax.distributed.initialize`` (CPU backend, 4 virtual devices each),
+build the 8-device data mesh, assemble global batches from host-local
+shards (``jax.make_array_from_process_local_data``) and run the real
+sharded train step — then asserts losses and parameters match a
+single-process 8-device run of the same global computation bit-for-bit
+(same device count => same reduction shapes).
+
+This exercises the process boundary the virtual-mesh tests cannot:
+cross-process rendezvous, global-array assembly from per-host shards,
+and replicated outputs being addressable on every host. Reference
+anchor: the (CI-untested) DDP path it replaces,
+``/root/reference/src/openpifpaf/train.py:146-165``.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+WORKER = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      'multihost_worker.py')
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(('localhost', 0))
+        return s.getsockname()[1]
+
+
+def _spawn(num_processes, process_id, port, devices_per_proc):
+    env = dict(os.environ)
+    env['JAX_PLATFORMS'] = 'cpu'
+    env['XLA_FLAGS'] = ('--xla_force_host_platform_device_count='
+                        f'{devices_per_proc}')
+    for var in list(env):
+        if var.startswith(('PALLAS_AXON_', 'AXON_', 'TPU_')) \
+                or var in ('JAX_PLATFORM_NAME', 'CLOUD_TPU_TASK_ID'):
+            env.pop(var, None)
+    if 'PYTHONPATH' in env:
+        parts = [p for p in env['PYTHONPATH'].split(os.pathsep)
+                 if p and 'axon' not in os.path.basename(p)]
+        env['PYTHONPATH'] = os.pathsep.join(
+            parts + [os.path.dirname(os.path.dirname(WORKER))])
+    else:
+        env['PYTHONPATH'] = os.path.dirname(os.path.dirname(WORKER))
+    return subprocess.Popen(
+        [sys.executable, WORKER, str(num_processes), str(process_id),
+         str(port), str(devices_per_proc)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True)
+
+
+def _result(proc, timeout):
+    out, err = proc.communicate(timeout=timeout)
+    assert proc.returncode == 0, f'worker failed:\n{err[-3000:]}'
+    line = [ln for ln in out.splitlines() if ln.startswith('{')][-1]
+    return json.loads(line)
+
+
+def test_two_process_train_step_matches_single_process():
+    port = _free_port()
+    procs = [_spawn(2, pid, port, 4) for pid in range(2)]
+    results = [_result(p, timeout=900) for p in procs]
+
+    for pid, res in enumerate(results):
+        assert res['process_count'] == 2
+        assert res['n_devices'] == 8
+        assert res['process_id'] == pid
+
+    # both processes observe the same replicated state
+    assert results[0]['losses'] == results[1]['losses']
+    assert results[0]['param_checksum'] == results[1]['param_checksum']
+    assert results[0]['ema_checksum'] == results[1]['ema_checksum']
+
+    # and the distributed run equals the single-process 8-device run
+    single = _result(_spawn(1, 0, _free_port(), 8), timeout=900)
+    assert single['n_devices'] == 8
+    for a, b in zip(single['losses'], results[0]['losses']):
+        assert a == pytest.approx(b, rel=1e-6, abs=1e-6)
+    assert single['param_checksum'] == pytest.approx(
+        results[0]['param_checksum'], rel=1e-6)
+    assert single['ema_checksum'] == pytest.approx(
+        results[0]['ema_checksum'], rel=1e-6)
+
+    # training actually happened
+    assert results[0]['losses'][1] != results[0]['losses'][0]
