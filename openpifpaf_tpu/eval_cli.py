@@ -161,7 +161,7 @@ def cli():
                         help='run the backbone in bfloat16')
     parser.add_argument('--backbone-engine', default='auto',
                         choices=('auto', 'flax', 'folded', 'halves',
-                                 'pallas'),
+                                 'pallas', 'stencil', 'dwpallas'),
                         help='serving backbone engine (see predict)')
     parser.add_argument('--hflip-tta', default=False, action='store_true',
                         help='average fields with the mirrored-image '

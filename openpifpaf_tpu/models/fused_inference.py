@@ -38,11 +38,21 @@ class FoldedConv:
     act: bool = True
     non_linearity: str = 'relu'
 
-    mode: str = 'conv'  # 'conv' (lax conv) | 'stencil' (matmul + shifted-add)
+    #: 'conv' (lax conv) | 'stencil' (matmul + shifted-add) |
+    #: 'dwpallas' (stride-1 depthwise convs through the NHWC Pallas
+    #: kernel in :mod:`dw_pallas`, everything else on lax conv)
+    mode: str = 'conv'
 
     def __call__(self, x):
         k = self.kernel.shape[0]
         pad = (k - 1) // 2 * self.dilation
+        if self.mode == 'dwpallas' and self.groups == x.shape[-1] \
+                and k > 1 and self.stride == 1 \
+                and self.kernel.shape[2] == 1:
+            from . import dw_pallas
+            return dw_pallas.depthwise_conv(
+                x, self.kernel, self.bias, dilation=self.dilation,
+                act=self.act, leaky=self.non_linearity == 'leaky_relu')
         if self.mode == 'stencil':
             y = self._stencil(x, k, pad)
         else:

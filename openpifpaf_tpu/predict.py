@@ -34,7 +34,7 @@ def cli():
                              'heads and decode stay float32')
     parser.add_argument('--backbone-engine', default='auto',
                         choices=('auto', 'flax', 'folded', 'halves',
-                                 'pallas'),
+                                 'pallas', 'stencil', 'dwpallas'),
                         help='serving backbone engine (auto: BN-folded '
                              'lane-aligned halves formulation when the '
                              'backbone channel halves are 128-multiples, '

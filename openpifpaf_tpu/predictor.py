@@ -35,7 +35,11 @@ class Predictor:
     #: float32 so regression coordinates keep full precision.
     bf16 = False
     #: serving backbone engine: 'auto' | 'flax' | 'folded' | 'halves' |
-    #: 'pallas'. 'halves' runs ShuffleNetV2K's non-first blocks in the
+    #: 'pallas' | 'stencil' | 'dwpallas'. 'dwpallas' folds BN and runs
+    #: the stride-1 5x5 depthwise convs through an NHWC Pallas kernel
+    #: (models/dw_pallas.py) so XLA never sees a grouped conv — the
+    #: attack on the grouped-layout conversion copies (docs/perf.md).
+    #: 'halves' runs ShuffleNetV2K's non-first blocks in the
     #: BN-folded lane-aligned halves formulation (1x1 convs as einsum
     #: dots, shuffle folded into static scatter matrices) — measured
     #: 1.7x faster than the flax graph for backbones whose channel
@@ -168,8 +172,10 @@ class Predictor:
             return None
         dtype = jnp.bfloat16 if self.bf16 else jnp.float32
         LOG.info('backbone engine: %s (%s)', engine, dtype.__name__)
-        if engine == 'folded':
+        if engine in ('folded', 'stencil', 'dwpallas'):
             folded = folded.cast(dtype)
+            if engine != 'folded':
+                folded = folded.with_mode(engine)
             return lambda images: folded(images.astype(dtype))
         return fi.build_pallas_forward(base_net, folded, dtype=dtype,
                                       impl=engine)

@@ -50,7 +50,7 @@ def cli():
                         help='run the backbone in bfloat16 (MXU-native)')
     parser.add_argument('--backbone-engine', default='auto',
                         choices=('auto', 'flax', 'folded', 'halves',
-                                 'pallas'),
+                                 'pallas', 'stencil', 'dwpallas'),
                         help='serving backbone engine (see predict)')
     parser.add_argument('--precise-rescaling', dest='fast_rescaling',
                     default=True, action='store_false',
