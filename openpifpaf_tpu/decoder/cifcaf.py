@@ -56,6 +56,15 @@ class CifCaf(Decoder):
     #: --show-only-decoded-connections is requested (a separate jitted
     #: graph, so it is not free by default).
     export_decoding_order = False
+    #: run the decode on this local device index (fields are transferred
+    #: there, over ICI on a multi-chip host). One TPU core executes one
+    #: program at a time, so decode(i) can only overlap NN(i+1) on a
+    #: *different* chip — the TPU-native analogue of the reference's
+    #: CPU decode worker pool (decoder/decoder.py:29-47). Combined with
+    #: the Predictor's deferred-materialize serving loop the two stages
+    #: then pipeline across chips. None: decode stays wherever the
+    #: fields live (single-chip default).
+    decode_device = None
 
     def __init__(self, cif_meta: headmeta.Cif, caf_meta: headmeta.Caf):
         super().__init__()
@@ -209,7 +218,34 @@ class CifCaf(Decoder):
         return self._decoders[key]
 
     def _decode_adaptive(self, stride, args, with_initial=False):
-        """Fast-tier decode; escalate overflowing images to the crowd tier.
+        return self._decode_adaptive_deferred(stride, args,
+                                              with_initial=with_initial)()
+
+    def _decode_adaptive_deferred(self, stride, args, with_initial=False):
+        """Dispatch the fast-tier decode; return materialize().
+
+        The fast-tier graph is dispatched immediately (device arrays
+        only — no host sync), and the returned closure performs the
+        synchronizing part: fetch the overflow flags and, if any image
+        exceeded its budgets, escalate it through the crowd tier. The
+        split lets a serving loop dispatch the NEXT batch's forward
+        before synchronizing this batch's decode (see
+        ``Predictor._run_batches``); on a multi-chip host with
+        ``decode_device`` set the two stages then overlap on different
+        chips.
+        """
+        *parts, overflow = self._decoder(
+            stride, with_initial=with_initial)(*args)
+
+        def materialize():
+            return self._escalate(stride, args, parts, overflow,
+                                  with_initial)
+
+        return materialize
+
+    def _escalate(self, stride, args, parts, overflow, with_initial):
+        """Crowd-tier escalation of overflowing images (the synchronizing
+        half of :meth:`_decode_adaptive_deferred`).
 
         Escalation is per image through the *batch-1* crowd graph: it
         compiles once and is then reused for every flagged image at any
@@ -220,8 +256,6 @@ class CifCaf(Decoder):
         in; padded rows carry keep=False and sort last in the decoding
         order, so downstream annotation extraction skips them.
         """
-        *parts, overflow = self._decoder(
-            stride, with_initial=with_initial)(*args)
         overflow = np.asarray(overflow)
         if not overflow.any():
             # (poses, keep, order) or, with export_decoding_order,
@@ -278,12 +312,36 @@ class CifCaf(Decoder):
             return x
         cif = as_f32(fields_batch[self.cif_meta.head_index])
         caf = as_f32(fields_batch[self.caf_meta.head_index])
+        if self.decode_device is not None:
+            import jax
+            devices = jax.local_devices()
+            if self.decode_device < len(devices):
+                dev = devices[self.decode_device]
+                cif = jax.device_put(cif, dev)
+                caf = jax.device_put(caf, dev)
+            else:
+                LOG.warning('decode_device=%d but only %d local devices; '
+                            'decoding in place', self.decode_device,
+                            len(devices))
         stride = self.cif_meta.stride
         assert stride == self.caf_meta.stride
         return cif, caf, stride
 
     def batch_decode(self, fields_batch, initial_annotations_batch=None):
         """fields_batch: list over head indices of (B, F, C, H, W) arrays."""
+        return self.batch_decode_deferred(fields_batch,
+                                          initial_annotations_batch)()
+
+    def batch_decode_deferred(self, fields_batch,
+                              initial_annotations_batch=None):
+        """Dispatch the decode; return materialize() -> annotations.
+
+        Between the dispatch and the materialize call the device works
+        on the decode while the host is free to produce and dispatch
+        the next batch's forward — the pipelined serving loop
+        (``Predictor._run_batches``) calls materialize() one batch
+        late. ``last_decoder_time`` accounts dispatch + materialize.
+        """
         cif, caf, stride = self._fields(fields_batch)
 
         from ..visualizer import Base as VisualizerBase
@@ -298,7 +356,7 @@ class CifCaf(Decoder):
 
         start = time.perf_counter()
         if initial_annotations_batch is None:
-            parts = self._decode_adaptive(stride, (cif, caf))
+            deferred = self._decode_adaptive_deferred(stride, (cif, caf))
             ids_batch = None
         else:
             # pad initial annotations to a bucketed static size
@@ -316,20 +374,26 @@ class CifCaf(Decoder):
                     initial_poses[b, i, :, 2] = ann.data[:, 1]
                     initial_poses[b, i, :, 3] = ann.joint_scales
                     ids_batch[b, i] = getattr(ann, 'id_', -1) or -1
-            parts = self._decode_adaptive(
+            deferred = self._decode_adaptive_deferred(
                 stride, (cif, caf, initial_poses), with_initial=True)
+        dispatch_time = time.perf_counter() - start
 
-        poses, keep, order, *commit = [np.asarray(p) for p in parts]
-        self.last_decoder_time = time.perf_counter() - start
+        def materialize():
+            t0 = time.perf_counter()
+            parts = deferred()
+            poses, keep, order, *commit = [np.asarray(p) for p in parts]
+            self.last_decoder_time = dispatch_time \
+                + (time.perf_counter() - t0)
+            return [
+                self.annotations_from_tensor(
+                    poses[i], keep[i], order[i],
+                    ids=None if ids_batch is None else ids_batch[i],
+                    commit_edge=commit[0][i] if commit else None,
+                    commit_step=commit[1][i] if commit else None)
+                for i in range(poses.shape[0])
+            ]
 
-        return [
-            self.annotations_from_tensor(
-                poses[i], keep[i], order[i],
-                ids=None if ids_batch is None else ids_batch[i],
-                commit_edge=commit[0][i] if commit else None,
-                commit_step=commit[1][i] if commit else None)
-            for i in range(poses.shape[0])
-        ]
+        return materialize
 
     def __call__(self, fields, initial_annotations=None):
         initial = [initial_annotations] if initial_annotations else None

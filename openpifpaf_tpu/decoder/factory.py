@@ -30,6 +30,12 @@ def cli(parser: argparse.ArgumentParser, *, workers=None):
     group.add_argument('--profile-decoder', default=None, nargs='?',
                        const='profile_decoder.prof',
                        help='profile the decoder and write a pstats file')
+    group.add_argument('--decode-device', default=None, type=int,
+                       help='run the decode on this local device index '
+                            '(a second chip lets decode(i) overlap '
+                            'NN(i+1) in the pipelined serving loop; '
+                            'the TPU-native analogue of the '
+                            'reference\'s decode worker pool)')
     # global CifHr / CafScored thresholds (reference factory.py:40-45)
     group.add_argument('--cif-th', default=CifCaf.cifhr_threshold,
                        type=float, help='cif threshold')
@@ -42,6 +48,8 @@ def cli(parser: argparse.ArgumentParser, *, workers=None):
 def configure(args: argparse.Namespace):
     global profile_decoder
     profile_decoder = args.profile_decoder
+    from .cifcaf import CifCaf as _CifCaf
+    _CifCaf.decode_device = getattr(args, 'decode_device', None)
     if args.decoder_workers:
         LOG.info('decoder workers requested (%d): decoding is a batched '
                  'device op here, no worker pool needed', args.decoder_workers)

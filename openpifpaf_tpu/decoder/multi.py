@@ -10,14 +10,31 @@ class Multi(Decoder):
         self.decoders = decoders
 
     def batch_decode(self, fields_batch):
-        per_decoder = [d.batch_decode(fields_batch) for d in self.decoders]
-        self.last_decoder_time = sum(d.last_decoder_time for d in self.decoders)
-        if len(per_decoder) == 1:
-            return per_decoder[0]
-        return [
-            [ann for decoder_out in image_outs for ann in decoder_out]
-            for image_outs in zip(*per_decoder)
+        return self.batch_decode_deferred(fields_batch)()
+
+    def batch_decode_deferred(self, fields_batch):
+        """Dispatch every sub-decoder; return materialize() (see
+        ``CifCaf.batch_decode_deferred``). Sub-decoders without a
+        deferred API run eagerly at dispatch time."""
+        deferred = [
+            d.batch_decode_deferred(fields_batch)
+            if hasattr(d, 'batch_decode_deferred')
+            else (lambda out=d.batch_decode(fields_batch): out)
+            for d in self.decoders
         ]
+
+        def materialize():
+            per_decoder = [m() for m in deferred]
+            self.last_decoder_time = sum(d.last_decoder_time
+                                         for d in self.decoders)
+            if len(per_decoder) == 1:
+                return per_decoder[0]
+            return [
+                [ann for decoder_out in image_outs for ann in decoder_out]
+                for image_outs in zip(*per_decoder)
+            ]
+
+        return materialize
 
     def __call__(self, fields):
         return [ann for d in self.decoders for ann in d(fields)]

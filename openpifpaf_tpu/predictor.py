@@ -529,10 +529,21 @@ class Predictor:
                                                    len(data)))]
                 yield datasets.collate.collate_images_anns_meta(items)
 
-        for batch in self._prefetched(batches()):
-            yield from self._run_batch(batch)
+        yield from self._run_batches(self._prefetched(batches()))
 
-    def _run_batch(self, batch):
+    #: 1-deep software pipeline in the serving loop: batch i+1's forward
+    #: is dispatched before batch i's decode results are fetched. On a
+    #: single chip this only hides dispatch latency (one TPU core runs
+    #: one program at a time); with ``CifCaf.decode_device`` pointing at
+    #: a second chip, NN(i+1) and decode(i) genuinely overlap — the
+    #: TPU-native analogue of the reference's CPU decode worker pool
+    #: (``decoder/decoder.py:29-47``). False restores strict
+    #: batch-at-a-time execution.
+    pipeline_decode = True
+
+    def _dispatch_batch(self, batch):
+        """Unpack a batch, dispatch forward + decode; no host sync on
+        the decode results. Returns (materialize, gt_anns, metas)."""
         if len(batch) == 4:
             _, image_batch, gt_anns_batch, meta_batch = batch
         else:
@@ -544,9 +555,19 @@ class Predictor:
                 self._normalized_np(np.asarray(image_batch[0])))
 
         fields = self.fields_batch(image_batch)
-        pred_batch = self.processor.batch_decode(fields)
+        nn_time = self.last_nn_time
+        if hasattr(self.processor, 'batch_decode_deferred'):
+            materialize = self.processor.batch_decode_deferred(fields)
+        else:
+            pred_batch = self.processor.batch_decode(fields)
+            materialize = lambda: pred_batch  # noqa: E731
+        return materialize, nn_time, gt_anns_batch, meta_batch
+
+    def _materialize_batch(self, staged):
+        materialize, nn_time, gt_anns_batch, meta_batch = staged
+        pred_batch = materialize()
         self.last_decoder_time = self.processor.last_decoder_time
-        self.total_nn_time += self.last_nn_time
+        self.total_nn_time += nn_time
         self.total_decoder_time += self.last_decoder_time
         self.total_images += len(meta_batch)
 
@@ -557,6 +578,24 @@ class Predictor:
             if self.json_data:
                 pred = [ann.json_data() for ann in pred]
             yield pred, gt_anns, meta
+
+    def _run_batch(self, batch):
+        yield from self._materialize_batch(self._dispatch_batch(batch))
+
+    def _run_batches(self, batches):
+        """Serving loop over a batch iterator (see ``pipeline_decode``)."""
+        if not self.pipeline_decode:
+            for batch in batches:
+                yield from self._run_batch(batch)
+            return
+        pending = None
+        for batch in batches:
+            staged = self._dispatch_batch(batch)
+            if pending is not None:
+                yield from self._materialize_batch(pending)
+            pending = staged
+        if pending is not None:
+            yield from self._materialize_batch(pending)
 
     #: use the native C++ threaded JPEG loader when possible
     native_io = True
@@ -583,8 +622,7 @@ class Predictor:
                 images, metas = loader.load_batch_uint8(paths)
                 yield images, [[] for _ in metas], metas
 
-        for batch in self._prefetched(batches()):
-            yield from self._run_batch(batch)
+        yield from self._run_batches(self._prefetched(batches()))
 
     @staticmethod
     def _pose_oks(ann_a, ann_b, sigmas):
@@ -705,9 +743,8 @@ class Predictor:
         return next(iter(self.numpy_images([image])))
 
     def enumerated_dataloader(self, enumerated_dataloader):
-        for _, batch in self._prefetched(iter(enumerated_dataloader)):
-            yield from self._run_batch(batch)
+        yield from self._run_batches(
+            batch for _, batch in self._prefetched(iter(enumerated_dataloader)))
 
     def dataloader(self, dataloader):
-        for batch in self._prefetched(iter(dataloader)):
-            yield from self._run_batch(batch)
+        yield from self._run_batches(self._prefetched(iter(dataloader)))

@@ -1,0 +1,125 @@
+"""Pipelined serving loop + decode-on-second-device.
+
+One TPU core executes one program at a time, so decode(i) can only
+overlap NN(i+1) on a *different* chip — the TPU-native analogue of the
+reference's fork-pool decode workers (``decoder/decoder.py:29-47``).
+These tests pin the functional contract on the virtual CPU mesh:
+deferred materialization preserves results and ordering, and routing
+the decode to a second device is result-identical.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import field_fixtures  # noqa: E402
+
+FIXTURE_CKPT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            'fixtures', 'overfit_fixture')
+FIXTURE_IMAGE = '/root/reference/tests/coco/images/puppy_dog.jpg'
+
+
+def _scene(seed=0):
+    rng = np.random.RandomState(seed)
+    anns = [field_fixtures.annotation_dict(
+        field_fixtures.synthetic_person(60 + 70 * i, 90, 100.0, rng))
+        for i in range(2)]
+    cif, caf, _ = field_fixtures.fields_from_annotations(anns, (169, 217),
+                                                         stride=8)
+    return cif, caf
+
+
+def _annotation_key(anns):
+    return [(round(a.score, 6), np.asarray(a.data).round(4).tobytes())
+            for a in anns]
+
+
+def test_decode_device_parity():
+    import jax
+    import openpifpaf_tpu
+    from openpifpaf_tpu.decoder.cifcaf import CifCaf
+
+    assert len(jax.local_devices()) >= 2  # conftest's 8-device CPU mesh
+
+    datamodule = openpifpaf_tpu.datasets.factory('cocokp')
+    cif_meta, caf_meta = datamodule.head_metas
+    for i, m in enumerate((cif_meta, caf_meta)):
+        m.base_stride = 8
+        m.head_index = i
+    cifcaf = CifCaf(cif_meta, caf_meta)
+    cif, caf = _scene()
+    fields = [cif[None], caf[None]]
+
+    try:
+        CifCaf.decode_device = None
+        base = cifcaf.batch_decode(fields)[0]
+        CifCaf.decode_device = 1
+        routed = cifcaf.batch_decode(fields)[0]
+    finally:
+        CifCaf.decode_device = None
+
+    assert len(base) == 2
+    assert _annotation_key(base) == _annotation_key(routed)
+
+
+def test_deferred_matches_eager():
+    import openpifpaf_tpu
+    from openpifpaf_tpu.decoder.cifcaf import CifCaf
+
+    datamodule = openpifpaf_tpu.datasets.factory('cocokp')
+    cif_meta, caf_meta = datamodule.head_metas
+    for i, m in enumerate((cif_meta, caf_meta)):
+        m.base_stride = 8
+        m.head_index = i
+    cifcaf = CifCaf(cif_meta, caf_meta)
+    cif, caf = _scene(1)
+    fields = [cif[None], caf[None]]
+
+    eager = cifcaf.batch_decode(fields)[0]
+    # two in-flight dispatches before either materializes
+    m1 = cifcaf.batch_decode_deferred(fields)
+    m2 = cifcaf.batch_decode_deferred([cif[None], caf[None]])
+    assert _annotation_key(m1()[0]) == _annotation_key(eager)
+    assert _annotation_key(m2()[0]) == _annotation_key(eager)
+
+
+@pytest.mark.skipif(not os.path.exists(FIXTURE_CKPT + '.json')
+                    or not os.path.exists(FIXTURE_IMAGE),
+                    reason='fixture checkpoint/image unavailable')
+def test_pipelined_predictor_loop():
+    from openpifpaf_tpu.predictor import Predictor
+
+    predictor = Predictor(checkpoint=FIXTURE_CKPT)
+    predictor.long_edge = 161
+    predictor.preprocess = predictor._build_preprocess()
+
+    files = [FIXTURE_IMAGE] * 4
+
+    predictor.pipeline_decode = False
+    strict = [( _annotation_key(p), meta['file_name'])
+              for p, _, meta in predictor.images(files)]
+    predictor.pipeline_decode = True
+    piped = [(_annotation_key(p), meta['file_name'])
+             for p, _, meta in predictor.images(files)]
+
+    assert len(strict) == 4
+    assert all(len(k) == 1 for k, _ in strict)  # the person is found
+    assert strict == piped
+
+
+def test_pipeline_propagates_producer_exceptions():
+    from openpifpaf_tpu.predictor import Predictor
+
+    predictor = Predictor.__new__(Predictor)  # no model needed
+    predictor.pipeline_decode = True
+
+    def batches():
+        raise RuntimeError('producer boom')
+        yield  # pragma: no cover
+
+    with pytest.raises(RuntimeError, match='producer boom'):
+        list(Predictor._run_batches(predictor, batches()))

@@ -48,26 +48,38 @@ def main():
     rng = np.random.RandomState(0)
     image = jnp.asarray(rng.randn(1, h, w, 3).astype(np.float32))
 
+    import time
+
+    t_start = time.monotonic()
+
+    def mark(stage):
+        print(json.dumps({'stage': stage,
+                          't_s': round(time.monotonic() - t_start, 1)}),
+              flush=True)
+
     out = {}
+    ref_fields = None
     for engine in engines:
         predictor = Predictor(model=model, variables=variables)
         predictor.backbone_engine = engine
         predictor.bf16 = bf16
         predictor.size_bucket = 0
         fwd = predictor.forward_fn
-        # correctness probe vs the flax graph before timing
-        if engine == engines[0]:
-            ref_fields = jax.block_until_ready(fwd(variables, image))
+        # correctness probe vs the first engine before timing (the
+        # fetch is also the compile sync)
+        got = [np.asarray(f) for f in fwd(variables, image)]
+        mark(f'{engine}_compiled')
+        if ref_fields is None:
+            ref_fields = got
             out['ref_engine'] = engine
         else:
-            got = jax.block_until_ready(fwd(variables, image))
-            diffs = [float(jnp.max(jnp.abs(a - b)))
+            diffs = [float(np.max(np.abs(a - b)))
                      for a, b in zip(ref_fields, got)]
             out[f'{engine}_max_field_diff'] = max(diffs)
         t = bench.time_op(
             lambda s, f=fwd: bench._tree_scalar(f(variables,
                                                   image + s * 1e-12)),
-            repeats=3)
+            repeats=2)
         out[f'{engine}_nn_ms'] = round(t * 1e3, 3)
         print(json.dumps({engine: out[f'{engine}_nn_ms']}), flush=True)
 
