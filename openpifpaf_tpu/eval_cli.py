@@ -27,6 +27,7 @@ class Evaluator:
     loader_warmup = 3.0
     bf16 = False
     backbone_engine = 'auto'
+    pipeline_decode = True
     hflip_tta = False
 
     def __init__(self, dataset_name: str):
@@ -85,6 +86,7 @@ class Evaluator:
             head_metas=self.datamodule.head_metas)
         predictor.bf16 = self.bf16
         predictor.backbone_engine = self.backbone_engine
+        predictor.pipeline_decode = self.pipeline_decode
         predictor.hflip_tta = self.hflip_tta
         metrics = self.datamodule.metrics()
 
@@ -163,6 +165,10 @@ def cli():
                         choices=('auto', 'flax', 'folded', 'halves',
                                  'pallas', 'stencil', 'dwpallas'),
                         help='serving backbone engine (see predict)')
+    parser.add_argument('--no-pipeline-decode',
+                        dest='pipeline_decode', default=True,
+                        action='store_false',
+                        help='disable the 1-deep serving pipeline (dispatch of batch i+1 before batch i decode results are fetched)')
     parser.add_argument('--hflip-tta', default=False, action='store_true',
                         help='average fields with the mirrored-image '
                              'forward pass')
@@ -203,6 +209,7 @@ def main():
     evaluator.n_images = args.n_images
     evaluator.bf16 = args.bf16
     evaluator.backbone_engine = args.backbone_engine
+    evaluator.pipeline_decode = args.pipeline_decode
     evaluator.hflip_tta = args.hflip_tta
 
     if args.output is None:
@@ -237,6 +244,7 @@ def main():
                 evaluator.n_images = args.n_images
                 evaluator.bf16 = args.bf16
                 evaluator.backbone_engine = args.backbone_engine
+                evaluator.pipeline_decode = args.pipeline_decode
                 evaluator.hflip_tta = args.hflip_tta
                 evaluator.evaluate(
                     checkpoint + '.eval-' + args.dataset,

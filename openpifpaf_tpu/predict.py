@@ -39,6 +39,10 @@ def cli():
                              'lane-aligned halves formulation when the '
                              'backbone channel halves are 128-multiples, '
                              'flax graph otherwise)')
+    parser.add_argument('--no-pipeline-decode',
+                        dest='pipeline_decode', default=True,
+                        action='store_false',
+                        help='disable the 1-deep serving pipeline (dispatch of batch i+1 before batch i decode results are fetched)')
     parser.add_argument('--hflip-tta', default=False, action='store_true',
                         help='average fields with the mirrored-image '
                              'forward pass (test-time augmentation)')
@@ -101,6 +105,7 @@ def main():
     predictor.batch_size = args.batch_size
     predictor.bf16 = args.bf16
     predictor.backbone_engine = args.backbone_engine
+    predictor.pipeline_decode = args.pipeline_decode
     predictor.hflip_tta = args.hflip_tta
     predictor.multi_scale = args.multi_scale
     predictor.n_devices = args.n_devices
