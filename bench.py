@@ -634,7 +634,7 @@ def main():
                 1.0 / (nn_bf16_time + decode_time), 1)})
 
     # batched serving throughput: batch 8 through forward + decode
-    if _remaining() > 90:
+    if _remaining() > 120:
         batch = 8
         images8 = jnp.asarray(rng.randn(batch, h, w, 3).astype(np.float32))
         cif8 = jnp.asarray(np.repeat(np.asarray(cif_syn), batch, axis=0))
@@ -643,17 +643,18 @@ def main():
             lambda s: _tree_scalar(model.apply(variables,
                                                images8 + s * 1e-12,
                                                train=False)),
-            n_lo=4, n_hi=12)
+            n_lo=4, n_hi=12, repeats=3)
         dec8_time = time_op(
             lambda s: _tree_scalar(decoder(cif8 + s * 1e-12, caf8)),
-            n_lo=3, n_hi=9)
+            n_lo=3, n_hi=9, repeats=3)
         _emit('batch8', {
             'batch8_img_per_sec': round(batch / (nn8_time + dec8_time), 1),
             'batch8_nn_ms': round(nn8_time * 1e3, 3),
             'batch8_decode_ms': round(dec8_time * 1e3, 3)})
 
     # batch-32 serving row: where does batch scaling saturate?
-    if _remaining() > 120:
+    # (measured worst case ~160 s incl. chunked-graph compile)
+    if _remaining() > 180:
         batch32 = 32
         images32 = jnp.asarray(
             rng.randn(batch32, h, w, 3).astype(np.float32))
@@ -663,10 +664,10 @@ def main():
             lambda s: _tree_scalar(model.apply(variables,
                                                images32 + s * 1e-12,
                                                train=False)),
-            n_lo=2, n_hi=6)
+            n_lo=2, n_hi=6, repeats=3)
         dec32_time = time_op(
             lambda s: _tree_scalar(decoder(cif32 + s * 1e-12, caf32)),
-            n_lo=2, n_hi=6)
+            n_lo=2, n_hi=6, repeats=3)
 
         # what the Predictor actually runs at batch 32: the NN chunked
         # through lax.map sub-batches of 8 (recovers part of the
@@ -678,7 +679,7 @@ def main():
         nn32_chunked_time = time_op(
             lambda s: _tree_scalar(chunked32(variables,
                                              images32 + s * 1e-12)),
-            n_lo=2, n_hi=6)
+            n_lo=2, n_hi=6, repeats=3)
         _emit('batch32', {
             'batch32_img_per_sec': round(
                 batch32 / (nn32_chunked_time + dec32_time), 1),
@@ -688,7 +689,7 @@ def main():
 
     # 133-keypoint wholebody decode (the reference's largest field
     # configuration): a realistic 6-person scene on the same 641px grid
-    if _remaining() > 90:
+    if _remaining() > 120:
         wb = openpifpaf_tpu.datasets.factory('wholebody')
         wb_cif_meta, wb_caf_meta = wb.head_metas
         for m in (wb_cif_meta, wb_caf_meta):
@@ -705,16 +706,27 @@ def main():
         wb_poses = int(np.sum(np.asarray(wb_decoder(wb_cif, wb_caf)[1])))
         wb_decode_time = time_op(
             lambda s: _tree_scalar(wb_decoder(wb_cif + s * 1e-12, wb_caf)),
-            n_lo=2, n_hi=6)
+            n_lo=2, n_hi=6, repeats=3)
         _emit('wholebody', {
             'wholebody133_decode_ms': round(wb_decode_time * 1e3, 3),
             'wholebody133_poses': wb_poses})
+
+    # training throughput (the reference's trainer hot loop,
+    # network/trainer.py:166-230, is half the framework); ordered
+    # before the crowd tier — it is a BASELINE.md row, crowd is not
+    if _remaining() > 240:
+        try:
+            train = bench_train(as_dict=True)
+            _emit('train', train)
+        except Exception as e:
+            print(json.dumps({'train_bench_error': str(e)[:300]}),
+                  file=sys.stderr)
 
     # crowd tier: the 16x-budget escalation graph. Measures (a) its
     # one-off compile cost (what the first overflowing image pays) and
     # (b) decode latency on a realistic 40-person scene, so the two-tier
     # policy is backed by numbers rather than assumed cheap.
-    if _remaining() > 120:
+    if _remaining() > 180:
         crowd_decoder = build_cifcaf_decoder(
             stride=stride, skeleton=caf_meta.skeleton,
             n_keypoints=len(cif_meta.keypoints),
@@ -730,7 +742,7 @@ def main():
         crowd_decode_time = time_op(
             lambda s: _tree_scalar(crowd_decoder(crowd_cif + s * 1e-12,
                                                  crowd_caf)),
-            n_lo=2, n_hi=6)
+            n_lo=2, n_hi=6, repeats=3)
         row = {
             'crowd40_decode_ms': round(crowd_decode_time * 1e3, 3),
             'crowd40_poses': crowd_poses,
@@ -748,17 +760,6 @@ def main():
             np.asarray(crowd_decoder2(crowd_cif, crowd_caf)[1])  # sync
             row['crowd_compile_warm_s'] = round(time.perf_counter() - t0, 2)
         _emit('crowd', row)
-
-    # training throughput (the reference's trainer hot loop,
-    # network/trainer.py:166-230, is half the framework) — heaviest
-    # stage (two full train-step compiles), so it runs last
-    if _remaining() > 180:
-        try:
-            train = bench_train(as_dict=True)
-            _emit('train', train)
-        except Exception as e:
-            print(json.dumps({'train_bench_error': str(e)[:300]}),
-                  file=sys.stderr)
 
     _emit('elapsed', {'seconds': round(time.monotonic() - _T0, 1),
                       'budget_s': _BUDGET_S})
