@@ -2,7 +2,12 @@
 CPU-device rendezvous running the real sharded train step.
 
 Invoked as:
-    multihost_worker.py <num_processes> <process_id> <port> <devices_per_proc>
+    multihost_worker.py <num_processes> <process_id> <port> \
+        <devices_per_proc> [spatial]
+
+``spatial`` > 1 builds the 2-D ``('data', 'space')`` grid mesh instead
+of the 1-D data mesh — the train step's convolution halo exchanges and
+BN reductions then cross the process boundary.
 
 The caller must set JAX_PLATFORMS=cpu and
 XLA_FLAGS=--xla_force_host_platform_device_count=<devices_per_proc>
@@ -19,7 +24,8 @@ import types
 import numpy as np
 
 
-def main(num_processes, process_id, port, devices_per_proc):
+def main(num_processes, process_id, port, devices_per_proc,
+         spatial=1):
     import jax
     jax.config.update('jax_platforms', 'cpu')  # beat sitecustomize
 
@@ -59,7 +65,8 @@ def main(num_processes, process_id, port, devices_per_proc):
     optimizer, schedule = optimize.factory_optimizer(args)
     loss_fn = losses.Factory().factory(datamodule.head_metas)
 
-    mesh = mesh_mod.data_mesh()
+    mesh = mesh_mod.grid_mesh(n_global, spatial=spatial) \
+        if spatial > 1 else mesh_mod.data_mesh()
     train_step = build_train_step(model, loss_fn, optimizer, schedule,
                                   clip_grad_norm=1.0, mesh=mesh)
 
@@ -79,9 +86,9 @@ def main(num_processes, process_id, port, devices_per_proc):
     # host then loads only its slice (host-local data loading replacing
     # DistributedSampler) and the global arrays are assembled across
     # process boundaries by shard_batch
-    batch = n_global
-    h = w = 65
-    fh = fw = 5
+    batch = n_global // spatial
+    h = w = 64 if spatial > 1 else 65  # spatial needs H divisible by it
+    fh = fw = 4 if spatial > 1 else 5
     rng = np.random.RandomState(42)
     images_g = rng.randn(batch, h, w, 3).astype(np.float32)
     cif_g = (0.1 * rng.randn(batch, 17, 5, fh, fw)).astype(np.float32)
@@ -117,4 +124,5 @@ def main(num_processes, process_id, port, devices_per_proc):
 
 if __name__ == '__main__':
     main(int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]),
-         int(sys.argv[4]))
+         int(sys.argv[4]),
+         int(sys.argv[5]) if len(sys.argv) > 5 else 1)

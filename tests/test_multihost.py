@@ -33,7 +33,7 @@ def _free_port():
         return s.getsockname()[1]
 
 
-def _spawn(num_processes, process_id, port, devices_per_proc):
+def _spawn(num_processes, process_id, port, devices_per_proc, spatial=1):
     env = dict(os.environ)
     env['JAX_PLATFORMS'] = 'cpu'
     env['XLA_FLAGS'] = ('--xla_force_host_platform_device_count='
@@ -51,7 +51,7 @@ def _spawn(num_processes, process_id, port, devices_per_proc):
         env['PYTHONPATH'] = os.path.dirname(os.path.dirname(WORKER))
     return subprocess.Popen(
         [sys.executable, WORKER, str(num_processes), str(process_id),
-         str(port), str(devices_per_proc)],
+         str(port), str(devices_per_proc), str(spatial)],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
         text=True)
 
@@ -90,3 +90,24 @@ def test_two_process_train_step_matches_single_process():
 
     # training actually happened
     assert results[0]['losses'][1] != results[0]['losses'][0]
+
+
+def test_two_process_spatial_mesh_matches_single_process():
+    """The 2-D ('data', 'space') mesh across a process boundary: the
+    convolution halo exchanges and the (SyncBN-by-construction) batch
+    statistics reductions cross processes, and the result still equals
+    the single-process grid-mesh run."""
+    port = _free_port()
+    procs = [_spawn(2, pid, port, 4, spatial=2) for pid in range(2)]
+    results = [_result(p, timeout=900) for p in procs]
+
+    assert results[0]['losses'] == results[1]['losses']
+    assert results[0]['param_checksum'] == results[1]['param_checksum']
+
+    # cross-process collectives (Gloo) reorder the halo/BN reduction
+    # sums vs the in-process grid mesh: measured rel ~1.4e-5 on f32
+    single = _result(_spawn(1, 0, _free_port(), 8, spatial=2), timeout=900)
+    for a, b in zip(single['losses'], results[0]['losses']):
+        assert a == pytest.approx(b, rel=1e-4)
+    assert single['param_checksum'] == pytest.approx(
+        results[0]['param_checksum'], rel=1e-4)
