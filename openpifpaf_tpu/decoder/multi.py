@@ -15,10 +15,14 @@ class Multi(Decoder):
     def batch_decode_deferred(self, fields_batch):
         """Dispatch every sub-decoder; return materialize() (see
         ``CifCaf.batch_decode_deferred``). Sub-decoders without a
-        deferred API run eagerly at dispatch time."""
+        deferred API — or with an instance-level ``batch_decode``
+        override (e.g. the ``--profile-decoder`` Profiler wrapper the
+        factory installs) — run their ``batch_decode`` eagerly at
+        dispatch time so the override is never bypassed."""
         deferred = [
             d.batch_decode_deferred(fields_batch)
             if hasattr(d, 'batch_decode_deferred')
+            and 'batch_decode' not in d.__dict__
             else (lambda out=d.batch_decode(fields_batch): out)
             for d in self.decoders
         ]

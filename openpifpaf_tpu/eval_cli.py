@@ -27,7 +27,10 @@ class Evaluator:
     loader_warmup = 3.0
     bf16 = False
     backbone_engine = 'auto'
-    pipeline_decode = True
+    #: eval reports a per-stage nn/decoder timing split; the strict
+    #: loop keeps it accurate (pipelining shifts overlapped decode
+    #: waits into the next batch's nn time) — opt in for throughput
+    pipeline_decode = False
     hflip_tta = False
 
     def __init__(self, dataset_name: str):
@@ -165,10 +168,15 @@ def cli():
                         choices=('auto', 'flax', 'folded', 'halves',
                                  'pallas', 'stencil', 'dwpallas'),
                         help='serving backbone engine (see predict)')
-    parser.add_argument('--no-pipeline-decode',
-                        dest='pipeline_decode', default=True,
-                        action='store_false',
-                        help='disable the 1-deep serving pipeline (dispatch of batch i+1 before batch i decode results are fetched)')
+    parser.add_argument('--pipeline-decode',
+                        dest='pipeline_decode', default=False,
+                        action='store_true',
+                        help='overlap batch i+1 dispatch with batch i '
+                             'decode (higher throughput, but the '
+                             'per-stage nn/decoder timing split in the '
+                             'stats becomes approximate: waiting for '
+                             'the overlapped decode is attributed to '
+                             'the next forward)')
     parser.add_argument('--hflip-tta', default=False, action='store_true',
                         help='average fields with the mirrored-image '
                              'forward pass')

@@ -178,7 +178,8 @@ class FoldedShuffleNetV2K:
             if isinstance(a, (np.ndarray, jnp.ndarray)) else a, self)
 
     def with_mode(self, mode: str):
-        """Copy with every conv's compute mode set (conv | stencil)."""
+        """Copy with every conv's compute mode set
+        (conv | stencil | dwpallas)."""
         def rewrite(op):
             if isinstance(op, FoldedConv):
                 return dataclasses.replace(op, mode=mode)

@@ -538,7 +538,10 @@ class Predictor:
     #: a second chip, NN(i+1) and decode(i) genuinely overlap — the
     #: TPU-native analogue of the reference's CPU decode worker pool
     #: (``decoder/decoder.py:29-47``). False restores strict
-    #: batch-at-a-time execution.
+    #: batch-at-a-time execution. Note: under pipelining the per-stage
+    #: nn/decoder timing split is approximate — waiting out the
+    #: overlapped decode is attributed to the next batch's forward —
+    #: so eval (which reports that split) defaults to the strict loop.
     pipeline_decode = True
 
     def _dispatch_batch(self, batch):
@@ -583,19 +586,38 @@ class Predictor:
         yield from self._materialize_batch(self._dispatch_batch(batch))
 
     def _run_batches(self, batches):
-        """Serving loop over a batch iterator (see ``pipeline_decode``)."""
+        """Serving loop over a batch iterator (see ``pipeline_decode``).
+
+        If producing or dispatching batch i+1 fails, batch i's already-
+        computed results are still yielded before the exception
+        propagates — completed work is never dropped."""
         if not self.pipeline_decode:
             for batch in batches:
                 yield from self._run_batch(batch)
             return
-        pending = None
-        for batch in batches:
-            staged = self._dispatch_batch(batch)
+
+        def flush(pending):
             if pending is not None:
                 yield from self._materialize_batch(pending)
+
+        pending = None
+        it = iter(batches)
+        while True:
+            try:
+                batch = next(it)
+            except StopIteration:
+                break
+            except BaseException:
+                yield from flush(pending)
+                raise
+            try:
+                staged = self._dispatch_batch(batch)
+            except BaseException:
+                yield from flush(pending)
+                raise
+            yield from flush(pending)
             pending = staged
-        if pending is not None:
-            yield from self._materialize_batch(pending)
+        yield from flush(pending)
 
     #: use the native C++ threaded JPEG loader when possible
     native_io = True

@@ -52,10 +52,6 @@ def cli():
                         choices=('auto', 'flax', 'folded', 'halves',
                                  'pallas', 'stencil', 'dwpallas'),
                         help='serving backbone engine (see predict)')
-    parser.add_argument('--no-pipeline-decode',
-                        dest='pipeline_decode', default=True,
-                        action='store_false',
-                        help='disable the 1-deep serving pipeline (dispatch of batch i+1 before batch i decode results are fetched)')
     parser.add_argument('--precise-rescaling', dest='fast_rescaling',
                     default=True, action='store_false',
                     help='use more exact image rescaling (requires'
@@ -88,7 +84,9 @@ def main():
     predictor.long_edge = args.long_edge
     predictor.bf16 = args.bf16
     predictor.backbone_engine = args.backbone_engine
-    predictor.pipeline_decode = args.pipeline_decode
+    # no pipelining here: the video loop is frame-at-a-time by design
+    # (live display wants the current frame's poses, not +1 latency)
+    predictor.pipeline_decode = False
     predictor.preprocess = predictor._build_preprocess()
 
     stream = Stream(

@@ -123,3 +123,67 @@ def test_pipeline_propagates_producer_exceptions():
 
     with pytest.raises(RuntimeError, match='producer boom'):
         list(Predictor._run_batches(predictor, batches()))
+
+
+def test_pipeline_flushes_pending_batch_on_late_failure():
+    """A failure while producing/dispatching batch i+1 must not drop
+    batch i's already-computed results."""
+    from openpifpaf_tpu.predictor import Predictor
+
+    predictor = Predictor.__new__(Predictor)
+    predictor.pipeline_decode = True
+    predictor._dispatch_batch = lambda batch: ('staged', batch)
+    predictor._materialize_batch = lambda staged: iter([staged[1]])
+
+    def batches():
+        yield 'batch0'
+        raise RuntimeError('late producer boom')
+
+    got = []
+    with pytest.raises(RuntimeError, match='late producer boom'):
+        for item in Predictor._run_batches(predictor, batches()):
+            got.append(item)
+    assert got == ['batch0']
+
+    # dispatch failure on batch 1: batch 0 still yielded
+    def dispatch(batch):
+        if batch == 'batch1':
+            raise RuntimeError('dispatch boom')
+        return ('staged', batch)
+
+    predictor._dispatch_batch = dispatch
+    got = []
+    with pytest.raises(RuntimeError, match='dispatch boom'):
+        for item in Predictor._run_batches(predictor,
+                                           iter(['batch0', 'batch1'])):
+            got.append(item)
+    assert got == ['batch0']
+
+
+def test_deferred_path_honors_instance_batch_decode_override():
+    """--profile-decoder wraps each decoder's batch_decode as an
+    INSTANCE attribute (decoder/factory.py); the Multi deferred path
+    must route through such overrides, not bypass them."""
+    from openpifpaf_tpu.decoder.multi import Multi
+
+    class FakeDecoder:
+        last_decoder_time = 0.0
+
+        def batch_decode(self, fields_batch):
+            return [['eager']]
+
+        def batch_decode_deferred(self, fields_batch):
+            return lambda: [['deferred']]
+
+    d = FakeDecoder()
+    assert Multi([d]).batch_decode_deferred(None)() == [['deferred']]
+
+    calls = []
+
+    def wrapped(fields_batch):  # stand-in for the Profiler wrapper
+        calls.append(1)
+        return [['profiled']]
+
+    d.batch_decode = wrapped  # instance-dict override, like the factory
+    assert Multi([d]).batch_decode_deferred(None)() == [['profiled']]
+    assert calls == [1]
