@@ -111,6 +111,34 @@ def test_pipelined_predictor_loop():
     assert strict == piped
 
 
+@pytest.mark.skipif(not os.path.exists(FIXTURE_CKPT + '.json')
+                    or not os.path.exists(FIXTURE_IMAGE),
+                    reason='fixture checkpoint/image unavailable')
+def test_predict_cli_decode_device(tmp_path):
+    """--decode-device through the real CLI: same poses as in-place."""
+    import json
+    import subprocess
+
+    env = dict(os.environ, JAX_PLATFORMS='cpu',
+               PYTHONPATH=os.path.dirname(
+                   os.path.dirname(os.path.abspath(__file__))))
+    env['XLA_FLAGS'] = '--xla_force_host_platform_device_count=2'
+
+    outs = {}
+    for name, extra in (('inplace', []),
+                        ('routed', ['--decode-device', '1'])):
+        out = str(tmp_path / name)
+        proc = subprocess.run(
+            [sys.executable, '-m', 'openpifpaf_tpu.predict', FIXTURE_IMAGE,
+             '--checkpoint', FIXTURE_CKPT, '--long-edge', '161',
+             '--json-output', out] + extra,
+            env=env, capture_output=True, timeout=600)
+        assert proc.returncode == 0, proc.stderr.decode()[-2000:]
+        outs[name] = json.load(open(out))
+    assert len(outs['routed']) == len(outs['inplace']) == 1
+    assert outs['routed'][0]['keypoints'] == outs['inplace'][0]['keypoints']
+
+
 def test_pipeline_propagates_producer_exceptions():
     from openpifpaf_tpu.predictor import Predictor
 
